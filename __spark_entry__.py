@@ -1,38 +1,836 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2),
+each (spark, sf_dir) -> DataFrame, wired to the
+``sensomics_data_pipeline_spark`` package.
+``oracle_sql()`` — DuckDB-dialect ANSI SQL equivalents; the driver
+compares row-count + schema + order-insensitive value hash at sf0.01.
+
+Conventions for oracle parity:
+- every computed column is aliased identically on both sides;
+- aggregate-derived doubles are ROUNDed on both sides (sums of doubles
+  are order-dependent in the last bits; rounding makes the hash stable);
+- Spark session timezone is UTC so naive parquet timestamps read
+  identically in both engines;
+- window orderings always carry a unique tie-break key so row_number /
+  lag are deterministic.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from sensomics_data_pipeline_spark.operators import acc as acc_ops
+from sensomics_data_pipeline_spark.operators import activity as activity_ops
+from sensomics_data_pipeline_spark.operators import dedup as dedup_ops
+from sensomics_data_pipeline_spark.operators import filters as filter_ops
+from sensomics_data_pipeline_spark.operators import intervals as interval_ops
+from sensomics_data_pipeline_spark.operators import similarity as sim_ops
+from sensomics_data_pipeline_spark.operators import text as text_ops
+from sensomics_data_pipeline_spark.operators import unpivot as unpivot_ops
+from sensomics_data_pipeline_spark.operators import windows as window_ops
+from sensomics_data_pipeline_spark.sources.readers import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan → filter → 8-agg groupBy.
+
+    Certifies: parquet scan w/ pushdown, filter, group-agg suite
+    (SURVEY.md §2.5 breadth).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                   AS sum_qty,
+       round(sum(l_extendedprice), 2)                              AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6)                                   AS avg_qty,
+       round(avg(l_extendedprice), 6)                              AS avg_price,
+       round(avg(l_discount), 6)                                   AS avg_disc,
+       count(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (§2.5)
+# ---------------------------------------------------------------------------
+
+def q_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_SQL_AGG_SUITE = """
+SELECT event_type,
+       count(*)                    AS n,
+       count(DISTINCT user_id)     AS n_users,
+       round(sum(value), 2)        AS sum_value,
+       round(avg(value), 6)        AS avg_value,
+       min(value)                  AS min_value,
+       max(value)                  AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: exact interpolated quantiles per group (sleep-threshold op,
+    ``/root/reference/activity_categorize.py:151-162``)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.025)"), 6).alias("q_low"),
+        F.round(F.expr("percentile(value, 0.975)"), 6).alias("q_high"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("q_med"),
+    )
+
+
+_SQL_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.025), 6) AS q_low,
+       round(quantile_cont(value, 0.975), 6) AS q_high,
+       round(quantile_cont(value, 0.5), 6)   AS q_med
+FROM events GROUP BY event_type
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets breadth: region→nation rollup of customer balances."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.count("*").alias("n_cust"),
+    )
+
+
+_SQL_ROLLUP = """
+SELECT r_name, n_name,
+       round(sum(c_acctbal), 2) AS total_bal,
+       count(*)                 AS n_cust
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window operators (§2.6) on the events stream
+# ---------------------------------------------------------------------------
+
+def q_lag_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 dedup-consecutive (``extract_kind`` change-point filter) on the
+    per-user event stream, keyed to the EAV analog event_type↔kind."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "bucket", F.round("value", 0)
+    )
+    return window_ops.dedup_consecutive(
+        ev,
+        ["user_id", "event_type"],
+        order_col="ts",
+        value_col="bucket",
+        tiebreak_cols=["event_id"],
+    ).select("event_id", "user_id", "event_type", "ts", "bucket")
+
+
+_SQL_LAG_DEDUP = """
+WITH b AS (
+  SELECT event_id, user_id, event_type, ts, round(value, 0) AS bucket
+  FROM events
+), lagged AS (
+  SELECT *, lag(bucket) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS prev
+  FROM b
+)
+SELECT event_id, user_id, event_type, ts, bucket
+FROM lagged WHERE prev IS NULL OR bucket != prev
+"""
+
+
+def q_counter_reset_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 resetting-cumulative-counter delta (sleep-counter semantics,
+    ``preliminary_intervals``) on a synthetic integer counter."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "counter", ((F.col("user_id") * 7 + F.col("event_id") * 13) % 1000).cast("double")
+    )
+    out = window_ops.counter_reset_delta(
+        ev,
+        ["user_id"],
+        order_col="ts",
+        value_col="counter",
+        reset_gap_hours=1,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select("event_id", "user_id", "ts", "counter", "delta")
+
+
+_SQL_COUNTER_DELTA = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST((user_id * 7 + event_id * 13) % 1000 AS DOUBLE) AS counter
+  FROM events
+), lagged AS (
+  SELECT *,
+         lag(ts)      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t,
+         lag(counter) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
+  FROM c
+)
+SELECT event_id, user_id, ts, counter,
+       CASE WHEN prev_t IS NULL
+              OR date_diff('second', prev_t, ts) > 3600 THEN counter
+            WHEN counter > prev_v THEN counter - prev_v
+            ELSE counter END AS delta
+FROM lagged
+"""
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 gap-based sessionization (>30 min gap) per user, with session
+    bounds + sizes (``acc_reformat.py:122-125`` at stream scale)."""
+    ev = _t(spark, sf_dir, "events")
+    sess = window_ops.sessionize(
+        ev, ["user_id"], order_col="ts", gap_seconds=1800.0,
+        tiebreak_cols=["event_id"],
+    )
+    return window_ops.session_bounds(sess, ["user_id"], order_col="ts")
+
+
+_SQL_SESSIONIZATION = """
+WITH lagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR date_diff('microsecond', lag(ts) OVER w, ts) / 1000000.0 > 1800.0
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM lagged
+)
+SELECT user_id, session_id,
+       min(ts)  AS session_start,
+       max(ts)  AS session_end,
+       count(*) AS n_rows
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_flatline_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 run-length-encoding islands (flatline detector ``t_incl``):
+    runs of consecutive equal coarse values per user."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("value") > 5).cast("int")
+    )
+    runs = filter_ops.flatline_runs(
+        ev,
+        ["user_id"],
+        order_col="ts",
+        value_col="bucket",
+        max_run=3,
+        tiebreak_cols=["event_id"],
+    )
+    return runs.select(
+        "user_id", "bucket", "start_time", "end_time", "run_len", "include"
+    )
+
+
+_SQL_FLATLINE = """
+WITH b AS (
+  SELECT user_id, ts, event_id, CAST(value > 5 AS INT) AS bucket
+  FROM events
+), rn AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _rn,
+         row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id) AS _rnv
+  FROM b
+)
+SELECT user_id, bucket,
+       min(ts)  AS start_time,
+       max(ts)  AS end_time,
+       count(*) AS run_len,
+       CAST(count(*) <= 3 AS INT) AS include
+FROM rn GROUP BY user_id, bucket, _rn - _rnv
+"""
+
+
+def q_tumbling_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5+A3+A4: 5-minute tumbling windows, outlier-fraction CASE
+    categorization (``acc_categorize``/``bin_categorize``) on events."""
+    ev = _t(spark, sf_dir, "events")
+    thresholds = spark.createDataFrame(
+        [(2.0, 15.0)], "lower_threshold double, upper_threshold double"
+    )
+    return activity_ops.categorize_windows(
+        ev.withColumnRenamed("value", "g_force"),
+        thresholds,
+        [],
+        ts_col="ts",
+        bin_minutes=5,
+        merge=False,
+    ).select("start_time", "end_time", "category")
+
+
+_SQL_TUMBLING = """
+WITH binned AS (
+  SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS start_time,
+         CAST(value < 2.0 OR value > 15.0 AS DOUBLE) AS outlier
+  FROM events
+), agg AS (
+  SELECT start_time, avg(outlier) * 100 AS outlier_pct
+  FROM binned GROUP BY start_time
+)
+SELECT start_time,
+       start_time + INTERVAL 5 MINUTE AS end_time,
+       CASE WHEN outlier_pct > 10 THEN 'high active'
+            WHEN outlier_pct > 5  THEN 'low active'
+            ELSE 'rest' END AS category
+FROM agg
+"""
+
+
+def q_merge_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 gaps-and-islands merge of adjacent same-category windows
+    (``merge_windows``) stacked on the tumbling categorization."""
+    categorized = q_tumbling_categorize(spark, sf_dir)
+    return window_ops.merge_adjacent_categorized(categorized, [])
+
+
+_SQL_MERGE_WINDOWS = f"""
+WITH categorized AS ({_SQL_TUMBLING}),
+flagged AS (
+  SELECT *,
+         CASE WHEN lag(category) OVER w IS NULL
+                OR category != lag(category) OVER w
+                OR start_time != lag(end_time) OVER w
+              THEN 1 ELSE 0 END AS _new
+  FROM categorized
+  WINDOW w AS (ORDER BY start_time)
+), grp AS (
+  SELECT *, sum(_new) OVER (ORDER BY start_time ROWS UNBOUNDED PRECEDING) AS _g
+  FROM flagged
+)
+SELECT min(start_time) AS start_time, max(end_time) AS end_time, category
+FROM grp GROUP BY category, _g
+"""
+
+
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 overlap-coalescing interval merge (``merge_intervals``):
+    per-user 10-minute lookback windows around purchases, merged."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("start_time"),
+        F.col("ts").alias("end_time"),
+    )
+    return interval_ops.merge_intervals(iv, ["user_id"])
+
+
+_SQL_INTERVAL_MERGE = """
+WITH iv AS (
+  SELECT user_id,
+         ts - INTERVAL 10 MINUTE AS start_time,
+         ts AS end_time
+  FROM events WHERE event_type = 'purchase'
+), flagged AS (
+  SELECT *,
+         CASE WHEN max(end_time) OVER (PARTITION BY user_id
+                ORDER BY start_time, end_time
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR start_time > max(end_time) OVER (PARTITION BY user_id
+                ORDER BY start_time, end_time
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS _new
+  FROM iv
+), grp AS (
+  SELECT *, sum(_new) OVER (PARTITION BY user_id ORDER BY start_time, end_time
+                            ROWS UNBOUNDED PRECEDING) AS _g
+  FROM flagged
+)
+SELECT user_id, min(start_time) AS start_time, max(end_time) AS end_time
+FROM grp GROUP BY user_id, _g
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/top-k: top-3 customers per nation by balance (deterministic
+    tie-break on custkey)."""
+    c = _t(spark, sf_dir, "customer")
+    return window_ops.top_k_per_group(
+        c,
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        k=3,
+    ).select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+
+
+_SQL_TOPK = """
+SELECT c_nationkey, c_custkey, c_acctbal, rn
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) WHERE rn <= 3
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-analog as-of backward join: for each purchase, the most recent
+    prior view by the same user (union-stream window technique — no
+    range join, single shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    out = window_ops.asof_backward(
+        ev,
+        ["user_id"],
+        order_col="ts",
+        probe_predicate=F.col("event_type") == "purchase",
+        build_predicate=F.col("event_type") == "view",
+        carry_cols={"ts": "last_view_ts", "value": "last_view_value"},
+    )
+    return out.select("event_id", "user_id", "ts", "last_view_ts", "last_view_value")
+
+
+_SQL_ASOF = """
+WITH marked AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts,
+         last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_value
+  FROM events
+)
+SELECT event_id, user_id, ts, last_view_ts, last_view_value
+FROM marked WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections (§2.2)
+# ---------------------------------------------------------------------------
+
+def q_threshold_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5×n fused range filter driven by a broadcast rules table
+    (``subset_df`` chain + P10 domain constants)."""
+    ev = _t(spark, sf_dir, "events")
+    rules = {"click": (5.0, 1e6), "view": (2.0, 1e6), "error": (0.0, 8.0)}
+    kept = filter_ops.apply_threshold_rules(
+        ev, rules, kind_col="event_type", value_col="value"
+    )
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_SQL_THRESHOLD = """
+WITH rules(event_type, min_val, max_val) AS (
+  VALUES ('click', 5.0, 1e6), ('view', 2.0, 1e6), ('error', 0.0, 8.0)
+)
+SELECT e.event_type,
+       count(*)             AS n_kept,
+       round(sum(value), 2) AS sum_value
+FROM events e LEFT JOIN rules r ON e.event_type = r.event_type
+WHERE r.min_val IS NULL OR (value BETWEEN r.min_val AND r.max_val)
+GROUP BY e.event_type
+"""
+
+
+def q_interval_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 broadcast interval containment semijoin (``df_filter``): events
+    inside any merged purchase-lookback interval of the same user."""
+    ev = _t(spark, sf_dir, "events")
+    intervals = q_interval_merge(spark, sf_dir)
+    kept = interval_ops.interval_semijoin(
+        ev, intervals, ["user_id"], ts_col="ts"
+    )
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_in_interval"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_SQL_INTERVAL_SEMIJOIN = f"""
+WITH merged AS ({_SQL_INTERVAL_MERGE})
+SELECT e.event_type,
+       count(*)             AS n_in_interval,
+       round(sum(e.value), 2) AS sum_value
+FROM events e
+WHERE EXISTS (
+  SELECT 1 FROM merged m
+  WHERE m.user_id = e.user_id
+    AND e.ts >= m.start_time AND e.ts <= m.end_time
+)
+GROUP BY e.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reshaping (§2.3)
+# ---------------------------------------------------------------------------
+
+def q_unpivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 wide→long melt (``pd.melt`` Excel normalization) on orders."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey_val"),
+    )
+    long = unpivot_ops.melt_wide(
+        o, ["o_orderkey"], ["totalprice", "custkey_val"]
+    )
+    return long.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("data"), 2).alias("sum_data"),
+    )
+
+
+_SQL_UNPIVOT = """
+WITH long AS (
+  SELECT o_orderkey, 'totalprice' AS kind, o_totalprice AS data FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'custkey_val' AS kind, CAST(o_custkey AS DOUBLE) FROM orders
+)
+SELECT kind, count(*) AS n, round(sum(data), 2) AS sum_data
+FROM long GROUP BY kind
+"""
+
+
+def q_stack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2-style split+melt fused into one ``stack``: a 2-element payload
+    becomes two long rows (bp → bp_sys/bp_dia semantics)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "arr", F.array(F.col("value"), F.col("value") * 2)
+    )
+    long = ev.select(
+        "event_id",
+        F.expr("stack(2, 'sys', arr[0], 'dia', arr[1]) AS (kind, data)"),
+    )
+    return long.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("data"), 2).alias("sum_data"),
+    )
+
+
+_SQL_STACK = """
+WITH long AS (
+  SELECT event_id, 'sys' AS kind, value AS data FROM events
+  UNION ALL
+  SELECT event_id, 'dia' AS kind, value * 2 FROM events
+)
+SELECT kind, count(*) AS n, round(sum(data), 2) AS sum_data
+FROM long GROUP BY kind
+"""
+
+
+def q_posexplode_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 positional explode + synthetic timestamp arithmetic
+    (``smooth_timestamp`` 1→5 fan-out): each error event fans into 5
+    sub-samples 100 ms apart."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return ev.select(
+        "event_id",
+        F.posexplode(F.sequence(F.lit(0), F.lit(4))).alias("pos", "_x"),
+        F.col("ts"),
+        F.col("value"),
+    ).select(
+        "event_id",
+        "pos",
+        F.timestamp_micros(
+            (F.unix_micros("ts") + F.col("pos") * 100_000).cast("long")
+        ).alias("sub_ts"),
+        F.round(F.col("value") / 5, 6).alias("sub_value"),
+    )
+
+
+_SQL_POSEXPLODE = """
+SELECT event_id,
+       p.pos                                        AS pos,
+       make_timestamp(epoch_us(ts) + p.pos * 100000) AS sub_ts,
+       round(value / 5, 6)                          AS sub_value
+FROM events, (SELECT unnest(range(5)) AS pos) p
+WHERE event_type = 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins / set ops / scalars breadth
+# ---------------------------------------------------------------------------
+
+def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join chain customer⋈orders⋈lineitem⋈nation with broadcast
+    dims — the breadth join certification (§2.4 absent-in-reference)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+_SQL_JOIN_REVENUE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins: customers with vs without orders,
+    tallied per nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+    without_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+    return with_orders.join(
+        without_orders, on="c_nationkey", how="full_outer"
+    ).select(
+        "c_nationkey",
+        F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+        F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+    )
+
+
+_SQL_SEMI_ANTI = """
+WITH w AS (
+  SELECT c_nationkey, count(*) AS n_with_orders
+  FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_nationkey
+), wo AS (
+  SELECT c_nationkey, count(*) AS n_without_orders
+  FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_nationkey
+)
+SELECT coalesce(w.c_nationkey, wo.c_nationkey) AS c_nationkey,
+       coalesce(n_with_orders, 0)  AS n_with_orders,
+       coalesce(n_without_orders, 0) AS n_without_orders
+FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-ops breadth: INTERSECT / EXCEPT / UNION-dedup over user-id sets."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clickers.intersect(buyers).withColumn("tag", F.lit("both"))
+    click_only = clickers.exceptAll(buyers).withColumn("tag", F.lit("click_only"))
+    union_all = clickers.union(buyers).distinct().withColumn("tag", F.lit("either"))
+    return (
+        both.unionByName(click_only)
+        .unionByName(union_all)
+        .groupBy("tag")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_SQL_SET_OPS = """
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     buyers   AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+     tagged AS (
+       SELECT 'both' AS tag, user_id FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+       UNION ALL
+       SELECT 'click_only', user_id FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+       UNION ALL
+       SELECT 'either', user_id FROM (SELECT user_id FROM clickers UNION SELECT user_id FROM buyers)
+     )
+SELECT tag, count(*) AS n_users FROM tagged GROUP BY tag
+"""
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 scalar breadth: regex extract, date parts, math, duration
+    parse (``to_minutes``) in one projection over orders."""
+    from sensomics_data_pipeline_spark.functions.timeops import to_minutes
+
+    o = _t(spark, sf_dir, "orders")
+    dur = F.concat(
+        (F.col("o_orderkey") % 12).cast("string"),
+        F.lit("h"),
+        (F.col("o_orderkey") % 60).cast("string"),
+        F.lit("m"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^(\d+)", 1).cast("int").alias("prio_num"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        F.floor(F.col("o_totalprice") / 1000).alias("price_k"),
+        F.abs(F.col("o_totalprice") - 100000).alias("price_dev"),
+        to_minutes(dur).alias("dur_minutes"),
+    )
+
+
+_SQL_SCALARS = """
+SELECT o_orderkey,
+       CAST(regexp_extract(o_orderpriority, '^(\\d+)', 1) AS INT) AS prio_num,
+       year(o_orderdate)  AS o_year,
+       month(o_orderdate) AS o_month,
+       day(o_orderdate)   AS o_day,
+       round(sqrt(o_totalprice), 6) AS price_sqrt,
+       CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+       abs(o_totalprice - 100000) AS price_dev,
+       (o_orderkey % 12) * 60 + (o_orderkey % 60) AS dur_minutes
+FROM orders
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 JSON scalar: parse the ``props`` JSON column."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+_SQL_JSON = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT))           AS max_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pricing_summary(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "agg_suite": q_agg_suite,
+        "quantiles": q_quantiles,
+        "rollup_revenue": q_rollup_revenue,
+        "lag_dedup": q_lag_dedup,
+        "counter_reset_delta": q_counter_reset_delta,
+        "sessionization": q_sessionization,
+        "flatline_runs": q_flatline_runs,
+        "tumbling_categorize": q_tumbling_categorize,
+        "merge_windows": q_merge_windows,
+        "interval_merge": q_interval_merge,
+        "topk_per_group": q_topk_per_group,
+        "asof_join": q_asof_join,
+        "threshold_rules": q_threshold_rules,
+        "interval_semijoin": q_interval_semijoin,
+        "unpivot_wide": q_unpivot_wide,
+        "stack_split": q_stack_split,
+        "posexplode_resample": q_posexplode_resample,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "semi_anti_join": q_semi_anti_join,
+        "set_ops": q_set_ops,
+        "scalar_functions": q_scalar_functions,
+        "json_extract": q_json_extract,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": _SQL_PRICING,
+        "agg_suite": _SQL_AGG_SUITE,
+        "quantiles": _SQL_QUANTILES,
+        "rollup_revenue": _SQL_ROLLUP,
+        "lag_dedup": _SQL_LAG_DEDUP,
+        "counter_reset_delta": _SQL_COUNTER_DELTA,
+        "sessionization": _SQL_SESSIONIZATION,
+        "flatline_runs": _SQL_FLATLINE,
+        "tumbling_categorize": _SQL_TUMBLING,
+        "merge_windows": _SQL_MERGE_WINDOWS,
+        "interval_merge": _SQL_INTERVAL_MERGE,
+        "topk_per_group": _SQL_TOPK,
+        "asof_join": _SQL_ASOF,
+        "threshold_rules": _SQL_THRESHOLD,
+        "interval_semijoin": _SQL_INTERVAL_SEMIJOIN,
+        "unpivot_wide": _SQL_UNPIVOT,
+        "stack_split": _SQL_STACK,
+        "posexplode_resample": _SQL_POSEXPLODE,
+        "join_revenue_by_nation": _SQL_JOIN_REVENUE,
+        "semi_anti_join": _SQL_SEMI_ANTI,
+        "set_ops": _SQL_SET_OPS,
+        "scalar_functions": _SQL_SCALARS,
+        "json_extract": _SQL_JSON,
+    }

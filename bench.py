@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a noop-format write (full plan execution, no
+driver collect overhead, no result materialization skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = None
+
+    import __spark_entry__ as entrymod
+    from sensomics_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    qs = entrymod.queries()
+    # warm the JVM + parquet footers once (not counted)
+    entrymod.q_pricing_summary(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # pragma: no cover
+            timings[name] = -1.0
+            print(f"bench error {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

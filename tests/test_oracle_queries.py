@@ -1,0 +1,53 @@
+"""Driver-contract tests: every ``queries()`` entry runs and matches its
+DuckDB oracle at sf0.001 (the driver's own gate runs sf0.01; this is the
+fast inner loop)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.check_oracle import compare
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+def test_every_query_has_oracle_or_is_flagged():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+
+
+@pytest.mark.parametrize("name", list(entrymod.queries()))
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    fn = entrymod.queries()[name]
+    spark_pdf = fn(spark, sf_dir).toPandas()
+    oracle = entrymod.oracle_sql().get(name)
+    if oracle is None:
+        assert len(spark_pdf) >= 0  # rows-only contract
+        return
+    duck_pdf = duck.execute(oracle).df()
+    problems = compare(name, spark_pdf, duck_pdf)
+    assert not problems, f"{name}: {problems}"

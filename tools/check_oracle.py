@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry against its ``oracle_sql()`` DuckDB
+equivalent and compare row-count + schema + order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize(pdf):
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_float_dtype(s):
+            pdf[c] = s.round(9)
+        elif isinstance(s.dtype, pd.DatetimeTZDtype):
+            pdf[c] = s.dt.tz_convert("UTC").dt.tz_localize(None).astype("datetime64[us]")
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            pdf[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            pdf[c] = s.astype(str)
+    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    return pdf
+
+
+def compare(name, spark_pdf, duck_pdf) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        problems.append(f"columns spark={sc} duck={dc}")
+        return problems
+    if problems:
+        return problems
+    import numpy as np
+    import pandas as pd
+
+    s = normalize(spark_pdf)
+    d = normalize(duck_pdf)
+    for c in s.columns:
+        a, b = s[c], d[c]
+        if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
+            eq = np.isclose(a.fillna(1e308), b.fillna(1e308), rtol=1e-9, atol=1e-9)
+        else:
+            eq = (a.astype(str) == b.astype(str)).to_numpy()
+        if not eq.all():
+            i = int(np.argmin(eq))
+            problems.append(
+                f"col {c}: {int((~eq).sum())} mismatches; first at row {i}: "
+                f"spark={a.iloc[i]!r} duck={b.iloc[i]!r}"
+            )
+    return problems
+
+
+def main():
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a]
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from sensomics_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = only or list(qs)
+    n_pass = n_fail = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            spark_pdf = qs[name](spark, sf_dir).toPandas()
+        except Exception as exc:
+            print(f"FAIL {name}: spark error: {exc}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            status = "ROWS-ONLY"
+            print(f"{status} {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).df()
+        except Exception as exc:
+            print(f"FAIL {name}: duckdb error: {exc}")
+            n_fail += 1
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} ({time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"   - {p}")
+        else:
+            n_pass += 1
+            print(f"PASS {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
