@@ -408,7 +408,9 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_nationkey"],
         [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
         k=3,
-    ).select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+    ).select(
+        "c_nationkey", "c_custkey", "c_acctbal", F.col("rn").cast("long").alias("rn")
+    )
 
 
 _SQL_TOPK = """
@@ -584,7 +586,7 @@ def q_posexplode_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value"),
     ).select(
         "event_id",
-        "pos",
+        F.col("pos").cast("long").alias("pos"),
         F.timestamp_micros(
             (F.unix_micros("ts") + F.col("pos") * 100_000).cast("long")
         ).alias("sub_ts"),
@@ -724,13 +726,13 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.regexp_extract("o_orderpriority", r"^(\d+)", 1).cast("int").alias("prio_num"),
-        F.year("o_orderdate").alias("o_year"),
-        F.month("o_orderdate").alias("o_month"),
-        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
         F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
         F.floor(F.col("o_totalprice") / 1000).alias("price_k"),
         F.abs(F.col("o_totalprice") - 100000).alias("price_dev"),
-        to_minutes(dur).alias("dur_minutes"),
+        to_minutes(dur).cast("long").alias("dur_minutes"),
     )
 
 
@@ -772,6 +774,384 @@ FROM events GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# North-star training-data operators: dedup / text / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+#: DuckDB fragment: whitespace tokens of ``text`` (matches
+#: operators.text.tokens exactly).
+_D_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
+#: DuckDB fragment: the portable 60-bit hash (matches
+#: functions.scalars.portable_hash64).
+def _d_hash(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash clusters over documents (all clusters,
+    so the portable hash itself is value-checked)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.exact_duplicates(docs, only_dups=False)
+
+
+_SQL_EXACT_DEDUP = f"""
+SELECT {_d_hash('text')} AS content_hash,
+       count(*)    AS n_docs,
+       min(doc_id) AS canonical_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish) per language."""
+    docs = _t(spark, sf_dir, "documents")
+    counted = docs.select(
+        "lang",
+        text_ops.token_count("text").alias("n_tok"),
+        text_ops.bpe_ish_token_count("text").alias("n_bpe"),
+    )
+    return counted.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+        F.round(F.avg("n_bpe"), 6).alias("avg_bpe_tokens"),
+    )
+
+
+_SQL_TOKEN_STATS = f"""
+WITH t AS (
+  SELECT lang,
+         len({_D_TOKS}) AS n_tok,
+         greatest(len({_D_TOKS}), CAST(ceil(length(text) / 4.0) AS INT)) AS n_bpe
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(avg(n_tok), 6) AS avg_tokens,
+       round(avg(n_bpe), 6) AS avg_bpe_tokens
+FROM t GROUP BY lang
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: per-source averages of the per-doc signals."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_ops.quality_score(docs)
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct"),
+        F.round(F.avg("digit_ratio"), 6).alias("avg_digit"),
+        F.round(F.avg("upper_ratio"), 6).alias("avg_upper"),
+        F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword"),
+        F.round(F.avg("mean_word_len"), 6).alias("avg_word_len"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
+_SQL_TEXT_QUALITY = f"""
+WITH feats AS (
+  SELECT source,
+         length(text) AS n_chars,
+         len({_D_TOKS}) AS n_tokens,
+         round(CASE WHEN len({_D_TOKS}) > 0
+               THEN length(array_to_string({_D_TOKS}, '')) * 1.0 / len({_D_TOKS})
+               ELSE 0.0 END, 6) AS mean_word_len,
+         round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+         round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               * 1.0 / greatest(length(text), 1), 6) AS digit_ratio,
+         round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+               * 1.0 / greatest(length(text), 1), 6) AS upper_ratio,
+         round(len(list_filter({_D_TOKS},
+                 x -> lower(x) IN ('the','and','of','to','is')))
+               * 1.0 / greatest(len({_D_TOKS}), 1), 6) AS stopword_ratio
+  FROM documents
+), scored AS (
+  SELECT *,
+         round(least(n_tokens / 100.0, 1.0) * 0.4
+               + (1 - least(punct_ratio * 4, 1.0)) * 0.3
+               + (1 - least(digit_ratio * 4, 1.0)) * 0.2
+               + least(stopword_ratio * 5, 1.0) * 0.1, 6) AS quality_score
+  FROM feats
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(punct_ratio), 6)    AS avg_punct,
+       round(avg(digit_ratio), 6)    AS avg_digit,
+       round(avg(upper_ratio), 6)    AS avg_upper,
+       round(avg(stopword_ratio), 6) AS avg_stopword,
+       round(avg(mean_word_len), 6)  AS avg_word_len,
+       round(avg(quality_score), 6)  AS avg_quality
+FROM scored GROUP BY source
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-word argmax vs the labeled lang."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = text_ops.lang_id(docs)
+    return pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+
+
+def _sql_lang_id() -> str:
+    from sensomics_data_pipeline_spark.operators.text import LANG_MARKERS
+
+    hit_exprs = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        in_list = ",".join(f"'{m}'" for m in markers)
+        hit_exprs.append(
+            f"len(list_filter(toks, x -> lower(x) IN ({in_list}))) AS hits_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ",".join(f"hits_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN hits_{l} = best AND best > 0 THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH t AS (
+  SELECT lang, {_D_TOKS} AS toks FROM documents
+), h AS (
+  SELECT lang, {", ".join(hit_exprs)} FROM t
+), b AS (
+  SELECT lang, {best} AS best, * FROM h
+)
+SELECT lang, {case} AS pred_lang, count(*) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprints (min/max 5-gram shingle hash) per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.doc_fingerprint(docs).select(
+        "doc_id", "fingerprint_min", "fingerprint_max"
+    )
+
+
+_SQL_FINGERPRINT = f"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5 THEN
+           list_transform(generate_series(1, len(toks) - 4),
+                          i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+         ELSE [] END AS shingles
+  FROM t
+)
+SELECT doc_id,
+       list_min(list_transform(shingles, s -> {_d_hash('s')})) AS fingerprint_min,
+       list_max(list_transform(shingles, s -> {_d_hash('s')})) AS fingerprint_max
+FROM sh
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with estimated Jaccard
+    (16 hashes, bands of 4)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, band_size=4
+    )
+
+
+_SQL_MINHASH = f"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 3 THEN
+             list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+           ELSE [] END) AS shingle
+    FROM t
+  )
+), seeded AS (
+  SELECT doc_id, s.seed,
+         {_d_hash("s.seed::VARCHAR || ':' || shingle")} AS h
+  FROM sh, (SELECT unnest(range(16)) AS seed) s
+), sig AS (
+  SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2
+), band AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
+  FROM sig GROUP BY 1, 2
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 6)
+         AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b AND sb.seed = sa.seed
+GROUP BY 1, 2
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (df-capped inverted index)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.05, max_df=100
+    )
+
+
+_SQL_NGRAM_JACCARD = f"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), dsh AS (
+  SELECT DISTINCT doc_id, {_d_hash('shingle')} AS sh FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 3 THEN
+             list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+           ELSE [] END) AS shingle
+    FROM t
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS set_size FROM dsh GROUP BY 1
+), rare AS (
+  SELECT sh FROM dsh GROUP BY sh HAVING count(*) <= 100
+), capped AS (
+  SELECT dsh.* FROM dsh JOIN rare USING (sh)
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       sa.set_size AS size_a, sb.set_size AS size_b,
+       round(n_common * 1.0 / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common * 1.0 / (sa.set_size + sb.set_size - n_common), 6) >= 0.05
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 32-bit signatures per document (bit-majority vote)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.simhash(docs, bits=32)
+
+
+_SQL_SIMHASH = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_D_TOKS}) AS token FROM documents
+), h AS (
+  SELECT doc_id, {_d_hash('token')} AS h FROM t
+), votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, (SELECT unnest(range(32)) AS bit) b
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors per embedding (numpy-scored
+    exact baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim_ops.brute_force_topk(emb, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_SQL_EMB_TOPK = """
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+           AS cos_sim
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id != b.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-5 (hyperplane sign buckets, exact cosine
+    within buckets) — the 100-TB scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim_ops.lsh_topk(emb, dim=64, k=5, n_planes=6)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _sql_embedding_lsh() -> str:
+    from sensomics_data_pipeline_spark.operators.similarity import plane_weights
+
+    weights = plane_weights(6, 64)
+    terms = []
+    for p, w in enumerate(weights):
+        arr = "[" + ",".join(str(x) for x in w) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[]) >= 0 "
+            f"THEN {1 << p}::BIGINT ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS query_id, a.bucket AS bucket, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+           AS cos_sim
+  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, bucket, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (k-means coarse quantizer + n_probe=2). Iterative
+    training is not SQL-expressible — rows-only check; recall vs the
+    brute-force baseline is pytest-verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim_ops.ivf_topk(emb, k=5, n_lists=16, n_probe=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary plumbing: text→binary payloads, metadata pass
+    (byte length, md5, frame count) as pure column exprs. (Real binary
+    frame-sampling / feature extraction is pytest-covered in
+    operators.multimodal — no binary column exists in driver tables.)"""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.ceil(F.length(payload) / 16).cast("long").alias("n_frames"),
+        F.md5(payload).alias("payload_md5"),
+        F.md5(F.substring("text", 1, 16).cast("binary")).alias("frame1_md5"),
+    )
+
+
+_SQL_MULTIMODAL = """
+SELECT doc_id,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       CAST(ceil(octet_length(CAST(text AS BLOB)) / 16.0) AS BIGINT) AS n_frames,
+       md5(text) AS payload_md5,
+       md5(substr(text, 1, 16)) AS frame1_md5
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -805,6 +1185,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "scalar_functions": q_scalar_functions,
         "json_extract": q_json_extract,
+        "exact_dedup": q_exact_dedup,
+        "token_stats": q_token_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "embedding_topk": q_embedding_topk,
+        "embedding_lsh": q_embedding_lsh,
+        "embedding_ivf": q_embedding_ivf,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -833,4 +1225,16 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _SQL_SET_OPS,
         "scalar_functions": _SQL_SCALARS,
         "json_extract": _SQL_JSON,
+        "exact_dedup": _SQL_EXACT_DEDUP,
+        "token_stats": _SQL_TOKEN_STATS,
+        "text_quality": _SQL_TEXT_QUALITY,
+        "lang_id": _sql_lang_id(),
+        "doc_fingerprint": _SQL_FINGERPRINT,
+        "minhash_lsh": _SQL_MINHASH,
+        "ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "simhash": _SQL_SIMHASH,
+        "embedding_topk": _SQL_EMB_TOPK,
+        "embedding_lsh": _sql_embedding_lsh(),
+        # embedding_ivf: iterative k-means — rows-only check by design
+        "multimodal_frames": _SQL_MULTIMODAL,
     }

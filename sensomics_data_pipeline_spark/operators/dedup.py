@@ -25,21 +25,23 @@ def _hash_expr(col, seed: int | None = None):
 
 
 def exact_duplicates(
-    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    only_dups: bool = True,
 ) -> DataFrame:
     """Exact dedup via content-hash groupBy: one shuffle on the 60-bit
-    text hash, groups with >1 member are duplicate clusters."""
+    text hash, groups with >1 member are duplicate clusters
+    (``only_dups=False`` returns every cluster — the dedup'd canonical
+    mapping)."""
     hashed = df.select(
         F.col(key_col), _hash_expr(F.col(text_col)).alias("content_hash")
     )
-    return (
-        hashed.groupBy("content_hash")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.min(key_col).alias("canonical_id"),
-        )
-        .filter(F.col("n_docs") > 1)
+    out = hashed.groupBy("content_hash").agg(
+        F.count("*").alias("n_docs"),
+        F.min(key_col).alias("canonical_id"),
     )
+    return out.filter(F.col("n_docs") > 1) if only_dups else out
 
 
 def shingle_sets(
@@ -63,18 +65,32 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
     explode → self-equi-join on shingle hash → per-pair intersection
     count → |A∪B| = |A|+|B|−|A∩B|.
 
-    The shingle join is the scale risk (hot shingles fan out) — at
-    100 TB, first drop stop-shingles (document frequency cap), then the
-    join is bounded. MinHash/LSH below is the preferred scale path; this
-    exact variant is the ground truth for its recall.
+    The shingle join is the scale risk (hot shingles fan out
+    quadratically) — ``max_df`` drops stop-shingles appearing in more
+    than that many documents BEFORE the join, bounding every shingle's
+    fan-out at max_df². Set sizes are computed before the cap so the
+    Jaccard denominator stays exact; the intersection count is then a
+    lower bound for pairs dominated by stop-shingles (documented
+    approximation — MinHash/LSH below is the preferred scale path; this
+    variant is the ground truth for its recall on non-degenerate
+    corpora).
     """
     sets = shingle_sets(df, key_col, text_col, n)
     sizes = sets.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    if max_df is not None:
+        rare = (
+            sets.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("sh")
+        )
+        sets = sets.join(rare, "sh")
     a = sets.alias("a")
     b = sets.alias("b")
     common = (
@@ -229,13 +245,13 @@ def simhash(
         )
         .withColumn(
             "vote",
-            F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(1) == 1, 1).otherwise(-1),
+            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
         )
         .groupBy("doc_id", "bit")
         .agg(F.sum("vote").alias("v"))
     )
     return votes.groupBy("doc_id").agg(
         F.sum(
-            F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("bigint"), F.col("bit"))).otherwise(0)
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
         ).alias("simhash")
     )

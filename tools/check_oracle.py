@@ -49,6 +49,9 @@ def compare(name, spark_pdf, duck_pdf) -> list[str]:
     s = normalize(spark_pdf)
     d = normalize(duck_pdf)
     for c in s.columns:
+        if str(s[c].dtype) != str(d[c].dtype):
+            print(f"   ~ DTYPE {c}: spark={s[c].dtype} duck={d[c].dtype}")
+    for c in s.columns:
         a, b = s[c], d[c]
         if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
             eq = np.isclose(a.fillna(1e308), b.fillna(1e308), rtol=1e-9, atol=1e-9)
