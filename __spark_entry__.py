@@ -750,6 +750,116 @@ FROM orders
 """
 
 
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 breadth: ranking + analytic window family (rank, dense_rank,
+    ntile, lead, cume_dist, running frame sum) absent from the reference
+    but required engine surface."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            2,
+        ).alias("running_total"),
+    )
+
+
+_SQL_WINDOW_ANALYTICS = """
+SELECT o_orderkey, o_custkey,
+       rank()        OVER w AS rnk,
+       dense_rank()  OVER w AS drnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       lead(o_totalprice) OVER w AS next_price,
+       round(cume_dist() OVER w, 6) AS cd,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 breadth: CUBE grouping sets over lineitem flags."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+_SQL_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 long→wide pivot (the axis-assembly op generalized): event
+    counts per user pivoted by type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                for t in ["click", "view", "purchase", "error", "signup"]
+            ],
+        )
+    )
+
+
+_SQL_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'view')     AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'error')    AS n_error,
+       count(*) FILTER (event_type = 'signup')   AS n_signup
+FROM events GROUP BY user_id
+"""
+
+
+def q_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 top-1-by-score (``find_match`` min-total-changes selection
+    generalized): per user, the single highest-value event; max_by with
+    a deterministic (value desc, event_id asc) order."""
+    ev = _t(spark, sf_dir, "events")
+    return window_ops.top_k_per_group(
+        ev,
+        ["user_id"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        k=1,
+    ).select("user_id", "event_id", "value")
+
+
+_SQL_TOP1 = """
+SELECT user_id, event_id, value
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 JSON scalar: parse the ``props`` JSON column."""
     ev = _t(spark, sf_dir, "events")
@@ -1218,18 +1328,29 @@ def _sql_embedding_lsh() -> str:
             f"THEN {1 << p}::BIGINT ELSE 0 END)"
         )
     bucket = " + ".join(terms)
+    probe_list = "[bucket, " + ", ".join(
+        f"xor(bucket, {1 << p}::BIGINT)" for p in range(6)
+    ) + "]"
     return f"""
 WITH b AS (
   SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), probes AS (
+  SELECT vec_id AS query_id, unnest({probe_list}) AS bucket FROM b
 ), pairs AS (
-  SELECT a.vec_id AS query_id, a.bucket AS bucket, b.vec_id AS neighbor_id,
-         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+  SELECT DISTINCT p.query_id, n.vec_id AS neighbor_id
+  FROM probes p JOIN b n ON p.bucket = n.bucket
+  WHERE p.query_id != n.vec_id
+), scored AS (
+  SELECT pr.query_id, qa.bucket, pr.neighbor_id,
+         round(list_cosine_similarity(qa.embedding::DOUBLE[], nb.embedding::DOUBLE[]), 6)
            AS cos_sim
-  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+  FROM pairs pr
+  JOIN b qa ON qa.vec_id = pr.query_id
+  JOIN b nb ON nb.vec_id = pr.neighbor_id
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, neighbor_id) AS rank
-  FROM pairs
+  FROM scored
 )
 SELECT query_id, bucket, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
 """
@@ -1307,6 +1428,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "scalar_functions": q_scalar_functions,
         "json_extract": q_json_extract,
+        "window_analytics": q_window_analytics,
+        "cube_agg": q_cube_agg,
+        "pivot_wide": q_pivot_wide,
+        "top1_per_group": q_top1_per_group,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "text_quality": q_text_quality,
@@ -1350,6 +1475,10 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _SQL_SET_OPS,
         "scalar_functions": _SQL_SCALARS,
         "json_extract": _SQL_JSON,
+        "window_analytics": _SQL_WINDOW_ANALYTICS,
+        "cube_agg": _SQL_CUBE,
+        "pivot_wide": _SQL_PIVOT,
+        "top1_per_group": _SQL_TOP1,
         "exact_dedup": _SQL_EXACT_DEDUP,
         "token_stats": _SQL_TOKEN_STATS,
         "text_quality": _SQL_TEXT_QUALITY,

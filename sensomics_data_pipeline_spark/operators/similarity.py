@@ -134,24 +134,51 @@ def lsh_topk(
     dim: int = 64,
     k: int = 5,
     n_planes: int = 6,
+    multi_probe: bool = True,
 ) -> DataFrame:
     """ANN cosine top-k: bucket by hyperplane sign pattern, exact cosine
-    only within buckets (equi-join replaces the all-pairs cross join;
-    recall < 1 by construction — multi-probe would raise it)."""
+    only within probed buckets — an equi-join replaces the all-pairs
+    cross join, so candidate volume is n²/2^planes instead of n².
+
+    ``multi_probe=True`` probes the query's own bucket plus every
+    Hamming-1 bucket (one plane's sign flipped): near-neighbors that a
+    single plane split off are recovered, multiplying recall at
+    (n_planes+1)× candidate cost — the standard multi-probe LSH
+    trade."""
     bucketed = df.select(
         F.col(key_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.expr(f"bucket ^ {1 << p}").cast("bigint")
+                for p in range(n_planes)
+            ],
+        )
+    else:
+        probes = F.array(F.col("bucket"))
     a = bucketed.select(
-        F.col("vid").alias("query_id"), F.col("vec").alias("_va"), "bucket"
+        F.col("vid").alias("query_id"),
+        F.explode(probes).alias("bucket"),
     )
-    b = bucketed.select(
-        F.col("vid").alias("neighbor_id"), F.col("vec").alias("_vb"), "bucket"
-    )
-    scored = (
+    b = bucketed.select(F.col("vid").alias("neighbor_id"), "bucket")
+    pairs = (
         a.join(b, ["bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    va = bucketed.select(
+        F.col("vid").alias("query_id"), F.col("vec").alias("_va"),
+        F.col("bucket").alias("bucket"),
+    )
+    vb = bucketed.select(F.col("vid").alias("neighbor_id"), F.col("vec").alias("_vb"))
+    scored = (
+        pairs.join(va, "query_id")
+        .join(vb, "neighbor_id")
         .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
         .drop("_va", "_vb")
     )

@@ -1,0 +1,205 @@
+"""Unit tests for north-star operator families: similarity recall,
+multimodal binary plumbing, streaming watermark semantics, zip source,
+dedup building blocks."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sensomics_data_pipeline_spark.operators import dedup as dedup_ops
+from sensomics_data_pipeline_spark.operators import multimodal as mm
+from sensomics_data_pipeline_spark.operators import similarity as sim_ops
+from sensomics_data_pipeline_spark.sources import readers
+
+
+# ---------------------------------------------------------------------------
+# Similarity
+# ---------------------------------------------------------------------------
+
+def test_lsh_and_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = readers.load_table(spark, sf_dir, "embeddings")
+    brute = sim_ops.brute_force_topk(emb, k=5).toPandas()
+    truth = set(zip(brute.query_id, brute.neighbor_id))
+
+    lsh = sim_ops.lsh_topk(emb, dim=64, k=5, n_planes=6).toPandas()
+    lsh_pairs = set(zip(lsh.query_id, lsh.neighbor_id))
+    lsh_recall = len(truth & lsh_pairs) / len(truth)
+
+    ivf = sim_ops.ivf_topk(emb, k=5, n_lists=8, n_probe=3).toPandas()
+    ivf_pairs = set(zip(ivf.query_id, ivf.neighbor_id))
+    ivf_recall = len(truth & ivf_pairs) / len(truth)
+
+    # approximate methods must beat random (5/499≈1%) by a wide margin
+    assert lsh_recall > 0.15, f"LSH recall {lsh_recall:.2f}"
+    assert ivf_recall > 0.3, f"IVF recall {ivf_recall:.2f}"
+
+
+def test_brute_force_topk_is_symmetric_exact(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim_ops.brute_force_topk(df, k=1).toPandas().set_index("query_id")
+    assert out.loc[1, "neighbor_id"] == 2
+    assert out.loc[2, "neighbor_id"] == 1
+    assert out.loc[4, "neighbor_id"] == 3  # least-negative cosine
+
+
+# ---------------------------------------------------------------------------
+# Dedup building blocks
+# ---------------------------------------------------------------------------
+
+def test_exact_duplicates_finds_planted_dup(spark):
+    rows = [(1, "the same exact text"), (2, "the same exact text"), (3, "different")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_ops.exact_duplicates(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["canonical_id"] == 1
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("kappa", "lambda", 1)
+    far = "one two three four five six seven eight nine ten " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = dedup_ops.minhash_lsh_dedup(df).toPandas()
+    assert {(1, 2)} <= set(zip(pairs.doc_a, pairs.doc_b))
+    est = pairs.set_index(["doc_a", "doc_b"]).loc[(1, 2), "est_jaccard"]
+    assert est > 0.5
+    assert (3 not in set(pairs.doc_a)) and (3 not in set(pairs.doc_b))
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("kappa", "lambda", 1)
+    far = "one two three four five six seven eight nine ten " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in dedup_ops.simhash(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+    assert ham(sh[1], sh[2]) <= 6
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, "image", b"\x89PNG" + b"a" * 60, {"w": "8", "h": "8"}),
+        (2, "video", b"\x00\x00ftyp" + b"b" * 100, {"fps": "30"}),
+        (3, "audio", b"RIFF" + b"c" * 30, {"sr": "16000"}),
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_media_metadata(media_df):
+    out = {r["media_id"]: r for r in mm.with_media_metadata(media_df).collect()}
+    assert out[1]["n_bytes"] == 64
+    assert out[1]["magic"] == "89504E47"
+    assert len(out[2]["payload_md5"]) == 32
+
+
+def test_extract_features_deterministic(media_df):
+    a = mm.extract_features(media_df).toPandas().set_index("media_id")
+    b = mm.extract_features(media_df).toPandas().set_index("media_id")
+    for i in (1, 2, 3):
+        assert list(a.loc[i, "features"]) == list(b.loc[i, "features"])
+        assert len(a.loc[i, "features"]) == 8
+        assert all(0 <= x < 1 for x in a.loc[i, "features"])
+
+
+def test_sample_frames_shape(media_df):
+    frames = mm.sample_frames(media_df, frame_bytes=16, stride=2).toPandas()
+    v = frames[frames["media_id"] == 2]
+    # 104 bytes → 7 frames → stride 2 → frames 0,2,4,6
+    assert sorted(v["frame_no"]) == [0, 2, 4, 6]
+    assert all(len(f) <= 16 for f in v["frame"])
+    assert v["frame_md5"].nunique() >= 1
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"xx")
+
+
+# ---------------------------------------------------------------------------
+# Zip + partitioned-write sources
+# ---------------------------------------------------------------------------
+
+def test_zip_source_distributed_unzip(spark, tmp_path):
+    zdir = tmp_path / "zips"
+    zdir.mkdir()
+    for z in range(2):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for m in range(3):
+                zf.writestr(f"data_{z}_{m}.json", b'{"x": %d}' % m)
+        (zdir / f"arch{z}.zip").write_bytes(buf.getvalue())
+    out = readers.read_zip_members(spark, str(zdir)).toPandas()
+    assert len(out) == 6
+    assert set(out["size"]) == {8}
+    assert all(p.startswith(b'{"x":') for p in out["payload"])
+
+
+def test_write_partitioned_layout(spark, tmp_path):
+    from sensomics_data_pipeline_spark.plans.pipelines import write_partitioned
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "date": ["2024-01-01", "2024-01-02", "2024-01-01"],
+                "kind": ["hr", "hr", "st"],
+                "data": [70.0, 71.0, 36.5],
+            }
+        )
+    )
+    path = str(tmp_path / "out")
+    write_partitioned(df, path, ["date"])
+    sub = {p.name for p in (tmp_path / "out").iterdir() if p.is_dir()}
+    assert sub == {"date=2024-01-01", "date=2024-01-02"}
+    back = spark.read.parquet(path)
+    assert back.count() == 3
+    # partition pruning: reading one date only touches that directory
+    one = back.filter(F.col("date") == "2024-01-01")
+    assert one.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Streaming watermark semantics
+# ---------------------------------------------------------------------------
+
+def test_streaming_append_watermark_holdback(spark, sf_dir):
+    """Append mode + watermark: the final (still-open) windows are NOT
+    emitted — the streaming analog of the reference's greedy discard of
+    trailing unmatched samples (acc_reformat.py:204-210)."""
+    from sensomics_data_pipeline_spark.streaming.demo import (
+        read_events_stream,
+        run_bounded,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    appended = run_bounded(agg, "append").toPandas()
+    complete = run_bounded(agg, "complete").toPandas()
+    assert len(appended) < len(complete)
+    # append emitted windows are exactly the closed ones
+    max_open = complete["w"].map(lambda w: w["end"]).max()
+    assert appended["w"].map(lambda w: w["end"]).max() < max_open
