@@ -1186,20 +1186,23 @@ _SQL_MINHASH = f"""
 WITH t AS (
   SELECT doc_id, {_D_TOKS} AS toks FROM documents
 ), sh AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id,
-           unnest(CASE WHEN len(toks) >= 3 THEN
-             list_transform(generate_series(1, len(toks) - 2),
-                            i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-           ELSE [] END) AS shingle
-    FROM t
-  )
-), seeded AS (
-  SELECT doc_id, s.seed,
-         {_d_hash("s.seed::VARCHAR || ':' || shingle")} AS h
-  FROM sh, (SELECT unnest(range(16)) AS seed) s
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+         ELSE [] END AS shingles
+  FROM t
+), base AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> {_d_hash('s')} % 2147483647) AS hs
+  FROM sh
 ), sig AS (
-  SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY 1, 2
+  SELECT doc_id, s.seed,
+         list_min(list_transform(hs,
+           h -> ((2 * s.seed + 1) * h + (104729 * s.seed + 12345)) % 2147483647))
+           AS minhash
+  FROM base, (SELECT unnest(range(16)) AS seed) s
+  WHERE len(hs) > 0
 ), band AS (
   SELECT doc_id, seed // 4 AS band,
          string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig

@@ -46,6 +46,10 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover
             timings[name] = -1.0
             print(f"bench error {name}: {exc}", file=sys.stderr)
+        finally:
+            # operators may persist intermediates; drop them so queries
+            # are timed independently and memory doesn't accumulate
+            spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

@@ -81,7 +81,9 @@ def ngram_jaccard_pairs(
     variant is the ground truth for its recall on non-degenerate
     corpora).
     """
-    sets = shingle_sets(df, key_col, text_col, n)
+    # the shingle set feeds sizes, the df-cap, and both join sides —
+    # persist so the scan+shingle+hash runs once, not four times
+    sets = shingle_sets(df, key_col, text_col, n).persist()
     sizes = sets.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     if max_df is not None:
         rare = (
@@ -116,6 +118,53 @@ def ngram_jaccard_pairs(
     )
 
 
+#: Mersenne prime 2^31−1 for the universal-hash family below.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_seed_params(seed: int) -> tuple[int, int]:
+    """Universal-hash coefficients for seed i: h_i(x) = (a·x + b) mod p
+    with a odd and (a, b) < p — one base md5 hash per shingle feeds all
+    k hash functions (the standard a·x+b MinHash family), instead of k
+    md5 invocations per shingle."""
+    return 2 * seed + 1, (104_729 * seed + 12_345) % MINHASH_P
+
+
+def minhash_wide(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature as ONE array column per doc, computed entirely
+    inside a codegen'd projection: shingle → one portable base hash
+    (mod p) → k universal-hash minima. ZERO shuffles (the naive design
+    explodes |shingles|·k rows through a groupBy). min over the shingle
+    multiset equals min over the set, so no distinct pass either. Docs
+    with < n tokens (no shingles) are dropped."""
+    base = F.transform(
+        word_shingles(F.col(text_col), n),
+        lambda s: F.pmod(_hash_expr(s), F.lit(MINHASH_P)),
+    )
+    minima = []
+    for seed in range(num_hashes):
+        a, b = minhash_seed_params(seed)
+        minima.append(
+            F.array_min(
+                F.transform(
+                    F.col("_base"),
+                    lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P)),
+                )
+            )
+        )
+    return (
+        df.select(F.col(key_col).alias("doc_id"), base.alias("_base"))
+        .filter(F.size("_base") > 0)
+        .select("doc_id", F.array(*minima).alias("mhs"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -123,54 +172,43 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """MinHash signatures: k independent seeded hashes per shingle, min
-    per (doc, seed). One explode + one groupBy — linear in total
-    shingles. Empty-shingle docs drop out (no signature)."""
-    sets = (
-        df.select(
-            F.col(key_col).alias("doc_id"),
-            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-        )
-        .distinct()
+    """Long-format (doc_id, seed, minhash) view of ``minhash_wide``."""
+    return minhash_wide(df, key_col, text_col, n, num_hashes).select(
+        "doc_id", F.posexplode("mhs").alias("seed", "minhash")
     )
-    seeded = sets.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "shingle",
-    )
-    hashed = seeded.select(
-        "doc_id",
-        "seed",
-        _hash_expr(
-            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
-        ).alias("h"),
-    )
-    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
 
 
 def lsh_candidate_pairs(
     signatures: DataFrame,
     band_size: int = 4,
+    num_hashes: int = 16,
 ) -> DataFrame:
-    """LSH banding: group the signature into bands of ``band_size``
-    consecutive seeds; docs sharing any full band signature become
-    candidate pairs. Equi-join on (band, band_signature) — never an
-    all-pairs scan.
+    """LSH banding over wide signatures: slice the signature array into
+    bands of ``band_size``, stringify each band, explode to
+    (doc, band, band_sig), equi-join on (band, band_sig) — never an
+    all-pairs scan. Input: ``minhash_wide`` output (doc_id, mhs).
     """
-    banded = signatures.withColumn("band", F.floor(F.col("seed") / band_size))
-    band_sig = banded.groupBy("doc_id", "band").agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("seed", "minhash"))
-                ),
-                lambda s: s["minhash"].cast("string"),
-            ),
-        ).alias("band_sig")
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice("mhs", i * band_size + 1, band_size),
+                        lambda m: m.cast("string"),
+                    ),
+                ).alias("band_sig"),
+            )
+            for i in range(n_bands)
+        ]
     )
-    a = band_sig.alias("a")
-    b = band_sig.alias("b")
+    banded = signatures.select(
+        "doc_id", F.explode(bands).alias("b")
+    ).select("doc_id", "b.band", "b.band_sig")
+    a = banded.alias("a")
+    b = banded.alias("b")
     return (
         a.join(
             b,
@@ -193,27 +231,29 @@ def minhash_lsh_dedup(
     num_hashes: int = 16,
     band_size: int = 4,
 ) -> DataFrame:
-    """Full MinHash+LSH near-dup pipeline: signatures → banded candidate
-    pairs → estimated Jaccard (fraction of matching minhashes)."""
-    sigs = minhash_signatures(df, key_col, text_col, n, num_hashes)
-    pairs = lsh_candidate_pairs(sigs, band_size)
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("mh_a")
-    )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("mh_b")
-    )
-    est = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "seed"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.round(
-                F.avg((F.col("mh_a") == F.col("mh_b")).cast("double")), 6
-            ).alias("est_jaccard")
+    """Full MinHash+LSH near-dup pipeline: wide signatures → banded
+    candidate pairs → estimated Jaccard (fraction of equal minhash
+    positions, via one zip_with over the two signature arrays — no
+    per-seed join)."""
+    # signatures feed banding and both sides of the estimate join —
+    # persist so the shingle hashing computes once
+    sigs = minhash_wide(df, key_col, text_col, n, num_hashes).persist()
+    pairs = lsh_candidate_pairs(sigs, band_size, num_hashes)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("mhs").alias("_ma"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("mhs").alias("_mb"))
+    matches = F.size(
+        F.filter(
+            F.zip_with("_ma", "_mb", lambda x, y: x == y), lambda v: v
         )
     )
-    return est
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "est_jaccard", F.round(matches / F.lit(num_hashes), 6)
+        )
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
 
 
 def simhash(

@@ -131,7 +131,14 @@ def doc_fingerprint(
     fingerprints ⇒ near-identical prefix content; used as a cheap
     first-pass near-dup key."""
     sh = word_shingles(F.col(text_col), shingle_n)
-    hashes = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"))
-    return df.withColumn(
-        "fingerprint_min", F.array_min(hashes)
-    ).withColumn("fingerprint_max", F.array_max(hashes))
+    hashes = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    )
+    # materialize the hash array once; min and max read the same column
+    # (two separate withColumns would hash every shingle twice)
+    return (
+        df.withColumn("_hashes", hashes)
+        .withColumn("fingerprint_min", F.array_min("_hashes"))
+        .withColumn("fingerprint_max", F.array_max("_hashes"))
+        .drop("_hashes")
+    )

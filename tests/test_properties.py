@@ -1,0 +1,171 @@
+"""Property-based tests (SURVEY.md §5.3) for the interval algebra and
+RLE islands, plus remaining source/composition coverage."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sensomics_data_pipeline_spark.operators import acc as acc_ops
+from sensomics_data_pipeline_spark.operators import filters as filter_ops
+from sensomics_data_pipeline_spark.operators import intervals as interval_ops
+from sensomics_data_pipeline_spark.operators import unpivot as unpivot_ops
+
+TS0 = pd.Timestamp("2024-03-01 00:00:00")
+
+interval_lists = st.lists(
+    st.tuples(st.integers(0, 300), st.integers(0, 60)).map(
+        lambda t: (t[0], t[0] + t[1])
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+_slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _to_df(spark, iv):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [(TS0 + pd.Timedelta(minutes=s), TS0 + pd.Timedelta(minutes=e)) for s, e in iv],
+            columns=["start_time", "end_time"],
+        )
+    )
+
+
+@_slow
+@given(iv=interval_lists)
+def test_merge_idempotent_sorted_disjoint(spark, iv):
+    merged = [
+        (r["start_time"], r["end_time"])
+        for r in interval_ops.merge_intervals(_to_df(spark, iv), [])
+        .orderBy("start_time")
+        .collect()
+    ]
+    # sorted, strictly disjoint (touching intervals coalesce)
+    for (s1, e1), (s2, e2) in zip(merged, merged[1:]):
+        assert e1 < s2
+    # idempotent
+    again = [
+        (r["start_time"], r["end_time"])
+        for r in interval_ops.merge_intervals(
+            _to_df(spark, [((t[0] - TS0).total_seconds() / 60, (t[1] - TS0).total_seconds() / 60) for t in merged]),
+            [],
+        )
+        .orderBy("start_time")
+        .collect()
+    ]
+    assert again == merged
+    # coverage preserved: every input minute inside some merged interval
+    for s, e in iv:
+        ts_s = TS0 + pd.Timedelta(minutes=s)
+        ts_e = TS0 + pd.Timedelta(minutes=e)
+        assert any(ms <= ts_s and ts_e <= me for ms, me in merged)
+
+
+@_slow
+@given(base=interval_lists, sub=interval_lists)
+def test_subtract_returns_subsets_outside_sub(spark, base, sub):
+    out = interval_ops.subtract_intervals(
+        _to_df(spark, base), _to_df(spark, sub), []
+    ).collect()
+    base_iv = [
+        (TS0 + pd.Timedelta(minutes=s), TS0 + pd.Timedelta(minutes=e)) for s, e in base
+    ]
+    sub_iv = [
+        (TS0 + pd.Timedelta(minutes=s), TS0 + pd.Timedelta(minutes=e)) for s, e in sub
+    ]
+    for r in out:
+        s, e = r["start_time"], r["end_time"]
+        assert s <= e
+        # each piece within some base interval
+        assert any(bs <= s and e <= be for bs, be in base_iv)
+        # piece interior does not intersect any sub interval interior
+        for ss, se in sub_iv:
+            lo, hi = max(s, ss), min(e, se)
+            if lo < hi:  # positive-length overlap
+                pytest.fail(f"piece ({s},{e}) overlaps sub ({ss},{se})")
+
+
+@_slow
+@given(
+    vals=st.lists(st.integers(0, 2), min_size=1, max_size=40),
+)
+def test_rle_islands_lengths_sum(spark, vals):
+    rows = [
+        (TS0 + pd.Timedelta(minutes=i), "hr", float(v)) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["date_time", "kind", "data"])
+    )
+    runs = filter_ops.flatline_runs(df, [], max_run=3).collect()
+    assert sum(r["run_len"] for r in runs) == len(vals)
+    # runs partition the timeline: starts/ends nested, no overlap
+    spans = sorted((r["start_time"], r["end_time"]) for r in runs)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 < s2
+    # expected number of runs = number of value change points + 1
+    changes = sum(1 for a, b in zip(vals, vals[1:]) if a != b)
+    assert len(runs) == changes + 1
+
+
+# ---------------------------------------------------------------------------
+# Remaining source / composition coverage
+# ---------------------------------------------------------------------------
+
+def test_melt_computed_wide_vendor_shape(spark):
+    """S3 reshape half on a vendor-workbook-shaped frame: rename map,
+    h/m duration parse, °F drop, empty drop."""
+    pdf = pd.DataFrame(
+        {
+            "Time": ["2024-03-01 08:00:00", "2024-03-01 08:01:00"],
+            "Heart rate (bpm)": ["72", ""],
+            "Total sleep": ["7h23m", "0h10m"],
+            "Body temperature (F)": ["98.6", "98.7"],
+            "Body temperature (C)": ["37.0", ""],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = unpivot_ops.melt_computed_wide(df).toPandas()
+    got = {(r.kind, r.data) for r in out.itertuples()}
+    assert ("hr", 72.0) in got
+    assert ("sleep_total", 7 * 60 + 23.0) in got
+    assert ("sleep_total", 10.0) in got
+    assert ("st", 37.0) in got
+    assert not any(k == "Body temperature (F)" for k, _ in got)
+    assert len(out) == 4  # empties dropped
+
+
+def test_reformat_acc_composition(spark):
+    """Entry point 3 end-to-end (plan A): burst rows → aligned wide →
+    seconds/bin/g_force enrichment."""
+    rows = []
+    for i in range(20):
+        t = TS0 + pd.Timedelta(seconds=0.5 * i)
+        for axis, v in (("acx", 3.0), ("acy", 4.0), ("acz", 0.0)):
+            rows.append((t, axis, v))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["date_time", "kind", "data"])
+    )
+    out = pipelines_reformat(spark, df)
+    assert out.count() == 20
+    first = out.orderBy("date_time").first()
+    assert abs(first["g_force"] - 5.0) < 1e-9
+    assert first["bin"] == first["seconds"] // 300
+
+
+def pipelines_reformat(spark, df):
+    from sensomics_data_pipeline_spark.plans.pipelines import reformat_acc
+
+    return reformat_acc(df, [])
+
+
+def test_excel_source_gated(spark):
+    pytest.importorskip("openpyxl", reason="Excel source gated behind openpyxl")
