@@ -972,6 +972,18 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
+def q_streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10/§2.11 custom stateful streaming operator
+    (``applyInPandasWithState``): change-point dedup with per-group
+    state carried across micro-batches; bounded single-batch run equals
+    the batch W1 operator, so the lag_dedup oracle applies."""
+    from sensomics_data_pipeline_spark.streaming.stateful import (
+        dedup_consecutive_stream,
+    )
+
+    return dedup_consecutive_stream(spark, sf_dir)
+
+
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 native streaming sessionization (``session_window`` with a
     30-minute gap): session bounds follow the session-window definition
@@ -1419,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_subtract": q_interval_subtract,
         "streaming_tumbling": q_streaming_tumbling,
         "streaming_sessions": q_streaming_sessions,
+        "streaming_stateful_dedup": q_streaming_stateful_dedup,
         "topk_per_group": q_topk_per_group,
         "asof_join": q_asof_join,
         "threshold_rules": q_threshold_rules,
@@ -1466,6 +1479,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_subtract": _SQL_INTERVAL_SUBTRACT,
         "streaming_tumbling": _SQL_STREAMING_TUMBLING,
         "streaming_sessions": _SQL_STREAMING_SESSIONS,
+        "streaming_stateful_dedup": _SQL_LAG_DEDUP,
         "topk_per_group": _SQL_TOPK,
         "asof_join": _SQL_ASOF,
         "threshold_rules": _SQL_THRESHOLD,
