@@ -1014,6 +1014,104 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid resampling + forward-fill (the general form of the
+    reference's resampling, ``acc_reformat.py:218-228``): per-user
+    1-hour grid over events, last observation carried forward."""
+    from sensomics_data_pipeline_spark.operators.resample import resample_ffill
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_ffill(
+        ev, ["user_id"], ts_col="ts", value_col="value",
+        step_seconds=3600, tiebreak_cols=["event_id"],
+    )
+
+
+_SQL_RESAMPLE = """
+WITH obs AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS cell, value,
+         row_number() OVER (
+           PARTITION BY user_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), per_cell AS (
+  SELECT user_id, cell, value AS o FROM obs WHERE rn = 1
+), bounds AS (
+  SELECT user_id, min(cell) AS lo, max(cell) AS hi FROM per_cell GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS cell FROM bounds
+), j AS (
+  SELECT g.user_id, g.cell, p.o FROM grid g
+  LEFT JOIN per_cell p ON g.user_id = p.user_id AND g.cell = p.cell
+)
+SELECT user_id,
+       make_timestamp(cell * 1000000) AS grid_ts,
+       last_value(o IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY cell
+         ROWS UNBOUNDED PRECEDING) AS value,
+       o IS NOT NULL AS is_observed
+FROM j
+"""
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / CDC upsert emulation: latest purchase per user
+    upserted into a first-click-per-user snapshot (source wins on
+    match, unmatched targets pass through)."""
+    from sensomics_data_pipeline_spark.operators.resample import merge_upsert
+
+    ev = _t(spark, sf_dir, "events")
+    target = window_ops.top_k_per_group(
+        ev.filter(F.col("event_type") == "click"),
+        ["user_id"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        k=1,
+    ).select("user_id", "value", F.lit("target").alias("src"))
+    source = window_ops.top_k_per_group(
+        ev.filter(F.col("event_type") == "purchase"),
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+        k=1,
+    ).select("user_id", "value", F.lit("source").alias("src"))
+    return merge_upsert(target.drop("rn"), source.drop("rn"), ["user_id"])
+
+
+_SQL_MERGE_UPSERT = """
+WITH target AS (
+  SELECT user_id, value, 'target' AS src FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'click') WHERE rn = 1
+), source AS (
+  SELECT user_id, value, 'source' AS src FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase') WHERE rn = 1
+)
+SELECT * FROM source
+UNION ALL
+SELECT t.* FROM target t WHERE NOT EXISTS (
+  SELECT 1 FROM source s WHERE s.user_id = t.user_id
+)
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup family): all pairs with
+    cosine ≥ 0.4, numpy-scored against the broadcast index."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.cosine_near_dup_pairs(emb, threshold=0.4)
+
+
+_SQL_EMB_NEAR_DUP = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+         AS cos_sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+"""
+
+
 # ---------------------------------------------------------------------------
 # North-star training-data operators: dedup / text / similarity / multimodal
 # ---------------------------------------------------------------------------
@@ -1448,6 +1546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "pivot_wide": q_pivot_wide,
         "top1_per_group": q_top1_per_group,
+        "resample_ffill": q_resample_ffill,
+        "merge_upsert": q_merge_upsert,
+        "embedding_near_dup": q_embedding_near_dup,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "text_quality": q_text_quality,
@@ -1496,6 +1597,9 @@ def oracle_sql() -> dict[str, str]:
         "cube_agg": _SQL_CUBE,
         "pivot_wide": _SQL_PIVOT,
         "top1_per_group": _SQL_TOP1,
+        "resample_ffill": _SQL_RESAMPLE,
+        "merge_upsert": _SQL_MERGE_UPSERT,
+        "embedding_near_dup": _SQL_EMB_NEAR_DUP,
         "exact_dedup": _SQL_EXACT_DEDUP,
         "token_stats": _SQL_TOKEN_STATS,
         "text_quality": _SQL_TEXT_QUALITY,

@@ -1,0 +1,88 @@
+"""Regular-grid resampling with forward-fill — the general form of the
+reference's ad-hoc resampling needs (10 Hz smoothing ``acc_reformat.py:
+218-228``, 5-minute bins ``activity_categorize.py:178-182``): project an
+irregular sensor stream onto a fixed cadence and carry the last
+observation forward across empty cells.
+
+Plan shape (all built-ins, two shuffles):
+1. cell-assign rows (floor to grid) and keep the last value per
+   (partition, cell) — one groupBy;
+2. build the full per-partition grid with ``sequence`` + ``explode``
+   (no driver loop, no cross join);
+3. left-join observations onto the grid and forward-fill with
+   ``last(ignorenulls)`` over the grid order — one window pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    df: DataFrame,
+    partition_cols: list[str],
+    ts_col: str = "date_time",
+    value_col: str = "data",
+    step_seconds: int = 60,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Resample to a ``step_seconds`` grid with forward-fill.
+
+    Output: (partition_cols..., grid_ts, value, is_observed) — one row
+    per grid cell from the partition's first to last observation;
+    ``value`` is the latest observation in or before the cell,
+    ``is_observed`` marks cells with a real observation.
+    """
+    tb = tiebreak_cols or []
+    step = F.lit(step_seconds)
+    cell = (F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step).cast("long")
+
+    # last observation per cell (max_by on full order)
+    w_cell = Window.partitionBy(*partition_cols, "_cell").orderBy(
+        F.col(ts_col).desc(), *[F.col(c).desc() for c in tb]
+    )
+    per_cell = (
+        df.withColumn("_cell", cell)
+        .withColumn("_rn", F.row_number().over(w_cell))
+        .filter(F.col("_rn") == 1)
+        .select(*partition_cols, "_cell", F.col(value_col).alias("_obs"))
+    )
+
+    # full grid per partition
+    bounds = per_cell.groupBy(*partition_cols).agg(
+        F.min("_cell").alias("_lo"), F.max("_cell").alias("_hi")
+    )
+    grid = bounds.select(
+        *partition_cols,
+        F.explode(F.sequence("_lo", "_hi", step)).alias("_cell"),
+    )
+
+    joined = grid.join(per_cell, [*partition_cols, "_cell"], "left")
+    w_fill = Window.partitionBy(*partition_cols).orderBy("_cell")
+    return joined.select(
+        *partition_cols,
+        F.timestamp_seconds(F.col("_cell")).alias("grid_ts"),
+        F.last("_obs", ignorenulls=True)
+        .over(w_fill.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("value"),
+        F.col("_obs").isNotNull().alias("is_observed"),
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """MERGE INTO emulation (upsert-by-key): source rows replace
+    matching target rows; unmatched target rows pass through.
+
+    ``source ∪ (target ⟕anti source)`` — one broadcast-able anti join +
+    union, the standard CDC upsert shape when no transactional table
+    format (Delta/Iceberg MERGE) is on the classpath; with one, this
+    becomes a metadata-level MERGE and gains ACID + file pruning.
+    Callers must pass a deduplicated source (one row per key).
+    """
+    untouched = target.join(source.select(*keys), keys, "left_anti")
+    return source.unionByName(untouched)

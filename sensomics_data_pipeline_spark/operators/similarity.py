@@ -127,6 +127,50 @@ def brute_force_topk(
     return df.select(key_col, vec_col).mapInPandas(score, out_schema)
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: all (a < b) pairs with cosine ≥
+    threshold. Scored like ``brute_force_topk`` (numpy matmul against a
+    broadcast index); at index sizes beyond broadcast, reuse the LSH
+    buckets to restrict candidates first."""
+    import numpy as np
+
+    rows = df.select(key_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    order = np.argsort(ids)
+    ids, mat, norms = ids[order], mat[order], norms[order]
+
+    out_schema = "vec_a long, vec_b long, cos_sim double"
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qids = pdf[key_col].to_numpy(dtype=np.int64)
+            sims = np.round(
+                (q @ mat.T)
+                / (np.linalg.norm(q, axis=1)[:, None] * norms[None, :]),
+                6,
+            )
+            res = []
+            for row_i, qid in enumerate(qids):
+                mask = (ids > qid) & (sims[row_i] >= threshold)
+                for j in np.nonzero(mask)[0]:
+                    res.append((qid, ids[j], sims[row_i][j]))
+            yield pd.DataFrame(res, columns=["vec_a", "vec_b", "cos_sim"])
+
+    return df.select(key_col, vec_col).mapInPandas(score, out_schema)
+
+
 def lsh_topk(
     df: DataFrame,
     key_col: str = "vec_id",
