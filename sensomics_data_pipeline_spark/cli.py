@@ -1,0 +1,132 @@
+"""CLI entry points — parity with the reference's four scripts
+(SURVEY.md §3), same stage semantics, Spark execution:
+
+    python -m sensomics_data_pipeline_spark.cli reformat  -d RAW_JSON_DIR -o OUT [-t DIFF_MS | -e EXCEL_EPOCH_S]
+    python -m sensomics_data_pipeline_spark.cli filter    -i MEASUREMENTS -o OUT
+    python -m sensomics_data_pipeline_spark.cli acc       -i AC_EXTRACT -o OUT [--greedy]
+    python -m sensomics_data_pipeline_spark.cli activity  -i MEASUREMENTS -a ACC -o OUT
+
+Inputs/outputs are parquet datasets (CSV export via --format csv on
+reformat). Idempotency (the reference's skip-if-output-exists,
+``raw_data_reformat.py:248``) is ``--skip-existing``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def _spark():
+    from sensomics_data_pipeline_spark.session import get_spark
+
+    return get_spark("sensomics-cli")
+
+
+def cmd_reformat(args) -> int:
+    from sensomics_data_pipeline_spark.functions.timeops import (
+        adjust_clock_skew,
+        epoch_ms_to_timestamp,
+        with_date_time_columns,
+    )
+    from sensomics_data_pipeline_spark.sources.readers import read_raw_json
+    from sensomics_data_pipeline_spark.sources.writers import (
+        write_scalar_sidecar,
+        write_three_way_split,
+    )
+
+    if args.skip_existing and Path(args.out, "measurements").exists():
+        print("outputs exist, skipping")
+        return 0
+    spark = _spark()
+    raw = read_raw_json(spark, args.dir, recursive=args.recursive)
+    adjusted, d_time = adjust_clock_skew(
+        raw, "time", d_time_ms=args.tdiff, ref_time_s=args.excel_ref
+    )
+    timed = with_date_time_columns(
+        adjusted.withColumn("date_time", epoch_ms_to_timestamp("adj_time")).drop(
+            "time", "adj_time"
+        )
+    )
+    paths = write_three_way_split(timed, args.out, fmt=args.format)
+    write_scalar_sidecar(spark, float(d_time), f"{args.out}/timestamp_diff")
+    print({"d_time_ms": d_time, **paths})
+    return 0
+
+
+def cmd_filter(args) -> int:
+    from sensomics_data_pipeline_spark.plans.pipelines import filter_measurements
+
+    spark = _spark()
+    meas = spark.read.parquet(args.input)
+    out = filter_measurements(meas)
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_acc(args) -> int:
+    from sensomics_data_pipeline_spark.plans.pipelines import reformat_acc
+
+    spark = _spark()
+    ac = spark.read.parquet(args.input)
+    out = reformat_acc(ac, greedy_parity=args.greedy, bin_seconds=args.binsize)
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_activity(args) -> int:
+    from sensomics_data_pipeline_spark.plans.pipelines import categorize_activity
+
+    spark = _spark()
+    meas = spark.read.parquet(args.input)
+    acc = spark.read.parquet(args.acc)
+    final, cat_acc, thresholds = categorize_activity(meas, acc)
+    final.write.mode("overwrite").parquet(f"{args.out}/activity_categorized")
+    cat_acc.write.mode("overwrite").parquet(f"{args.out}/acc_category")
+    thresholds.write.mode("overwrite").parquet(f"{args.out}/sleep_acc_thresholds")
+    print(f"wrote {args.out}/{{activity_categorized,acc_category,sleep_acc_thresholds}}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="sensomics-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("reformat", help="raw JSON → 3-way extracts (stage 2)")
+    r.add_argument("-d", "--dir", required=True)
+    r.add_argument("-o", "--out", required=True)
+    r.add_argument("-t", "--tdiff", type=int, default=None, help="clock skew ms")
+    r.add_argument("-e", "--excel-ref", type=float, default=None,
+                   help="reference epoch seconds for 15-min-quantized skew")
+    r.add_argument("-r", "--recursive", action="store_true")
+    r.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+    r.add_argument("--skip-existing", action="store_true")
+    r.set_defaults(fn=cmd_reformat)
+
+    f = sub.add_parser("filter", help="flatline + range filtering (stage 4)")
+    f.add_argument("-i", "--input", required=True)
+    f.add_argument("-o", "--out", required=True)
+    f.set_defaults(fn=cmd_filter)
+
+    a = sub.add_parser("acc", help="3-axis alignment + resample (stage 3)")
+    a.add_argument("-i", "--input", required=True)
+    a.add_argument("-o", "--out", required=True)
+    a.add_argument("-b", "--binsize", type=int, default=300)
+    a.add_argument("--greedy", action="store_true", help="exact greedy parity plan")
+    a.set_defaults(fn=cmd_acc)
+
+    c = sub.add_parser("activity", help="sleep/activity categorization (stage 5)")
+    c.add_argument("-i", "--input", required=True)
+    c.add_argument("-a", "--acc", required=True)
+    c.add_argument("-o", "--out", required=True)
+    c.set_defaults(fn=cmd_activity)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

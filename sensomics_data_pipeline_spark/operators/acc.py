@@ -162,10 +162,13 @@ def align_axes_greedy(
     """
     import pandas as pd
 
+    # axis value type follows the input payload (scalar stream or
+    # 5-sample burst arrays)
+    vtype = ac.schema[value_col].dataType.simpleString()
     out_fields = ", ".join(f"`{c}` string" for c in partition_cols)
     schema = (
         (out_fields + ", " if out_fields else "")
-        + f"`{ts_col}` timestamp, acx double, acy double, acz double"
+        + f"`{ts_col}` timestamp, acx {vtype}, acy {vtype}, acz {vtype}"
     )
 
     def _match(pdf: pd.DataFrame) -> pd.DataFrame:

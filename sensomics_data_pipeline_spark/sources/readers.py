@@ -101,8 +101,11 @@ def read_raw_json(
         .option("primitivesAsString", "false")
     )
     df = reader.json(path)
+    # input_file_name() is URL-encoded ("upload%202024-..."), so decode
+    # before the timestamp regex (which contains a literal space)
+    fname = F.url_decode(F.input_file_name())
     return df.withColumn(
-        "jname", F.regexp_extract(F.input_file_name(), file_ref_pattern, 0)
+        "jname", F.regexp_extract(fname, file_ref_pattern, 0)
     )
 
 

@@ -1,0 +1,77 @@
+"""End-to-end CLI test: the four reference stages chained through real
+files, as a reference user would run them."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+
+from sensomics_data_pipeline_spark import cli
+
+
+@pytest.fixture()
+def raw_json_dir(tmp_path):
+    """FIXTURES.md F1-shaped upload files, named with the lineage
+    timestamp pattern."""
+    d = tmp_path / "raw"
+    d.mkdir()
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    base_ms = int(base.timestamp() * 1000)
+
+    def rec(offset_ms, kind, data):
+        return {"time": base_ms + offset_ms, "kind": kind, "data": data}
+
+    records = []
+    # sleep counter reports + hr + steps through the night/morning
+    for h in range(1, 7):
+        records.append(rec(h * 3_600_000, "activity", [0.0, 10.0, 20.0, 30.0, 5.0]))
+        records.append(rec(h * 3_600_000 + 1000, "hr", [55.0 + h]))
+    records.append(rec(7 * 3_600_000, "bp", [120.0, 80.0]))
+    records.append(rec(7 * 3_600_000 + 500, "multi measure", [70.0, 97.0, [118.0, 79.0], 36.6]))
+    # accelerometer triples at 0.5s cadence, 5-sample bursts
+    for i in range(30):
+        t = 8 * 3_600_000 + i * 500
+        for axis in ("acx", "acy", "acz"):
+            records.append(rec(t, axis, [0.1 * (i % 3)] * 5))
+    records.append(rec(8 * 3_600_000, "ppg", [1.0, 2.0, 3.0]))
+    (d / "upload 2024-03-01 09-00-00.json").write_text(json.dumps(records))
+    return str(d)
+
+
+def test_cli_full_chain(spark, raw_json_dir, tmp_path):
+    out1 = str(tmp_path / "stage2")
+    assert cli.main(["reformat", "-d", raw_json_dir, "-o", out1]) == 0
+    meas = spark.read.parquet(f"{out1}/measurements")
+    kinds = {r["kind"] for r in meas.select("kind").distinct().collect()}
+    assert {"hr", "bp_sys", "bp_dia", "step", "mm_hr"} <= kinds
+    # lineage column extracted from the file name
+    assert meas.filter(meas.jname == "2024-03-01 09-00-00").count() == meas.count()
+
+    out2 = str(tmp_path / "stage4")
+    assert cli.main(["filter", "-i", f"{out1}/measurements", "-o", out2]) == 0
+    filtered = spark.read.parquet(out2)
+    assert filtered.count() > 0
+
+    out3 = str(tmp_path / "stage3")
+    assert cli.main(["acc", "-i", f"{out1}/ac", "-o", out3]) == 0
+    acc = spark.read.parquet(out3)
+    assert {"acx", "acy", "acz", "g_force", "bin", "seconds"} <= set(acc.columns)
+    # 30 aligned burst rows × 5 sub-samples at 10 Hz
+    assert acc.count() == 150
+
+    # idempotency: reformat skips when outputs exist
+    assert cli.main(["reformat", "-d", raw_json_dir, "-o", out1, "--skip-existing"]) == 0
+
+
+def test_cli_reformat_with_skew(spark, raw_json_dir, tmp_path):
+    out = str(tmp_path / "skewed")
+    assert cli.main(["reformat", "-d", raw_json_dir, "-o", out, "-t", "900000"]) == 0
+    from sensomics_data_pipeline_spark.sources.writers import read_scalar_sidecar
+
+    assert read_scalar_sidecar(spark, f"{out}/timestamp_diff") == 900000.0
+    meas = spark.read.parquet(f"{out}/measurements")
+    # all timestamps shifted forward by 15 minutes
+    first = meas.agg({"date_time": "min"}).first()[0]
+    assert first.minute == 15
