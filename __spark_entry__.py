@@ -135,6 +135,53 @@ FROM events GROUP BY event_type
 """
 
 
+def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 breadth: statistical aggregates (stddev/variance/corr/covar)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qe"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("cov_dt"),
+    )
+
+
+_SQL_STATS = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6)             AS sd_qty,
+       round(var_samp(l_extendedprice), 2)           AS var_price,
+       round(corr(l_quantity, l_extendedprice), 6)   AS corr_qe,
+       round(covar_samp(l_discount, l_tax), 6)       AS cov_dt
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern: orders priced above their customer's
+    average — decorrelated into a window average (one shuffle) rather
+    than a per-row subquery."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            F.round("cust_avg", 6).alias("cust_avg"),
+        )
+    )
+
+
+_SQL_ABOVE_AVG = """
+SELECT o_orderkey, o_custkey, o_totalprice, round(cust_avg, 6) AS cust_avg
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+) WHERE o_totalprice > cust_avg
+"""
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets breadth: region→nation rollup of customer balances."""
     c = _t(spark, sf_dir, "customer")
@@ -1518,6 +1565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "agg_suite": q_agg_suite,
         "quantiles": q_quantiles,
+        "stats_suite": q_stats_suite,
+        "above_cust_avg": q_above_cust_avg,
         "rollup_revenue": q_rollup_revenue,
         "lag_dedup": q_lag_dedup,
         "counter_reset_delta": q_counter_reset_delta,
@@ -1569,6 +1618,8 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _SQL_PRICING,
         "agg_suite": _SQL_AGG_SUITE,
         "quantiles": _SQL_QUANTILES,
+        "stats_suite": _SQL_STATS,
+        "above_cust_avg": _SQL_ABOVE_AVG,
         "rollup_revenue": _SQL_ROLLUP,
         "lag_dedup": _SQL_LAG_DEDUP,
         "counter_reset_delta": _SQL_COUNTER_DELTA,
