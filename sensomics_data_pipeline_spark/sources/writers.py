@@ -34,10 +34,18 @@ def write_three_way_split(
         split_ppg_ac,
     )
 
+    from sensomics_data_pipeline_spark import schemas
+
     cached = df.persist()
     try:
-        measurements = normalize_measurements(cached)
+        # canonical column order (schemas.MEASUREMENTS_SCHEMA /
+        # AC_RAW_SCHEMA): CSV readers apply schemas positionally
+        meas_order = [f.name for f in schemas.MEASUREMENTS_SCHEMA.fields]
+        ac_order = [f.name for f in schemas.AC_RAW_SCHEMA.fields]
+        measurements = normalize_measurements(cached).select(*meas_order)
         ppg, ac = split_ppg_ac(cached)
+        ppg = ppg.select(*[c for c in ac_order if c in ppg.columns])
+        ac = ac.select(*[c for c in ac_order if c in ac.columns])
         out = {}
         for name, part in (
             ("measurements", measurements),

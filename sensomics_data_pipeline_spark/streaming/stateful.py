@@ -33,22 +33,27 @@ STATE_SCHEMA = T.StructType([T.StructField("last_bucket", T.DoubleType())])
 
 
 def _dedup_group(key, batches: Iterator, state) -> Iterator:
-    """Grouped-map-with-state function: iterate the group's rows in ts
-    order, emit change points, persist the last seen value."""
+    """Grouped-map-with-state function: vectorized shift-compare within
+    the batch (no Python row loop); state carries the last value across
+    micro-batches to seed the first row's comparison."""
+    import numpy as np
     import pandas as pd
 
     last = state.get[0] if state.exists else None
-    out = []
     for pdf in batches:
+        if not len(pdf):
+            continue
         pdf = pdf.sort_values(["ts", "event_id"])
-        for row in pdf.itertuples():
-            if last is None or row.bucket != last:
-                out.append((key[0], key[1], row.event_id, row.ts, row.bucket))
-            last = row.bucket
+        prev = pdf["bucket"].shift()
+        if last is not None:
+            prev.iloc[0] = last
+        keep = prev.isna() | (pdf["bucket"].to_numpy() != prev.to_numpy())
+        out = pdf.loc[keep, ["event_id", "ts", "bucket"]].copy()
+        out.insert(0, "event_type", key[1])
+        out.insert(0, "user_id", key[0])
+        last = pdf["bucket"].iloc[-1]
+        yield out
     state.update((last,))
-    yield pd.DataFrame(
-        out, columns=["user_id", "event_type", "event_id", "ts", "bucket"]
-    )
 
 
 def dedup_consecutive_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

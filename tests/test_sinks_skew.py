@@ -116,3 +116,26 @@ def test_salted_join_matches_plain(spark, sf_dir):
         .sort_index()
     )
     pd.testing.assert_frame_equal(plain, salted, check_like=True)
+
+
+def test_measurements_csv_roundtrip(spark, tmp_path):
+    """S4/S5 typed CSV scan reads back the engine's own CSV export."""
+    from sensomics_data_pipeline_spark.sources.readers import read_measurements_csv
+
+    paths = writers.write_three_way_split(_raw_df(spark), str(tmp_path), fmt="csv")
+    back = read_measurements_csv(spark, paths["measurements"] + "/*.csv")
+    rows = {(r["kind"], r["data"]) for r in back.collect()}
+    assert rows == {("hr", 72.0), ("bp_sys", 120.0), ("bp_dia", 80.0)}
+    assert back.schema["date_time"].dataType.simpleString() == "timestamp"
+
+
+def test_acc_csv_list_revival(spark, tmp_path):
+    """S6: the stringified 5-sample burst revives as array<double> via
+    from_json (vs the reference's per-row literal_eval)."""
+    from sensomics_data_pipeline_spark.sources.readers import read_acc_csv
+
+    paths = writers.write_three_way_split(_raw_df(spark), str(tmp_path), fmt="csv")
+    back = read_acc_csv(spark, paths["ac"] + "/*.csv")
+    row = back.first()
+    assert row["kind"] == "acx"
+    assert list(row["data"]) == [0.1, 0.2, 0.3, 0.4, 0.5]
