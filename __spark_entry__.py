@@ -182,6 +182,53 @@ FROM (
 """
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling: per-column n/nulls/distinct/min/max in
+    one aggregate pass (exact distincts for the oracle; HLL at scale)."""
+    from sensomics_data_pipeline_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "customer"), exact=True)
+
+
+_SQL_PROFILE = """
+WITH one AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN c_custkey    IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+         sum(CASE WHEN c_name       IS NULL THEN 1 ELSE 0 END) AS null_name,
+         sum(CASE WHEN c_nationkey  IS NULL THEN 1 ELSE 0 END) AS null_nationkey,
+         sum(CASE WHEN c_acctbal    IS NULL THEN 1 ELSE 0 END) AS null_acctbal,
+         sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS null_mktsegment,
+         count(DISTINCT c_custkey)    AS d_custkey,
+         count(DISTINCT c_name)       AS d_name,
+         count(DISTINCT c_nationkey)  AS d_nationkey,
+         count(DISTINCT c_acctbal)    AS d_acctbal,
+         count(DISTINCT c_mktsegment) AS d_mktsegment,
+         CAST(min(c_custkey) AS VARCHAR)    AS min_custkey,
+         CAST(max(c_custkey) AS VARCHAR)    AS max_custkey,
+         CAST(min(c_name) AS VARCHAR)       AS min_name,
+         CAST(max(c_name) AS VARCHAR)       AS max_name,
+         CAST(min(c_nationkey) AS VARCHAR)  AS min_nationkey,
+         CAST(max(c_nationkey) AS VARCHAR)  AS max_nationkey,
+         CAST(min(c_acctbal) AS VARCHAR)    AS min_acctbal,
+         CAST(max(c_acctbal) AS VARCHAR)    AS max_acctbal,
+         CAST(min(c_mktsegment) AS VARCHAR) AS min_mktsegment,
+         CAST(max(c_mktsegment) AS VARCHAR) AS max_mktsegment
+  FROM customer
+)
+SELECT t."column", one.n,
+       CAST(t.n_null AS BIGINT) AS n_null,
+       CAST(t.approx_distinct AS BIGINT) AS approx_distinct,
+       t.min_value, t.max_value
+FROM one, LATERAL (
+  VALUES ('c_custkey', null_custkey, d_custkey, min_custkey, max_custkey),
+         ('c_name', null_name, d_name, min_name, max_name),
+         ('c_nationkey', null_nationkey, d_nationkey, min_nationkey, max_nationkey),
+         ('c_acctbal', null_acctbal, d_acctbal, min_acctbal, max_acctbal),
+         ('c_mktsegment', null_mktsegment, d_mktsegment, min_mktsegment, max_mktsegment)
+) t("column", n_null, approx_distinct, min_value, max_value)
+"""
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets breadth: region→nation rollup of customer balances."""
     c = _t(spark, sf_dir, "customer")
@@ -1565,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "agg_suite": q_agg_suite,
         "quantiles": q_quantiles,
+        "profile_table": q_profile_table,
         "stats_suite": q_stats_suite,
         "above_cust_avg": q_above_cust_avg,
         "rollup_revenue": q_rollup_revenue,
@@ -1618,6 +1666,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _SQL_PRICING,
         "agg_suite": _SQL_AGG_SUITE,
         "quantiles": _SQL_QUANTILES,
+        "profile_table": _SQL_PROFILE,
         "stats_suite": _SQL_STATS,
         "above_cust_avg": _SQL_ABOVE_AVG,
         "rollup_revenue": _SQL_ROLLUP,

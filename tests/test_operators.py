@@ -203,3 +203,21 @@ def test_streaming_append_watermark_holdback(spark, sf_dir):
     # append emitted windows are exactly the closed ones
     max_open = complete["w"].map(lambda w: w["end"]).max()
     assert appended["w"].map(lambda w: w["end"]).max() < max_open
+
+
+def test_streaming_exact_dedup_within_watermark(spark, sf_dir):
+    """Streaming exact dedup surface: dropDuplicatesWithinWatermark on
+    a duplicated bounded stream halves the row count."""
+    from sensomics_data_pipeline_spark.streaming.demo import (
+        read_events_stream,
+        run_bounded,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    doubled = ev.union(ev)  # every event twice
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = run_bounded(deduped, "append")
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert out.count() == n_src
