@@ -12,7 +12,7 @@ oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sensomics_data_pipeline_spark.operators.text import word_shingles

@@ -11,8 +11,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sensomics_data_pipeline_spark.functions.scalars import portable_hash64
-
 #: Tiny per-language marker-word profiles for the n-gram/stopword
 #: language heuristic. Deliberately minimal & deterministic.
 LANG_MARKERS = {

@@ -10,7 +10,7 @@ a pre-processing script.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sensomics_data_pipeline_spark.functions.timeops import (

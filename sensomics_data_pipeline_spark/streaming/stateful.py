@@ -36,7 +36,6 @@ def _dedup_group(key, batches: Iterator, state) -> Iterator:
     """Grouped-map-with-state function: vectorized shift-compare within
     the batch (no Python row loop); state carries the last value across
     micro-batches to seed the first row's comparison."""
-    import numpy as np
     import pandas as pd
 
     last = state.get[0] if state.exists else None

@@ -362,3 +362,68 @@ def test_activity_pipeline_end_to_end(spark):
     assert th["lower_threshold"] < 1.0 < th["upper_threshold"]
     # intervals are well-formed
     assert (fin["start_time"] <= fin["end_time"]).all()
+
+
+def test_activity_pipeline_golden(spark):
+    """Hand-computed golden run of entry point 4: every interval
+    boundary, threshold, and category verified exactly — including the
+    reference's zero-width piece emission in interval subtraction.
+
+    Scenario: cumulative sleep counter 60/120/180 min at 01:00/02:00/
+    03:00 (sleep [00:00,03:00]); one step report at 02:30 (step window
+    [02:20,02:30]); accel: 0.99/1.00/1.01 cycling per minute during
+    sleep, 2.0 for [03:00,04:00), 1.0 for [04:00,05:00).
+
+    Expected: thresholds (0.99, 1.01); categorized acc rest/high/rest;
+    sleep = [00:00,02:20]+[02:30,03:00]; wake rest = zero-width
+    [00:00,00:00] + [02:20,02:30] + [04:00,05:00].
+    """
+    day = pd.Timestamp("2024-03-02 00:00:00")
+    meas = []
+    for h, total in ((1, 60.0), (2, 120.0), (3, 180.0)):
+        meas.append((day + pd.Timedelta(hours=h), "sleep_total", total))
+    meas.append((day + pd.Timedelta(hours=2, minutes=30), "step", 240.0))
+    meas_df = spark.createDataFrame(
+        pd.DataFrame(meas, columns=["date_time", "kind", "data"])
+    )
+    acc = []
+    for m in range(300):
+        if m < 180:
+            g = [0.99, 1.0, 1.01][m % 3]
+        elif m < 240:
+            g = 2.0
+        else:
+            g = 1.0
+        acc.append((day + pd.Timedelta(minutes=m), g))
+    acc_df = spark.createDataFrame(
+        pd.DataFrame(acc, columns=["date_time", "g_force"])
+    )
+    final, cat_acc, thresholds = pipelines.categorize_activity(meas_df, acc_df, [])
+
+    th = thresholds.first()
+    assert abs(th["lower_threshold"] - 0.99) < 1e-9
+    assert abs(th["upper_threshold"] - 1.01) < 1e-9
+
+    cats = {
+        (r["start_time"], r["end_time"], r["category"])
+        for r in cat_acc.collect()
+    }
+    t = lambda m: day + pd.Timedelta(minutes=m)
+    assert cats == {
+        (t(0), t(180), "rest"),
+        (t(180), t(240), "high active"),
+        (t(240), t(300), "rest"),
+    }
+
+    got = {
+        (r["category"], r["start_time"], r["end_time"])
+        for r in final.collect()
+    }
+    assert got == {
+        ("high active", t(180), t(240)),
+        ("sleep", t(0), t(140)),
+        ("sleep", t(150), t(180)),
+        ("rest", t(0), t(0)),        # zero-width piece, reference parity
+        ("rest", t(140), t(150)),
+        ("rest", t(240), t(300)),
+    }
