@@ -43,6 +43,17 @@ FILE_REF_PATTERN = r"\d{4}-\d{2}-\d{2}\s\d{2}-\d{2}-\d{2}"
 # Driver synthetic tables
 # ---------------------------------------------------------------------------
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make an externally-provided SparkSession (e.g. the driver's)
+    compatible with the engine's reads and oracle comparisons: UTC
+    session timezone (naive parquet timestamps must read identically in
+    Spark and DuckDB) and nanos-as-long parquet reads (events.ts is
+    TIMESTAMP(NANOS), which the vectorized reader otherwise rejects).
+    Both are runtime-settable SQL confs; idempotent."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver parquet table (TESTDATA.md).
 
@@ -51,6 +62,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     convert to a microsecond timestamp (driver data is µs-aligned, so
     the floor-division is lossless and matches DuckDB's read).
     """
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":

@@ -37,6 +37,9 @@ _EVENTS_RAW = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensomics_data_pipeline_spark.sources.readers import ensure_session_confs
+
+    ensure_session_confs(spark)
     stream = (
         spark.readStream.schema(_EVENTS_RAW)
         .option("pathGlobFilter", "events.parquet")
