@@ -32,10 +32,19 @@ def main() -> None:
     spark = get_spark("bench")
 
     qs = entrymod.queries()
-    # warm the JVM + parquet footers once (not counted)
+    # warm the JVM + parquet footers + streaming machinery once (not
+    # counted): the first streaming job pays one-time state-store and
+    # micro-batch engine init that would otherwise distort one query
     entrymod.q_pricing_summary(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    for warm in (entrymod.q_streaming_tumbling, entrymod.q_streaming_stateful_dedup):
+        try:
+            warm(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
