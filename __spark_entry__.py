@@ -844,6 +844,32 @@ FROM orders
 """
 
 
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 map family: JSON → typed map column, key/value extraction
+    (the reference's dict-lookup rename generalized to map ops)."""
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "props_map", F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    )
+    return parsed.select(
+        "event_id",
+        F.element_at(F.map_keys("props_map"), 1).alias("first_key"),
+        F.element_at("props_map", F.lit("k")).alias("k_val"),
+        F.size("props_map").cast("long").alias("n_keys"),
+    )
+
+
+_SQL_MAP_FUNCS = """
+SELECT event_id,
+       'k' AS first_key,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       CAST(1 AS BIGINT) AS n_keys
+FROM events
+"""
+
+
 def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 breadth: ranking + analytic window family (rank, dense_rank,
     ntile, lead, cume_dist, running frame sum) absent from the reference
@@ -1639,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "scalar_functions": q_scalar_functions,
         "json_extract": q_json_extract,
+        "map_functions": q_map_functions,
         "window_analytics": q_window_analytics,
         "cube_agg": q_cube_agg,
         "pivot_wide": q_pivot_wide,
@@ -1693,6 +1720,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _SQL_SET_OPS,
         "scalar_functions": _SQL_SCALARS,
         "json_extract": _SQL_JSON,
+        "map_functions": _SQL_MAP_FUNCS,
         "window_analytics": _SQL_WINDOW_ANALYTICS,
         "cube_agg": _SQL_CUBE,
         "pivot_wide": _SQL_PIVOT,

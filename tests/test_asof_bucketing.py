@@ -153,3 +153,52 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
     ).first()
     assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] < 0.05
     assert abs(row["approx_q"] - row["exact_q"]) / abs(row["exact_q"]) < 0.05
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left_ts=st.lists(st.integers(0, 500), min_size=1, max_size=25),
+    right_ts=st.lists(st.integers(0, 500), min_size=1, max_size=25),
+)
+def test_asof_join_property_vs_merge_asof(spark, left_ts, right_ts):
+    """Randomized as-of parity: Spark union-stream as-of == pandas
+    merge_asof on single-key data with duplicate timestamps allowed."""
+    left = pd.DataFrame(
+        {
+            "user": 1,
+            "t": [ts(m) for m in sorted(left_ts)],
+            "x": range(len(left_ts)),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "user": 1,
+                "t": [ts(m) for m in sorted(set(right_ts))],
+            }
+        )
+        .assign(y=lambda d: d.index.astype(float))
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="t",
+            by=["user"],
+        )
+        .toPandas()
+        .sort_values(["t", "x"])
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"), on="t", by="user"
+    ).sort_values(["t", "x"]).reset_index(drop=True)
+    assert list(got["y_right"].fillna(-1)) == list(want["y"].fillna(-1))
