@@ -178,19 +178,22 @@ def align_axes_greedy(
         streams = {}
         for axis in ("acx", "acy", "acz"):
             sub = pdf[pdf[kind_col] == axis].sort_values(ts_col)
+            # integer microseconds end-to-end: float-seconds round-trips
+            # introduce sub-µs noise that Arrow refuses to truncate
             streams[axis] = (
-                sub[ts_col].to_numpy("datetime64[us]").astype("int64") / 1e6,
+                sub[ts_col].to_numpy("datetime64[us]").astype("int64"),
                 sub[value_col].to_numpy(),
             )
         tx, vx = streams["acx"]
         ty, vy = streams["acy"]
         tz, vz = streams["acz"]
+        tolerance_us = int(tolerance_s * 1_000_000)
 
-        def match3(a: float, b: float, c: float) -> bool:
+        def match3(a: int, b: int, c: int) -> bool:
             d1 = abs(a - b)
             d2 = abs(b - c)
             d3 = d2 if replicate_xz_bug else abs(a - c)
-            return max(d1, d2, d3) <= tolerance_s
+            return max(d1, d2, d3) <= tolerance_us
 
         ix = iy = iz = 0
         rows = []
@@ -219,7 +222,7 @@ def align_axes_greedy(
         out = pd.DataFrame(
             rows, columns=[ts_col, "acx", "acy", "acz"]
         )
-        out[ts_col] = pd.to_datetime(out[ts_col], unit="s")
+        out[ts_col] = pd.to_datetime(out[ts_col], unit="us")
         for c, v in keys.items():
             out[c] = v
         return out[[*partition_cols, ts_col, "acx", "acy", "acz"]]

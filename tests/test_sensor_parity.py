@@ -427,3 +427,36 @@ def test_activity_pipeline_golden(spark):
         ("rest", t(140), t(150)),
         ("rest", t(240), t(300)),
     }
+
+
+def test_align_plans_agree_on_clean_data(spark):
+    """On drop-free, well-separated streams, the scalable bucket plan
+    (A) and the greedy parity plan (B) must produce identical aligned
+    triples."""
+    rows = []
+    for i in range(40):
+        t = TS0 + pd.Timedelta(seconds=0.5 * i)
+        for axis in ("acx", "acy", "acz"):
+            rows.append((t + pd.Timedelta(milliseconds=5), axis, float(i)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["date_time", "kind", "data"])
+    )
+    a = (
+        acc_ops.align_axes(df, [], ts_col="date_time")
+        .select("acx", "acy", "acz")
+        .toPandas()
+        .sort_values("acx")
+        .reset_index(drop=True)
+    )
+    b = (
+        acc_ops.align_axes_greedy(df, [], ts_col="date_time")
+        .select("acx", "acy", "acz")
+        .toPandas()
+        .sort_values("acx")
+        .reset_index(drop=True)
+    )
+    # plan B's loop guard discards the trailing match_range rows
+    # (acc_reformat.py:204-210 semantics) — compare the common prefix
+    assert len(b) >= len(a) - 7
+    common = min(len(a), len(b))
+    pd.testing.assert_frame_equal(a.iloc[:common], b.iloc[:common])
