@@ -844,6 +844,31 @@ FROM orders
 """
 
 
+def q_top_orders_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 global ORDER BY + LIMIT (TPC-H Q3-shaped): top-10 orders by
+    revenue with a full tie-break so the limited set is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+_SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
 def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 map family: JSON → typed map column, key/value extraction
     (the reference's dict-lookup rename generalized to map ops)."""
@@ -1665,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "scalar_functions": q_scalar_functions,
         "json_extract": q_json_extract,
+        "top_orders_limit": q_top_orders_limit,
         "map_functions": q_map_functions,
         "window_analytics": q_window_analytics,
         "cube_agg": q_cube_agg,
@@ -1720,6 +1746,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _SQL_SET_OPS,
         "scalar_functions": _SQL_SCALARS,
         "json_extract": _SQL_JSON,
+        "top_orders_limit": _SQL_TOP_ORDERS,
         "map_functions": _SQL_MAP_FUNCS,
         "window_analytics": _SQL_WINDOW_ANALYTICS,
         "cube_agg": _SQL_CUBE,
