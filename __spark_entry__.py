@@ -136,23 +136,72 @@ FROM events GROUP BY event_type
 
 
 def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.5 breadth: statistical aggregates (stddev/variance/corr/covar)."""
+    """§2.5 breadth: statistical aggregates (stddev/variance/corr/covar).
+
+    Hash-stable across engines: the inputs are decimal-quantized
+    (quantity x100, price x100, discount/tax x10000 are integers), so
+    both engines sum exact integer-scaled moments as DECIMAL (no
+    float summation-order drift) and derive the statistics with an
+    identical IEEE-double expression tree — bit-identical results.
+    """
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
-        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qe"),
-        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("cov_dt"),
+    D = "decimal(19,0)"
+    qx = F.round(F.col("l_quantity") * 100).cast(D)
+    px = F.round(F.col("l_extendedprice") * 100).cast(D)
+    dx = F.round(F.col("l_discount") * 10000).cast(D)
+    tx = F.round(F.col("l_tax") * 10000).cast(D)
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(qx).cast("double").alias("s_q"),
+        F.sum(qx * qx).cast("double").alias("s_qq"),
+        F.sum(px).cast("double").alias("s_p"),
+        F.sum(px * px).cast("double").alias("s_pp"),
+        F.sum(qx * px).cast("double").alias("s_qp"),
+        F.sum(dx).cast("double").alias("s_d"),
+        F.sum(tx).cast("double").alias("s_t"),
+        F.sum(dx * tx).cast("double").alias("s_dt"),
+    )
+    n, s_q, s_qq = F.col("n"), F.col("s_q"), F.col("s_qq")
+    s_p, s_pp, s_qp = F.col("s_p"), F.col("s_pp"), F.col("s_qp")
+    s_d, s_t, s_dt = F.col("s_d"), F.col("s_t"), F.col("s_dt")
+    m2q = s_qq - s_q * s_q / n
+    m2p = s_pp - s_p * s_p / n
+    return g.select(
+        "l_returnflag",
+        F.round(F.sqrt(m2q / (n - F.lit(1.0))) / F.lit(100.0), 6).alias("sd_qty"),
+        F.round(m2p / (n - F.lit(1.0)) / F.lit(10000.0), 2).alias("var_price"),
+        F.round((s_qp - s_q * s_p / n) / F.sqrt(m2q * m2p), 6).alias("corr_qe"),
+        F.round(
+            (s_dt - s_d * s_t / n) / (n - F.lit(1.0)) / F.lit(100000000.0), 6
+        ).alias("cov_dt"),
     )
 
 
 _SQL_STATS = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(19,0))) AS DOUBLE) AS s_q,
+         CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(19,0))
+                * CAST(round(l_quantity * 100) AS DECIMAL(19,0))) AS DOUBLE) AS s_qq,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(19,0))) AS DOUBLE) AS s_p,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(19,0))
+                * CAST(round(l_extendedprice * 100) AS DECIMAL(19,0))) AS DOUBLE) AS s_pp,
+         CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(19,0))
+                * CAST(round(l_extendedprice * 100) AS DECIMAL(19,0))) AS DOUBLE) AS s_qp,
+         CAST(sum(CAST(round(l_discount * 10000) AS DECIMAL(19,0))) AS DOUBLE) AS s_d,
+         CAST(sum(CAST(round(l_tax * 10000) AS DECIMAL(19,0))) AS DOUBLE) AS s_t,
+         CAST(sum(CAST(round(l_discount * 10000) AS DECIMAL(19,0))
+                * CAST(round(l_tax * 10000) AS DECIMAL(19,0))) AS DOUBLE) AS s_dt
+  FROM lineitem GROUP BY l_returnflag
+)
 SELECT l_returnflag,
-       round(stddev_samp(l_quantity), 6)             AS sd_qty,
-       round(var_samp(l_extendedprice), 2)           AS var_price,
-       round(corr(l_quantity, l_extendedprice), 6)   AS corr_qe,
-       round(covar_samp(l_discount, l_tax), 6)       AS cov_dt
-FROM lineitem GROUP BY l_returnflag
+       round(sqrt((s_qq - s_q * s_q / n) / (n - 1.0)) / 100.0, 6) AS sd_qty,
+       round((s_pp - s_p * s_p / n) / (n - 1.0) / 10000.0, 2) AS var_price,
+       round((s_qp - s_q * s_p / n)
+             / sqrt((s_qq - s_q * s_q / n) * (s_pp - s_p * s_p / n)), 6) AS corr_qe,
+       round((s_dt - s_d * s_t / n) / (n - 1.0) / 100000000.0, 6) AS cov_dt
+FROM m
 """
 
 
@@ -413,7 +462,7 @@ def q_tumbling_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TUMBLING = """
 WITH binned AS (
-  SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS start_time,
+  SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS start_time,
          CAST(value < 2.0 OR value > 15.0 AS DOUBLE) AS outlier
   FROM events
 ), agg AS (
@@ -1108,8 +1157,8 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_STREAMING_TUMBLING = """
-SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600) AS window_start,
-       to_timestamp(floor(epoch(ts) / 3600) * 3600) + INTERVAL 1 HOUR AS window_end,
+SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
+       CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
        event_type,
        count(*) AS n,
        round(sum(value), 2) AS sum_value
@@ -1625,15 +1674,19 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing: text→binary payloads, metadata pass
-    (byte length, md5, frame count) as pure column exprs. (Real binary
-    frame-sampling / feature extraction is pytest-covered in
+    (byte length, md5, frame count) as pure column exprs. Frames are
+    defined over CHARACTERS (16 chars/frame) so frame1_md5 is
+    Unicode-safe on both engines: Spark ``substring`` and DuckDB
+    ``substr`` are both codepoint-based, and both md5 the UTF-8 bytes
+    of the prefix — identical for any corpus, not just ASCII. (Real
+    binary frame-sampling / feature extraction is pytest-covered in
     operators.multimodal — no binary column exists in driver tables.)"""
     docs = _t(spark, sf_dir, "documents")
     payload = F.col("text").cast("binary")
     return docs.select(
         "doc_id",
         F.length(payload).cast("long").alias("n_bytes"),
-        F.ceil(F.length(payload) / 16).cast("long").alias("n_frames"),
+        F.ceil(F.length("text") / 16).cast("long").alias("n_frames"),
         F.md5(payload).alias("payload_md5"),
         F.md5(F.substring("text", 1, 16).cast("binary")).alias("frame1_md5"),
     )
@@ -1642,7 +1695,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_MULTIMODAL = """
 SELECT doc_id,
        octet_length(CAST(text AS BLOB)) AS n_bytes,
-       CAST(ceil(octet_length(CAST(text AS BLOB)) / 16.0) AS BIGINT) AS n_frames,
+       CAST(ceil(length(text) / 16.0) AS BIGINT) AS n_frames,
        md5(text) AS payload_md5,
        md5(substr(text, 1, 16)) AS frame1_md5
 FROM documents

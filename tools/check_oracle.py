@@ -14,18 +14,38 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def _dtype_kind(s):
+    """Canonical schema kind, mirroring the driver's strictness:
+    tz-aware vs naive timestamps are DIFFERENT kinds (the driver rejects
+    that as schema_match=false); integer width and datetime resolution
+    are not significant."""
+    import pandas as pd
+
+    if isinstance(s.dtype, pd.DatetimeTZDtype):
+        return "timestamp_tz"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "timestamp"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def normalize(pdf):
-    import numpy as np
+    """Sort columns by name and rows by all columns. Unlike round-1's
+    version this does NOT strip timezones and does NOT round floats —
+    the driver hashes exact values, so the local gate must too."""
     import pandas as pd
 
     pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
     for c in pdf.columns:
         s = pdf[c]
-        if pd.api.types.is_float_dtype(s):
-            pdf[c] = s.round(9)
-        elif isinstance(s.dtype, pd.DatetimeTZDtype):
-            pdf[c] = s.dt.tz_convert("UTC").dt.tz_localize(None).astype("datetime64[us]")
-        elif pd.api.types.is_datetime64_any_dtype(s):
+        if pd.api.types.is_datetime64_any_dtype(s) and not isinstance(
+            s.dtype, pd.DatetimeTZDtype
+        ):
             pdf[c] = s.astype("datetime64[us]")
         elif s.dtype == object:
             pdf[c] = s.astype(str)
@@ -41,20 +61,30 @@ def compare(name, spark_pdf, duck_pdf) -> list[str]:
     if sc != dc:
         problems.append(f"columns spark={sc} duck={dc}")
         return problems
-    if problems:
-        return problems
     import numpy as np
     import pandas as pd
+
+    # Strict schema gate (the driver's schema_match): tz-aware vs naive
+    # or numeric-kind mismatches are failures, not warnings.
+    for c in sc:
+        ka, kb = _dtype_kind(spark_pdf[c]), _dtype_kind(duck_pdf[c])
+        if ka != kb:
+            problems.append(
+                f"SCHEMA col {c}: spark={spark_pdf[c].dtype} ({ka}) "
+                f"duck={duck_pdf[c].dtype} ({kb})"
+            )
+    if problems:
+        return problems
 
     s = normalize(spark_pdf)
     d = normalize(duck_pdf)
     for c in s.columns:
-        if str(s[c].dtype) != str(d[c].dtype):
-            print(f"   ~ DTYPE {c}: spark={s[c].dtype} duck={d[c].dtype}")
-    for c in s.columns:
         a, b = s[c], d[c]
         if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
-            eq = np.isclose(a.fillna(1e308), b.fillna(1e308), rtol=1e-9, atol=1e-9)
+            # Exact (bitwise) float equality, NaN == NaN — matches the
+            # driver's value hashing; no isclose tolerance.
+            av, bv = a.to_numpy(dtype="float64"), b.to_numpy(dtype="float64")
+            eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
         else:
             eq = (a.astype(str) == b.astype(str)).to_numpy()
         if not eq.all():
