@@ -1290,19 +1290,75 @@ SELECT t.* FROM target t WHERE NOT EXISTS (
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (dedup family): all pairs with
-    cosine ≥ 0.4, numpy-scored against the broadcast index."""
+    """Embedding-cosine near-dup pairs (dedup family) via banded
+    OR-amplified hyperplane LSH: candidate pairs collide in ≥1 of 3
+    independent 6-plane bucket tables (equi-joins, never all-pairs),
+    then exact-cosine rescored and kept at ≥ 0.4. Fully distributed —
+    no driver collect; the oracle re-derives the same plane weights
+    symbolically. An exact all-pairs variant exists as
+    ``cosine_near_dup_pairs(method="exact")`` (chunked block scoring,
+    also collect-free)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return sim_ops.cosine_near_dup_pairs(emb, threshold=0.4)
+    return sim_ops.cosine_near_dup_pairs(
+        emb, threshold=0.4, method="lsh", dim=64, n_planes=6, n_tables=3
+    )
 
 
-_SQL_EMB_NEAR_DUP = """
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (all pairs ≥ 0.4) via
+    chunked block scoring: index hash-split into blocks, queries
+    replicated per block (explode, no cartesian), cogrouped BLAS
+    matmul per cell — distributed O(n²) compute, no driver collect."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.cosine_near_dup_pairs(emb, threshold=0.4, method="exact")
+
+
+_SQL_EMB_NEAR_DUP_EXACT = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
          AS cos_sim
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+"""
+
+
+def _sql_embedding_near_dup() -> str:
+    """DuckDB mirror of the banded-LSH near-dup: same ±1 plane weights
+    (portable md5 derivation), same per-table bucket ids, union of
+    per-table same-bucket pairs, exact cosine rescore at ≥ 0.4."""
+    from sensomics_data_pipeline_spark.operators.similarity import plane_weights
+
+    n_planes, n_tables = 6, 3
+    table_sqls = []
+    for t in range(n_tables):
+        weights = plane_weights(n_planes, 64, seed_base=1 + t * n_planes)
+        terms = []
+        for p, w in enumerate(weights):
+            arr = "[" + ",".join(str(x) for x in w) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[]) >= 0 "
+                f"THEN {1 << p}::BIGINT ELSE 0 END)"
+            )
+        bucket = " + ".join(terms)
+        table_sqls.append(
+            f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b\n"
+            f"  FROM (SELECT vec_id, {bucket} AS bucket FROM embeddings) a\n"
+            f"  JOIN (SELECT vec_id, {bucket} AS bucket FROM embeddings) b\n"
+            f"    ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
+        )
+    cand = "\n  UNION\n".join(table_sqls)
+    return f"""
+WITH cand AS (
+  {cand}
+)
+SELECT c.vec_a, c.vec_b,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)
+         AS cos_sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.4
 """
 
 
@@ -1752,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_ffill": q_resample_ffill,
         "merge_upsert": q_merge_upsert,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "text_quality": q_text_quality,
@@ -1807,7 +1864,8 @@ def oracle_sql() -> dict[str, str]:
         "top1_per_group": _SQL_TOP1,
         "resample_ffill": _SQL_RESAMPLE,
         "merge_upsert": _SQL_MERGE_UPSERT,
-        "embedding_near_dup": _SQL_EMB_NEAR_DUP,
+        "embedding_near_dup": _sql_embedding_near_dup(),
+        "embedding_near_dup_exact": _SQL_EMB_NEAR_DUP_EXACT,
         "exact_dedup": _SQL_EXACT_DEDUP,
         "token_stats": _SQL_TOKEN_STATS,
         "text_quality": _SQL_TEXT_QUALITY,

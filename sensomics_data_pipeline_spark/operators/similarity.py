@@ -1,17 +1,32 @@
 """Similarity search over embedding columns (north-star ops):
-brute-force cosine top-k as the correctness baseline, random-hyperplane
-LSH bucketing as the approximate scale path.
+distributed brute-force cosine top-k as the exact baseline,
+random-hyperplane LSH bucketing and IVF as the approximate scale paths.
 
-Scale design:
-- The scoring loop is a vectorized numpy matmul inside ``mapInPandas``
-  (Arrow batches, BLAS) against a broadcast index matrix — the classic
-  "broadcast the small side" nearest-neighbor join. Per-row
-  ``zip_with``/``aggregate`` expressions exist for expression-level use
-  (``cosine``) but allocate per pair and lose to BLAS by ~100× in the
-  all-pairs loop.
-- When the index side outgrows a broadcast (≫ millions of vectors),
-  ``lsh_topk`` buckets both sides by hyperplane sign pattern and only
-  scores within buckets — an equi-join, no cross product.
+Scale design (none of these collect the full table on the driver):
+
+- ``brute_force_topk`` / ``cosine_near_dup_pairs(method="exact")`` use
+  the *chunked block* shape for exact all-pairs scoring: the index side
+  is hash-partitioned into ``n_chunks`` blocks, each query row is
+  replicated once per block (``explode`` of a literal array — no join),
+  and a cogrouped ``applyInPandas`` scores each (query-block ×
+  index-block) cell with one float64 BLAS matmul. Per-chunk top-k then a
+  window gives the exact global top-k. Shuffle volume is
+  ``n_chunks × queries + index`` — the inherent cost of exact O(n·m)
+  scoring, spread over the cluster; ``n_chunks`` bounds per-task memory,
+  so the same plan runs at any scale by raising ``n_chunks``.
+- ``lsh_topk`` buckets both sides by hyperplane sign pattern and only
+  scores within (multi-probed) buckets — an equi-join, no cross product;
+  candidate volume is ~n²·(n_planes+1)/2^n_planes.
+- ``cosine_near_dup_pairs(method="lsh")`` is banded OR-amplified LSH
+  (``n_tables`` independent plane sets): pairs colliding in ANY table
+  are candidates, then exact-cosine rescored. Recall for pairs at
+  cosine c is 1-(1-p^b)^L with p = 1-acos(c)/π — high for true
+  near-dups (c ≥ 0.9), intentionally partial for weakly-similar pairs.
+- ``ivf_topk`` trains its k-means coarse quantizer on a BOUNDED
+  driver-side sample (``orderBy(key).limit(train_sample)`` — a
+  distributed TakeOrdered, deterministic); assignment and probing are
+  distributed (closure-shipped 16×64 centroid matrix, list-id
+  equi-join, cogrouped BLAS scoring).
 - Hyperplane weights are ±1 derived from the portable md5 hash, so an
   independent engine (the DuckDB oracle) reproduces the buckets exactly.
 """
@@ -74,57 +89,95 @@ def hyperplane_bucket(
     return bucket
 
 
+def _chunked_block_pairs(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    n_chunks: int,
+):
+    """Shared shape for exact all-pairs scoring: returns the cogrouped
+    (query-replicated × index-chunk) grouping ready for applyInPandas.
+
+    Query rows are replicated per chunk via ``explode`` of a literal
+    int array (no join, no cartesian in the plan); the index side is
+    hash-partitioned on its key. The caller supplies the scoring
+    function and output schema."""
+    chunk_ids = F.array(*[F.lit(i) for i in range(n_chunks)])
+    queries = df.select(
+        F.col(key_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(chunk_ids).alias("chunk"),
+    )
+    index = df.select(
+        F.col(key_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_chunks)).cast("int").alias("chunk"),
+    )
+    return queries.groupBy("chunk").cogroup(index.groupBy("chunk"))
+
+
 def brute_force_topk(
     df: DataFrame,
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    n_chunks: int = 8,
 ) -> DataFrame:
-    """Exact cosine top-k neighbors for every vector, scored with numpy.
+    """Exact cosine top-k neighbors for every vector — fully
+    distributed (no driver collect).
 
-    The index (all vectors) is collected once and shipped to executors
-    in the task closure (a few MB for ~100k×64 floats); each Arrow batch
-    of queries scores against it with one float64 matmul and takes the
-    top-k by (rounded cosine desc, neighbor id asc) — deterministic and
-    oracle-reproducible. Beyond broadcastable index sizes, switch to
-    ``lsh_topk``.
+    Chunked block scoring: the index is hash-split into ``n_chunks``
+    blocks; each cogroup cell scores one block against all queries with
+    a single float64 matmul and keeps that block's top-k per query
+    (sim rounded to 6, ties by neighbor id — deterministic and
+    oracle-reproducible); a window over the ``n_chunks × k`` survivors
+    yields the exact global top-k. Raise ``n_chunks`` so each block
+    fits executor memory at the target scale; for sub-quadratic work
+    switch to ``lsh_topk`` / ``ivf_topk``.
     """
     import numpy as np
+    import pandas as pd
 
-    rows = df.select(key_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    order = np.argsort(ids)
-    ids, mat, norms = ids[order], mat[order], norms[order]
-
+    out_cols = ["query_id", "neighbor_id", "cos_sim", "rank"]
     out_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
 
-    def score(batches: Iterator) -> Iterator:
-        import pandas as pd
+    def score(qpdf: "pd.DataFrame", ipdf: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(qpdf) or not len(ipdf):
+            return pd.DataFrame(columns=out_cols)
+        ids = ipdf["nid"].to_numpy(dtype=np.int64)
+        mat = np.array(list(ipdf["nvec"]), dtype=np.float64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        norms = np.linalg.norm(mat, axis=1)
+        q = np.array(list(qpdf["qvec"]), dtype=np.float64)
+        qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        sims = np.round(
+            (q @ mat.T) / (np.linalg.norm(q, axis=1)[:, None] * norms[None, :]), 6
+        )
+        res = []
+        for row_i, qid in enumerate(qids):
+            mask = ids != qid
+            cand_ids = ids[mask]
+            cand_s = sims[row_i][mask]
+            # block top-k by (sim desc, id asc): lexsort on (id, -sim)
+            sel = np.lexsort((cand_ids, -cand_s))[:k]
+            for j in sel:
+                res.append((qid, cand_ids[j], cand_s[j]))
+        out = pd.DataFrame(res, columns=out_cols[:3])
+        out["rank"] = 0  # overwritten by the global window
+        return out
 
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            q = np.array(list(pdf[vec_col]), dtype=np.float64)
-            qids = pdf[key_col].to_numpy(dtype=np.int64)
-            sims = (q @ mat.T) / (np.linalg.norm(q, axis=1)[:, None] * norms[None, :])
-            sims = np.round(sims, 6)
-            res = []
-            for row_i, qid in enumerate(qids):
-                s = sims[row_i]
-                mask = ids != qid
-                cand_ids = ids[mask]
-                cand_s = s[mask]
-                # top-k by (sim desc, id asc): lexsort on (-sim, id)
-                sel = np.lexsort((cand_ids, -cand_s))[:k]
-                for rank, j in enumerate(sel, start=1):
-                    res.append((qid, cand_ids[j], cand_s[j], rank))
-            yield pd.DataFrame(
-                res, columns=["query_id", "neighbor_id", "cos_sim", "rank"]
-            )
-
-    return df.select(key_col, vec_col).mapInPandas(score, out_schema)
+    partial = _chunked_block_pairs(df, key_col, vec_col, n_chunks).applyInPandas(
+        score, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
 
 
 def cosine_near_dup_pairs(
@@ -132,43 +185,96 @@ def cosine_near_dup_pairs(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    method: str = "lsh",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 3,
+    n_chunks: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs: all (a < b) pairs with cosine ≥
-    threshold. Scored like ``brute_force_topk`` (numpy matmul against a
-    broadcast index); at index sizes beyond broadcast, reuse the LSH
-    buckets to restrict candidates first."""
+    """Embedding-cosine near-dup pairs: (a < b) pairs with cosine ≥
+    threshold.
+
+    ``method="lsh"`` (the 100-TB path): banded OR-amplified hyperplane
+    LSH — ``n_tables`` independent sets of ``n_planes`` planes; a pair
+    is a candidate iff its bucket ids collide in ANY table (bucket
+    equi-join per table, union, distinct — never all-pairs), then
+    candidates are exact-cosine rescored and thresholded. Deterministic
+    and oracle-reproducible (the DuckDB oracle re-derives the same
+    plane weights symbolically). Recall for a pair at cosine c is
+    1-(1-p^b)^L with p = 1-acos(c)/π: ≈0.9 for true near-dups
+    (c ≥ 0.95) and intentionally partial for weakly-similar pairs.
+
+    ``method="exact"``: chunked block scoring (same distributed shape
+    as ``brute_force_topk``, no driver collect) emitting every
+    qualifying pair — exact, O(n²) compute spread over the cluster.
+    """
+    if method == "exact":
+        return _near_dup_exact(df, key_col, vec_col, threshold, n_chunks)
+
+    candidates = None
+    for t in range(n_tables):
+        bucket = hyperplane_bucket(
+            F.col(vec_col), dim, n_planes, seed_base=1 + t * n_planes
+        )
+        b = df.select(F.col(key_col).alias("vid"), bucket.alias("bucket"))
+        a_side = b.select(F.col("vid").alias("vec_a"), "bucket")
+        b_side = b.select(F.col("vid").alias("vec_b"), "bucket")
+        pairs_t = (
+            a_side.join(b_side, "bucket")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+        )
+        candidates = pairs_t if candidates is None else candidates.unionByName(pairs_t)
+    candidates = candidates.distinct()
+
+    norm = l2_norm(F.col(vec_col))
+    unit = df.select(
+        F.col(key_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("unit"),
+    )
+    va = unit.select(F.col("vid").alias("vec_a"), F.col("unit").alias("_ua"))
+    vb = unit.select(F.col("vid").alias("vec_b"), F.col("unit").alias("_ub"))
+    return (
+        candidates.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos_sim", F.round(dot(F.col("_ua"), F.col("_ub")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def _near_dup_exact(
+    df: DataFrame, key_col: str, vec_col: str, threshold: float, n_chunks: int
+) -> DataFrame:
     import numpy as np
+    import pandas as pd
 
-    rows = df.select(key_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    order = np.argsort(ids)
-    ids, mat, norms = ids[order], mat[order], norms[order]
-
+    out_cols = ["vec_a", "vec_b", "cos_sim"]
     out_schema = "vec_a long, vec_b long, cos_sim double"
 
-    def score(batches):
-        import pandas as pd
+    def score(qpdf: "pd.DataFrame", ipdf: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(qpdf) or not len(ipdf):
+            return pd.DataFrame(columns=out_cols)
+        ids = ipdf["nid"].to_numpy(dtype=np.int64)
+        mat = np.array(list(ipdf["nvec"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        q = np.array(list(qpdf["qvec"]), dtype=np.float64)
+        qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        sims = np.round(
+            (q @ mat.T) / (np.linalg.norm(q, axis=1)[:, None] * norms[None, :]), 6
+        )
+        res = []
+        for row_i, qid in enumerate(qids):
+            # each unordered pair is seen exactly once: in the chunk
+            # that owns the larger id
+            mask = (ids > qid) & (sims[row_i] >= threshold)
+            for j in np.nonzero(mask)[0]:
+                res.append((qid, ids[j], sims[row_i][j]))
+        return pd.DataFrame(res, columns=out_cols)
 
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            q = np.array(list(pdf[vec_col]), dtype=np.float64)
-            qids = pdf[key_col].to_numpy(dtype=np.int64)
-            sims = np.round(
-                (q @ mat.T)
-                / (np.linalg.norm(q, axis=1)[:, None] * norms[None, :]),
-                6,
-            )
-            res = []
-            for row_i, qid in enumerate(qids):
-                mask = (ids > qid) & (sims[row_i] >= threshold)
-                for j in np.nonzero(mask)[0]:
-                    res.append((qid, ids[j], sims[row_i][j]))
-            yield pd.DataFrame(res, columns=["vec_a", "vec_b", "cos_sim"])
-
-    return df.select(key_col, vec_col).mapInPandas(score, out_schema)
+    return _chunked_block_pairs(df, key_col, vec_col, n_chunks).applyInPandas(
+        score, out_schema
+    )
 
 
 def lsh_topk(
@@ -188,7 +294,14 @@ def lsh_topk(
     Hamming-1 bucket (one plane's sign flipped): near-neighbors that a
     single plane split off are recovered, multiplying recall at
     (n_planes+1)× candidate cost — the standard multi-probe LSH
-    trade."""
+    trade.
+
+    The bucketed projection is intentionally NOT persisted: it is a
+    stateless, shuffle-free map over the scan (n_planes dot products
+    per row), so recomputing it per join side is embarrassingly
+    parallel and avoids pinning an unbounded cache entry for the
+    plan's lifetime (a ``persist`` here has no matching ``unpersist``
+    point — the operator returns a lazy DataFrame)."""
     # pre-normalize once per vector: cosine then reduces to a single
     # dot product per candidate pair (vs 3 array reductions per pair)
     norm = l2_norm(F.col(vec_col))
@@ -197,7 +310,7 @@ def lsh_topk(
         F.col(key_col).alias("vid"),
         unit.alias("vec"),
         hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    ).persist()
+    )
     if multi_probe:
         probes = F.array(
             F.col("bucket"),
@@ -248,61 +361,126 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 2,
     n_iter: int = 3,
+    train_sample: int = 4096,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means coarse quantizer (deterministic
-    seeding: centroids initialized from the ``n_lists`` lowest vec ids),
-    vectors assigned to nearest centroid list, queries probe the
+    """IVF (inverted-file) ANN: k-means coarse quantizer, vectors
+    assigned to their nearest centroid's list, queries probe the
     ``n_probe`` nearest lists only.
 
-    The quantizer is trained driver-side on a sample (here: all rows —
-    at 100 TB, a bounded sample) with numpy; assignment + probing are
-    distributed. Deterministic end-to-end, but not SQL-oracle-checkable
-    (iterative training) — covered by rows-only checks + pytest recall
-    tests against ``brute_force_topk``.
+    Scale shape — no full-table collect anywhere:
+
+    1. The quantizer trains driver-side on a BOUNDED sample: the
+       ``train_sample`` lowest-keyed vectors via
+       ``orderBy(key).limit(n)`` (a distributed TakeOrdered — each
+       partition ships only its local top-n). Deterministic seeding:
+       initial centroids are the sample's first ``n_lists`` rows.
+    2. The trained centroid matrix (n_lists × dim floats — KBs) ships
+       in task closures; list assignment for the full table and probe
+       selection for queries run distributed in ``mapInPandas``.
+    3. Scoring is a list-id equi-join: queries replicated to their
+       ``n_probe`` probed lists, cogrouped with each list's members,
+       one BLAS matmul per (list × query-batch) cell, then a window
+       for the global top-k.
+
+    Iterative training is not SQL-expressible — rows-only driver
+    check; recall vs ``brute_force_topk`` is pytest-verified.
     """
     import numpy as np
+    import pandas as pd
 
-    rows = df.select(key_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat_n = mat / np.linalg.norm(mat, axis=1)[:, None]
-    order = np.argsort(ids)
-    ids, mat_n = ids[order], mat_n[order]
+    sample = (
+        df.select(key_col, vec_col).orderBy(key_col).limit(train_sample).collect()
+    )
+    smat = np.array([r[1] for r in sample], dtype=np.float64)
+    smat_n = smat / np.linalg.norm(smat, axis=1)[:, None]
 
-    cent = mat_n[:n_lists].copy()
+    cent = smat_n[:n_lists].copy()
     for _ in range(n_iter):
-        assign = np.argmax(mat_n @ cent.T, axis=1)
+        assign = np.argmax(smat_n @ cent.T, axis=1)
         for c in range(n_lists):
-            members = mat_n[assign == c]
+            members = smat_n[assign == c]
             if len(members):
                 m = members.mean(axis=0)
                 cent[c] = m / (np.linalg.norm(m) or 1.0)
-    assign = np.argmax(mat_n @ cent.T, axis=1)
 
-    out_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
-
-    def probe(batches: Iterator) -> Iterator:
-        import pandas as pd
-
+    def assign_lists(batches: Iterator) -> Iterator:
         for pdf in batches:
             if not len(pdf):
                 continue
-            q = np.array(list(pdf[vec_col]), dtype=np.float64)
-            qids = pdf[key_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["nvec"]), dtype=np.float64)
+            mat_n = mat / np.linalg.norm(mat, axis=1)[:, None]
+            out = pd.DataFrame(
+                {
+                    "nid": pdf["nid"].to_numpy(dtype=np.int64),
+                    "nvec": pdf["nvec"],
+                    "list_id": np.argmax(mat_n @ cent.T, axis=1).astype(np.int32),
+                }
+            )
+            yield out
+
+    def probe_lists(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(list(pdf["qvec"]), dtype=np.float64)
             qn = q / np.linalg.norm(q, axis=1)[:, None]
-            probe_lists = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
-            res = []
-            for row_i, qid in enumerate(qids):
-                cand_mask = np.isin(assign, probe_lists[row_i]) & (ids != qid)
-                cand_ids = ids[cand_mask]
-                if not len(cand_ids):
-                    continue
-                sims = np.round(mat_n[cand_mask] @ qn[row_i], 6)
-                sel = np.lexsort((cand_ids, -sims))[:k]
-                for rank, j in enumerate(sel, start=1):
-                    res.append((qid, cand_ids[j], sims[j], rank))
+            probes = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
             yield pd.DataFrame(
-                res, columns=["query_id", "neighbor_id", "cos_sim", "rank"]
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "qvec": pdf["qvec"],
+                    "probes": list(probes.astype(np.int32)),
+                }
             )
 
-    return df.select(key_col, vec_col).mapInPandas(probe, out_schema)
+    index = df.select(
+        F.col(key_col).alias("nid"), F.col(vec_col).alias("nvec")
+    ).mapInPandas(
+        assign_lists, "nid long, nvec array<float>, list_id int"
+    )
+    queries = (
+        df.select(F.col(key_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .mapInPandas(
+            probe_lists, "query_id long, qvec array<float>, probes array<int>"
+        )
+        .select("query_id", "qvec", F.explode("probes").alias("list_id"))
+    )
+
+    out_cols = ["query_id", "neighbor_id", "cos_sim", "rank"]
+    out_schema = "query_id long, neighbor_id long, cos_sim double, rank int"
+
+    def score(qpdf: "pd.DataFrame", ipdf: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(qpdf) or not len(ipdf):
+            return pd.DataFrame(columns=out_cols)
+        ids = ipdf["nid"].to_numpy(dtype=np.int64)
+        mat = np.array(list(ipdf["nvec"]), dtype=np.float64)
+        mat_n = mat / np.linalg.norm(mat, axis=1)[:, None]
+        q = np.array(list(qpdf["qvec"]), dtype=np.float64)
+        qn = q / np.linalg.norm(q, axis=1)[:, None]
+        qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        sims = np.round(qn @ mat_n.T, 6)
+        res = []
+        for row_i, qid in enumerate(qids):
+            mask = ids != qid
+            cand_ids = ids[mask]
+            cand_s = sims[row_i][mask]
+            sel = np.lexsort((cand_ids, -cand_s))[:k]
+            for j in sel:
+                res.append((qid, cand_ids[j], cand_s[j]))
+        out = pd.DataFrame(res, columns=out_cols[:3])
+        out["rank"] = 0
+        return out
+
+    partial = (
+        queries.groupBy("list_id")
+        .cogroup(index.groupBy("list_id"))
+        .applyInPandas(score, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -53,6 +53,57 @@ def test_brute_force_topk_is_symmetric_exact(spark):
     assert out.loc[4, "neighbor_id"] == 3  # least-negative cosine
 
 
+def test_brute_force_topk_chunking_invariant(spark, sf_dir):
+    """Exact top-k must not depend on the block count — the chunked
+    distributed plan returns identical rows for any n_chunks."""
+    emb = readers.load_table(spark, sf_dir, "embeddings").limit(200)
+    a = sim_ops.brute_force_topk(emb, k=3, n_chunks=1).toPandas()
+    b = sim_ops.brute_force_topk(emb, k=3, n_chunks=7).toPandas()
+    key = ["query_id", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_near_dup_lsh_is_subset_of_exact_with_high_sim_recall(spark, sf_dir):
+    """Banded-LSH near-dup candidates rescored exactly: every emitted
+    pair must appear in the exact all-pairs result with the same
+    cosine, and recall on strongly-similar pairs (≥0.8) must be high
+    (OR-amplification: 1-(1-p^6)^3)."""
+    emb = readers.load_table(spark, sf_dir, "embeddings")
+    exact = sim_ops.cosine_near_dup_pairs(emb, threshold=0.4, method="exact").toPandas()
+    lsh = sim_ops.cosine_near_dup_pairs(
+        emb, threshold=0.4, method="lsh", dim=64, n_planes=6, n_tables=3
+    ).toPandas()
+
+    exact_pairs = {(a, b): s for a, b, s in exact.itertuples(index=False)}
+    for a, b, s in lsh.itertuples(index=False):
+        assert (a, b) in exact_pairs, f"LSH emitted non-pair ({a},{b})"
+        assert s == exact_pairs[(a, b)]
+
+    strong = {(a, b) for (a, b), s in exact_pairs.items() if s >= 0.8}
+    if strong:
+        got = {(a, b) for a, b, _ in lsh.itertuples(index=False)}
+        recall = len(strong & got) / len(strong)
+        assert recall >= 0.5, f"high-sim recall {recall:.2f}"
+
+
+def test_similarity_ops_have_no_eager_collect(spark, sf_dir):
+    """Building the similarity DataFrames must not trigger any Spark
+    job (the round-1 implementations collected the full table at
+    operator-construction time). IVF's bounded-sample training is the
+    allowed exception, asserted separately by its limit() plan."""
+    emb = readers.load_table(spark, sf_dir, "embeddings")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    sim_ops.brute_force_topk(emb, k=5)
+    sim_ops.cosine_near_dup_pairs(emb, method="lsh")
+    sim_ops.cosine_near_dup_pairs(emb, method="exact")
+    sim_ops.lsh_topk(emb, dim=64, k=5)
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before, "similarity construction launched a Spark job"
+
+
 # ---------------------------------------------------------------------------
 # Dedup building blocks
 # ---------------------------------------------------------------------------
