@@ -145,25 +145,49 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical IEEE-double expression tree — bit-identical results.
     """
     li = _t(spark, sf_dir, "lineitem")
-    D = "decimal(19,0)"
-    qx = F.round(F.col("l_quantity") * 100).cast(D)
-    px = F.round(F.col("l_extendedprice") * 100).cast(D)
-    dx = F.round(F.col("l_discount") * 10000).cast(D)
-    tx = F.round(F.col("l_tax") * 10000).cast(D)
-    g = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(qx).cast("double").alias("s_q"),
-        F.sum(qx * qx).cast("double").alias("s_qq"),
-        F.sum(px).cast("double").alias("s_p"),
-        F.sum(px * px).cast("double").alias("s_pp"),
-        F.sum(qx * px).cast("double").alias("s_qp"),
-        F.sum(dx).cast("double").alias("s_d"),
-        F.sum(tx).cast("double").alias("s_t"),
-        F.sum(dx * tx).cast("double").alias("s_dt"),
+    # Exact integer moments in fast codegen'd LONG arithmetic (the
+    # decimal(19,0) version was bit-exact too but ran BigDecimal math —
+    # ~10× slower): each product (≤ ~1.2e14, exactly a long) is split
+    # at 2^26 into hi/lo parts whose long sums cannot overflow below
+    # ~1e11 rows; hi*2^26 + lo reassembles the exact sum in double with
+    # the identical IEEE expression on both engines.
+    M = 1 << 26
+    base = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qx"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("px"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("dx"),
+        F.round(F.col("l_tax") * 10000).cast("bigint").alias("tx"),
+    ).select(
+        "l_returnflag", "qx", "px", "dx", "tx",
+        (F.col("qx") * F.col("qx")).alias("pqq"),
+        (F.col("px") * F.col("px")).alias("ppp"),
+        (F.col("qx") * F.col("px")).alias("pqp"),
+        (F.col("dx") * F.col("tx")).alias("pdt"),
     )
-    n, s_q, s_qq = F.col("n"), F.col("s_q"), F.col("s_qq")
-    s_p, s_pp, s_qp = F.col("s_p"), F.col("s_pp"), F.col("s_qp")
-    s_d, s_t, s_dt = F.col("s_d"), F.col("s_t"), F.col("s_dt")
+
+    def _split(prod: str) -> list:
+        return [
+            F.sum(F.expr(f"{prod} DIV {M}")).cast("double").alias(f"h_{prod}"),
+            F.sum(F.expr(f"{prod} % {M}")).cast("double").alias(f"l_{prod}"),
+        ]
+
+    g = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("qx").cast("double").alias("s_q"),
+        F.sum("px").cast("double").alias("s_p"),
+        F.sum("dx").cast("double").alias("s_d"),
+        F.sum("tx").cast("double").alias("s_t"),
+        *_split("pqq"), *_split("ppp"), *_split("pqp"), *_split("pdt"),
+    )
+
+    def _joinm(p: str):
+        return F.col(f"h_{p}") * float(M) + F.col(f"l_{p}")
+
+    n, s_q, s_p = F.col("n"), F.col("s_q"), F.col("s_p")
+    s_d, s_t = F.col("s_d"), F.col("s_t")
+    s_qq, s_pp = _joinm("pqq"), _joinm("ppp")
+    s_qp, s_dt = _joinm("pqp"), _joinm("pdt")
     m2q = s_qq - s_q * s_q / n
     m2p = s_pp - s_p * s_p / n
     return g.select(
@@ -178,22 +202,36 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_STATS = """
-WITH m AS (
+WITH r AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100) AS BIGINT)      AS qx,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS px,
+         CAST(round(l_discount * 10000) AS BIGINT)    AS dx,
+         CAST(round(l_tax * 10000) AS BIGINT)         AS tx
+  FROM lineitem
+), m AS (
   SELECT l_returnflag,
          CAST(count(*) AS DOUBLE) AS n,
-         CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(19,0))) AS DOUBLE) AS s_q,
-         CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(19,0))
-                * CAST(round(l_quantity * 100) AS DECIMAL(19,0))) AS DOUBLE) AS s_qq,
-         CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(19,0))) AS DOUBLE) AS s_p,
-         CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(19,0))
-                * CAST(round(l_extendedprice * 100) AS DECIMAL(19,0))) AS DOUBLE) AS s_pp,
-         CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(19,0))
-                * CAST(round(l_extendedprice * 100) AS DECIMAL(19,0))) AS DOUBLE) AS s_qp,
-         CAST(sum(CAST(round(l_discount * 10000) AS DECIMAL(19,0))) AS DOUBLE) AS s_d,
-         CAST(sum(CAST(round(l_tax * 10000) AS DECIMAL(19,0))) AS DOUBLE) AS s_t,
-         CAST(sum(CAST(round(l_discount * 10000) AS DECIMAL(19,0))
-                * CAST(round(l_tax * 10000) AS DECIMAL(19,0))) AS DOUBLE) AS s_dt
-  FROM lineitem GROUP BY l_returnflag
+         CAST(CAST(sum(qx) AS BIGINT) AS DOUBLE) AS s_q,
+         CAST(CAST(sum(px) AS BIGINT) AS DOUBLE) AS s_p,
+         CAST(CAST(sum(dx) AS BIGINT) AS DOUBLE) AS s_d,
+         CAST(CAST(sum(tx) AS BIGINT) AS DOUBLE) AS s_t,
+         CAST(CAST(sum((qx*qx) // 67108864) AS BIGINT) AS DOUBLE) AS h_qq,
+         CAST(CAST(sum((qx*qx) %  67108864) AS BIGINT) AS DOUBLE) AS l_qq,
+         CAST(CAST(sum((px*px) // 67108864) AS BIGINT) AS DOUBLE) AS h_pp,
+         CAST(CAST(sum((px*px) %  67108864) AS BIGINT) AS DOUBLE) AS l_pp,
+         CAST(CAST(sum((qx*px) // 67108864) AS BIGINT) AS DOUBLE) AS h_qp,
+         CAST(CAST(sum((qx*px) %  67108864) AS BIGINT) AS DOUBLE) AS l_qp,
+         CAST(CAST(sum((dx*tx) // 67108864) AS BIGINT) AS DOUBLE) AS h_dt,
+         CAST(CAST(sum((dx*tx) %  67108864) AS BIGINT) AS DOUBLE) AS l_dt
+  FROM r GROUP BY l_returnflag
+), s AS (
+  SELECT l_returnflag, n, s_q, s_p, s_d, s_t,
+         h_qq * 67108864.0 + l_qq AS s_qq,
+         h_pp * 67108864.0 + l_pp AS s_pp,
+         h_qp * 67108864.0 + l_qp AS s_qp,
+         h_dt * 67108864.0 + l_dt AS s_dt
+  FROM m
 )
 SELECT l_returnflag,
        round(sqrt((s_qq - s_q * s_q / n) / (n - 1.0)) / 100.0, 6) AS sd_qty,
@@ -201,7 +239,7 @@ SELECT l_returnflag,
        round((s_qp - s_q * s_p / n)
              / sqrt((s_qq - s_q * s_q / n) * (s_pp - s_p * s_p / n)), 6) AS corr_qe,
        round((s_dt - s_d * s_t / n) / (n - 1.0) / 100000000.0, 6) AS cov_dt
-FROM m
+FROM s
 """
 
 
@@ -937,9 +975,9 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_MAP_FUNCS = """
 SELECT event_id,
-       'k' AS first_key,
+       json_keys(props)[1] AS first_key,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-       CAST(1 AS BIGINT) AS n_keys
+       CAST(len(json_keys(props)) AS BIGINT) AS n_keys
 FROM events
 """
 
@@ -1055,10 +1093,14 @@ FROM (
 
 
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 JSON scalar: parse the ``props`` JSON column."""
+    """§2.9 JSON scalar: parse the ``props`` JSON column. One
+    ``from_json`` to a typed struct (single Jackson parse per row) —
+    ``get_json_object`` re-parses the document per extraction path."""
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        ev.select(
+            "event_type", F.from_json("props", "k int").getField("k").alias("k")
+        )
         .groupBy("event_type")
         .agg(
             F.round(F.avg("k"), 6).alias("avg_k"),

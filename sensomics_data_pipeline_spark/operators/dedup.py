@@ -24,6 +24,15 @@ def _hash_expr(col, seed: int | None = None):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def _hex_hash_expr(col):
+    """15-char lowercase hex form of the portable 60-bit hash — same
+    identity as ``_hash_expr`` (fixed-length hex is order- and
+    equality-isomorphic to the bigint) but skips the conv(16,10) base
+    conversion, which dominates hashing cost. Use wherever the hash is
+    only a join/group key, never exposed."""
+    return F.substring(F.md5(col), 1, 15)
+
+
 def exact_duplicates(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -54,7 +63,7 @@ def shingle_sets(
             F.col(key_col).alias("doc_id"),
             F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
         )
-        .select("doc_id", _hash_expr(F.col("shingle")).alias("sh"))
+        .select("doc_id", _hex_hash_expr(F.col("shingle")).alias("sh"))
         .distinct()
     )
 

@@ -71,8 +71,15 @@ def subtract_intervals(
     where start == end. We keep zero-width pieces for parity but expose
     ``drop_empty`` for the sane default).
     """
-    bid = F.monotonically_increasing_id()
-    b = base.withColumn("_bid", bid)
+    # deterministic per-base-interval id: row_number over the interval
+    # sort keys. monotonically_increasing_id would be re-evaluated
+    # independently in the left_pieces and tail branches of the union
+    # below (and on stage retry), letting the two branches disagree on
+    # which base row owns which id. Identical duplicate rows may swap
+    # ids between evaluations, but they are interchangeable — every
+    # assignment yields the same output multiset.
+    wb = Window.partitionBy(*partition_cols).orderBy(start_col, end_col)
+    b = base.withColumn("_bid", F.row_number().over(wb))
     s = merge_intervals(sub, partition_cols, start_col, end_col).select(
         *partition_cols,
         F.col(start_col).alias("_ss"),
@@ -98,8 +105,10 @@ def subtract_intervals(
             F.col("_se").isNotNull(), F.least(F.col("_se"), b[end_col])
         ).alias("_ce"),
     )
-    # per base interval, walk clipped covered spans in order and emit gaps
-    w = Window.partitionBy("_bid").orderBy("_cs")
+    # per base interval, walk clipped covered spans in order and emit
+    # gaps (_bid is unique only within its partition group, so the
+    # window keys include the partition columns)
+    w = Window.partitionBy(*partition_cols, "_bid").orderBy("_cs")
     gaps = (
         clipped.withColumn(
             "_prev_end",

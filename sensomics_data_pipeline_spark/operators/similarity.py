@@ -211,36 +211,62 @@ def cosine_near_dup_pairs(
     if method == "exact":
         return _near_dup_exact(df, key_col, vec_col, threshold, n_chunks)
 
-    candidates = None
-    for t in range(n_tables):
-        bucket = hyperplane_bucket(
-            F.col(vec_col), dim, n_planes, seed_base=1 + t * n_planes
-        )
-        b = df.select(F.col(key_col).alias("vid"), bucket.alias("bucket"))
-        a_side = b.select(F.col("vid").alias("vec_a"), "bucket")
-        b_side = b.select(F.col("vid").alias("vec_b"), "bucket")
-        pairs_t = (
-            a_side.join(b_side, "bucket")
-            .filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b")
-        )
-        candidates = pairs_t if candidates is None else candidates.unionByName(pairs_t)
-    candidates = candidates.distinct()
+    import numpy as np
+    import pandas as pd
 
-    norm = l2_norm(F.col(vec_col))
-    unit = df.select(
+    # one projection computes every table's bucket id (an array), then
+    # posexplode → a single (table, bucket) equi-join builds candidates
+    # for all tables at once
+    buckets = F.array(
+        *[
+            hyperplane_bucket(F.col(vec_col), dim, n_planes, seed_base=1 + t * n_planes)
+            for t in range(n_tables)
+        ]
+    )
+    b = df.select(
         F.col(key_col).alias("vid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("unit"),
+        F.posexplode(buckets).alias("tbl", "bucket"),
     )
-    va = unit.select(F.col("vid").alias("vec_a"), F.col("unit").alias("_ua"))
-    vb = unit.select(F.col("vid").alias("vec_b"), F.col("unit").alias("_ub"))
-    return (
-        candidates.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .withColumn("cos_sim", F.round(dot(F.col("_ua"), F.col("_ub")), 6))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("vec_a", "vec_b", "cos_sim")
+    a_side = b.select(F.col("vid").alias("vec_a"), "tbl", "bucket")
+    b_side = b.select(F.col("vid").alias("vec_b"), "tbl", "bucket")
+    candidates = (
+        a_side.join(b_side, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
     )
+
+    va = df.select(F.col(key_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(key_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+    with_vecs = candidates.join(va, "vec_a").join(vb, "vec_b")
+
+    out_cols = ["vec_a", "vec_b", "cos_sim"]
+    out_schema = "vec_a long, vec_b long, cos_sim double"
+
+    # exact rescore in one vectorized Arrow batch pass (BLAS) — the
+    # per-pair zip_with/aggregate dot is a higher-order expression that
+    # Catalyst evaluates interpreted, ~100× slower on wide candidates
+    def rescore(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.array(list(pdf["_va"]), dtype=np.float64)
+            bm = np.array(list(pdf["_vb"]), dtype=np.float64)
+            sims = np.round(
+                np.einsum("ij,ij->i", a, bm)
+                / (np.linalg.norm(a, axis=1) * np.linalg.norm(bm, axis=1)),
+                6,
+            )
+            out = pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy(dtype=np.int64),
+                    "vec_b": pdf["vec_b"].to_numpy(dtype=np.int64),
+                    "cos_sim": sims,
+                }
+            )
+            yield out[out["cos_sim"] >= threshold]
+
+    return with_vecs.mapInPandas(rescore, out_schema)
 
 
 def _near_dup_exact(

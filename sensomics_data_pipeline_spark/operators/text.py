@@ -129,14 +129,20 @@ def doc_fingerprint(
     fingerprints ⇒ near-identical prefix content; used as a cheap
     first-pass near-dup key."""
     sh = word_shingles(F.col(text_col), shingle_n)
-    hashes = F.transform(
-        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
-    )
-    # materialize the hash array once; min and max read the same column
-    # (two separate withColumns would hash every shingle twice)
+    # Keep per-shingle hashes as 15-char lowercase hex: fixed-length hex
+    # orders lexicographically exactly as its numeric value, so min/max
+    # run on the strings and the costly conv(16,10) base conversion is
+    # applied only to the TWO winners per document instead of every
+    # shingle. The hash array stays behind its own alias so Catalyst
+    # does not inline (and re-md5) it into both min and max.
+    hex_hashes = F.transform(sh, lambda s: F.substring(F.md5(s), 1, 15))
     return (
-        df.withColumn("_hashes", hashes)
-        .withColumn("fingerprint_min", F.array_min("_hashes"))
-        .withColumn("fingerprint_max", F.array_max("_hashes"))
-        .drop("_hashes")
+        df.withColumn("_hex", hex_hashes)
+        .withColumn(
+            "fingerprint_min", F.conv(F.array_min("_hex"), 16, 10).cast("bigint")
+        )
+        .withColumn(
+            "fingerprint_max", F.conv(F.array_max("_hex"), 16, 10).cast("bigint")
+        )
+        .drop("_hex")
     )

@@ -180,6 +180,17 @@ def read_excel_measurements(spark: SparkSession, path: str) -> DataFrame:
     import pandas as pd
 
     sheets = pd.read_excel(path, sheet_name=None, dtype=str)
+    return computed_sheets_to_df(spark, sheets)
+
+
+def computed_sheets_to_df(spark: SparkSession, sheets: dict) -> DataFrame:
+    """Everything of the workbook source except the openpyxl parse:
+    {sheet name: all-string pandas frame} → one Spark DataFrame with a
+    ``_sheet`` lineage column. Split out so the full ingestion path is
+    testable without openpyxl — a CSV read with ``dtype=str`` produces
+    the identical frame shape ``pd.read_excel(dtype=str)`` would."""
+    import pandas as pd
+
     frames = [df.assign(_sheet=name) for name, df in sheets.items()]
     pdf = pd.concat(frames, ignore_index=True)
     return spark.createDataFrame(pdf)

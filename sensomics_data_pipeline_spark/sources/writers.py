@@ -53,17 +53,16 @@ def write_three_way_split(
             ("ac", ac),
         ):
             path = f"{out_dir}/{name}"
+            if fmt == "csv":
+                # arrays don't survive CSV — stringify for export parity
+                for f_ in part.schema.fields:
+                    if f_.dataType.simpleString().startswith("array"):
+                        part = part.withColumn(f_.name, F.to_json(f_.name))
             writer = part.write.mode("overwrite")
             if partition_cols:
                 writer = writer.partitionBy(*partition_cols)
             if fmt == "csv":
-                # arrays don't survive CSV — stringify for export parity
-                part2 = part
-                for f_ in part.schema.fields:
-                    if f_.dataType.simpleString().startswith("array"):
-                        part2 = part2.withColumn(f_.name, F.to_json(f_.name))
-                writer = part2.write.mode("overwrite").option("header", "true")
-                writer.csv(path)
+                writer.option("header", "true").csv(path)
             else:
                 writer.parquet(path)
             out[name] = path

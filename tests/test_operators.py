@@ -272,3 +272,39 @@ def test_streaming_exact_dedup_within_watermark(spark, sf_dir):
     out = run_bounded(deduped, "append")
     n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert out.count() == n_src
+
+
+# ---------------------------------------------------------------------------
+# Organize-stage filename inference
+# ---------------------------------------------------------------------------
+
+def test_organize_keys_and_stem_detect(spark):
+    from sensomics_data_pipeline_spark.sources import organize
+
+    paths = [
+        ("dir/subj%20A_ab-cd-ef-01-02-03_2024-03-01.json",),
+        ("dir/subj A_ab-cd-ef-01-02-03_2024-03-02.json",),
+        ("dir/noid.json",),
+    ]
+    df = spark.createDataFrame(paths, "path string")
+    out = organize.with_organize_keys(df).collect()
+    by_path = {r["path"]: r for r in out}
+    r1 = by_path[paths[0][0]]
+    assert r1["subject_id"] == "ab-cd-ef-01-02-03"
+    assert str(r1["date"]) == "2024-03-01"
+    assert (
+        organize.subject_id_date(F.lit(paths[1][0]))
+        is not None
+    )
+    row = spark.range(1).select(
+        organize.subject_id_date(F.lit(paths[1][0])).alias("k"),
+        organize.file_stem(F.lit(paths[0][0])).alias("stem"),
+    ).first()
+    assert row["k"] == "ab-cd-ef-01-02-03_2024-03-02"
+    assert row["stem"] == "subj A_ab-cd-ef-01-02-03_2024-03-01"
+    assert by_path[paths[2][0]]["subject_id"] == ""
+    assert by_path[paths[2][0]]["date"] is None
+
+    # one unique stem across the listing (date suffix stripped)
+    two = spark.createDataFrame(paths[:2], "path string")
+    assert organize.auto_stem_detect(two) == ["subj A_ab-cd-ef-01-02-03"]

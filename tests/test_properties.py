@@ -169,3 +169,53 @@ def pipelines_reformat(spark, df):
 
 def test_excel_source_gated(spark):
     pytest.importorskip("openpyxl", reason="Excel source gated behind openpyxl")
+
+
+def test_computed_workbook_path_end_to_end_csv_shaped(spark):
+    """Entry point 1's ``-e`` mode end-to-end without openpyxl: a CSV
+    read with ``dtype=str`` yields the identical all-string frame shape
+    ``pd.read_excel(dtype=str)`` would, so everything downstream of the
+    openpyxl parse — ``computed_sheets_to_df`` → ``melt_computed_wide``
+    reshape → workbook-min skew reference → ``reformat_raw`` with the
+    15-min-quantized correction — runs for real
+    (``/root/reference/raw_data_reformat.py:151-185`` + ``:39-56``)."""
+    import io as _io
+    import json
+
+    import pandas as pd
+
+    from sensomics_data_pipeline_spark.operators.unpivot import melt_computed_wide
+    from sensomics_data_pipeline_spark.plans.pipelines import reformat_raw
+    from sensomics_data_pipeline_spark.sources.readers import computed_sheets_to_df
+
+    csv_text = (
+        "Time,Heart rate (bpm),SaO2 (%),Total sleep,Body temperature (F),"
+        "Body temperature (C)\n"
+        "2024-03-01 08:00:00,72,98,7h30m,98.6,37.0\n"
+        "2024-03-01 08:15:00,75,,,,\n"
+    )
+    sheets = {"Sheet1": pd.read_csv(_io.StringIO(csv_text), dtype=str)}
+    wide = computed_sheets_to_df(spark, sheets)
+    assert "_sheet" in wide.columns
+    long = melt_computed_wide(wide)
+    got = {(r["kind"], r["data"]) for r in long.collect()}
+    assert ("hr", 72.0) in got and ("hr", 75.0) in got
+    assert ("sleep_total", 450.0) in got  # 7h30m → minutes
+    assert not any(k == "Body temperature (F)" for k, _ in got)
+
+    # skew reference = workbook min Time (the reference's excel_ref),
+    # raw device clock 20 minutes behind → quantized to +15 min
+    ref_s = long.agg(F.min("date_time")).first()[0].timestamp()
+    base_ms = int((ref_s - 20 * 60) * 1000)
+    raw = spark.createDataFrame(
+        [
+            (base_ms, "hr current", json.dumps([71.0]), "j1"),
+            (base_ms + 1000, "hr current", json.dumps([72.0]), "j1"),
+        ],
+        "time long, kind string, data string, jname string",
+    )
+    measurements, _ppg, _ac, d_time = reformat_raw(raw, ref_time_s=ref_s)
+    assert d_time == 900_000  # round(20min / 15min) * 15min
+    rows = measurements.orderBy("date_time").collect()
+    assert [r["kind"] for r in rows] == ["hr current", "hr current"]
+    assert rows[0]["date_time"].timestamp() == base_ms / 1000 + 900
