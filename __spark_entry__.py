@@ -119,10 +119,19 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: exact interpolated quantiles per group (sleep-threshold op,
     ``/root/reference/activity_categorize.py:151-162``)."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.025)"), 6).alias("q_low"),
-        F.round(F.expr("percentile(value, 0.975)"), 6).alias("q_high"),
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("q_med"),
+    # one percentile aggregate with an array of fractions: a single
+    # per-group sort buffer instead of three
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, array(0.025, 0.975, 0.5))").alias("_q")
+        )
+        .select(
+            "event_type",
+            F.round(F.col("_q")[0], 6).alias("q_low"),
+            F.round(F.col("_q")[1], 6).alias("q_high"),
+            F.round(F.col("_q")[2], 6).alias("q_med"),
+        )
     )
 
 

@@ -49,6 +49,7 @@ def subtract_intervals(
     partition_cols: list[str],
     start_col: str = "start_time",
     end_col: str = "end_time",
+    broadcast_sub: bool = True,
 ) -> DataFrame:
     """J4: temporal EXCEPT — remove from each ``base`` interval every
     region covered by any ``sub`` interval (``subtract_intervals``,
@@ -90,7 +91,13 @@ def subtract_intervals(
     cond = (F.col("_ss") <= b[end_col]) & (F.col("_se") >= b[start_col])
     for c in partition_cols:
         cond = (b[c] == s[c]) & cond
-    clipped = b.join(F.broadcast(s), on=cond, how="left").select(
+    # interval lists are usually tiny relative to measurements →
+    # broadcast by default. When the merged sub side outgrows a
+    # broadcast, pass broadcast_sub=False: with partition_cols the
+    # equality conjuncts make this a shuffled equi-join with the range
+    # predicate as a post-filter (co-partitioned by entity, no BNLJ).
+    s_side = F.broadcast(s) if broadcast_sub else s
+    clipped = b.join(s_side, on=cond, how="left").select(
         *[b[c] for c in partition_cols],
         b["_bid"],
         b[start_col].alias("_bs"),

@@ -42,24 +42,36 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality signals: length, token stats, punctuation /
-    digit / uppercase ratios, stopword ratio, mean word length."""
+    digit / uppercase ratios, stopword ratio, mean word length.
+
+    The tokenization runs ONCE per row: ``_toks``/counts are
+    materialized behind aliases referenced by every downstream feature
+    — inlining the split+filter into each of the four consumers (what
+    CollapseProject does to unaliased expressions) would re-tokenize
+    the document per feature."""
     c = F.col(text_col)
-    n_chars = F.length(c)
-    toks = tokens(c)
-    n_tokens = F.size(toks)
+    pre = (
+        df.withColumn("_toks", tokens(c))
+        .withColumn("n_chars_q", F.length(c))
+        .withColumn("n_tokens", F.size("_toks"))
+    )
+    n_chars = F.col("n_chars_q")
+    n_tokens = F.col("n_tokens")
     stop_hits = F.size(
-        F.filter(toks, lambda t: F.lower(t).isin(LANG_MARKERS["en"]))
+        F.filter(F.col("_toks"), lambda t: F.lower(t).isin(LANG_MARKERS["en"]))
     )
     n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
     n_digit = n_chars - F.length(F.regexp_replace(c, r"[0-9]", ""))
     n_upper = n_chars - F.length(F.regexp_replace(c, r"[A-Z]", ""))
     return (
-        df.withColumn("n_chars_q", n_chars)
-        .withColumn("n_tokens", n_tokens)
-        .withColumn(
+        pre.withColumn(
             "mean_word_len",
             F.round(
-                F.when(n_tokens > 0, (F.length(F.concat_ws("", toks)) / n_tokens)).otherwise(0.0), 6
+                F.when(
+                    n_tokens > 0,
+                    (F.length(F.concat_ws("", F.col("_toks"))) / n_tokens),
+                ).otherwise(0.0),
+                6,
             ),
         )
         .withColumn("punct_ratio", F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6))
@@ -69,6 +81,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "stopword_ratio",
             F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6),
         )
+        .drop("_toks")
     )
 
 

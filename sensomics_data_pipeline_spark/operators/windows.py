@@ -122,6 +122,13 @@ def merge_adjacent_categorized(
 
     Islands: a new island starts when the category changes OR the window
     is not flush with the previous one's end.
+
+    Scale note: with ``partition_cols=[]`` the islands window is global
+    (single-task sort) — legitimate ONLY because inputs to this
+    operator are post-aggregation window tables whose cardinality is
+    bounded by time-range/window-size (e.g. ≤ ~105k rows/year at 5-min
+    windows), independent of raw data volume. For per-entity interval
+    tables always pass the entity key as ``partition_cols``.
     """
     w = Window.partitionBy(*partition_cols).orderBy(start_col)
     new_island = (
