@@ -68,6 +68,59 @@ def shingle_sets(
     )
 
 
+def hashed_shingle_sets(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Exploded distinct ``(doc_id, set_size, sh)`` rows, one per
+    distinct shingle per doc, with NO shuffle: per-doc dedup happens
+    map-side via ``array_distinct`` on the RAW shingles (so ``set_size``
+    is a free ``size()`` — distinct raw shingles and distinct hashes
+    are the same set), and the md5 hash is applied AFTER the explode in
+    a flat codegen'd projection — hashing inside a higher-order
+    ``transform`` falls out of whole-stage codegen and was ~2× slower.
+    Set sizes ride along through the explode instead of needing a
+    groupBy + join-back, which is what let the round-2 plan's
+    ``persist()`` (with no unpersist point) be deleted outright.
+
+    The shingle array is materialized as a real attribute through a
+    one-element ``explode(array(struct(...)))`` BEFORE the shingle
+    explode: putting ``size(arr)`` and ``explode(arr)`` in one
+    projection over the raw expression lets Catalyst's projection
+    collapse substitute the full shingle-HOF tree into every consumer,
+    re-tokenizing each document once per EXPLODED ROW (~50× duplicated
+    work, measured 8× slower end-to-end). ``size()`` on a materialized
+    attribute is O(1), so the barrier makes the collapse harmless."""
+    from sensomics_data_pipeline_spark.util import fan_out
+
+    raw = F.array_distinct(word_shingles(F.col(text_col), n))
+    barrier = fan_out(df).select(
+        F.col(key_col).alias("doc_id"),
+        F.explode(F.array(F.struct(raw.alias("shs")))).alias("_w"),
+    )
+    return barrier.select(
+        "doc_id",
+        F.size("_w.shs").alias("set_size"),
+        F.explode("_w.shs").alias("_shingle"),
+    ).select(
+        "doc_id", "set_size", _hex_hash_expr(F.col("_shingle")).alias("sh")
+    )
+
+
+def _pair_combos(ds_col):
+    """All ordered combinations (i < j) of a SORTED array of structs —
+    the inverted-index pair generator. Emitted as structs so one explode
+    yields both pair members with their piggybacked payloads."""
+    return F.flatten(
+        F.transform(
+            ds_col,
+            lambda x, i: F.transform(
+                F.slice(ds_col, i + F.lit(2), F.size(ds_col)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -75,46 +128,150 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    safe_df_cap: bool = False,
+    prefix_filter: bool = False,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
-    explode → self-equi-join on shingle hash → per-pair intersection
-    count → |A∪B| = |A|+|B|−|A∩B|.
+    """Exact n-gram Jaccard near-dup pairs via a shingle inverted index.
 
-    The shingle join is the scale risk (hot shingles fan out
-    quadratically) — ``max_df`` drops stop-shingles appearing in more
-    than that many documents BEFORE the join, bounding every shingle's
-    fan-out at max_df². Set sizes are computed before the cap so the
-    Jaccard denominator stays exact; the intersection count is then a
-    lower bound for pairs dominated by stop-shingles (documented
-    approximation — MinHash/LSH below is the preferred scale path; this
-    variant is the ground truth for its recall on non-degenerate
-    corpora).
+    Plan (2 shuffles, no persist, no self-join): map-side per-doc
+    distinct shingle arrays (``shingle_arrays``) → explode carrying
+    ``set_size`` → groupBy shingle collecting the sorted posting list →
+    emit all in-list combinations → count per pair → Jaccard from
+    |A∪B| = |A|+|B|−|A∩B|. Set sizes piggyback on the posting structs,
+    so there is no groupBy-sizes + double join-back, and nothing is
+    computed twice — the round-2 ``persist()`` with no unpersist point
+    is gone because no branch re-reads the substrate.
+
+    Scale levers, both optional:
+
+    - ``max_df``: drop stop-shingles whose posting list exceeds
+      ``max_df`` docs, bounding each shingle's pair fan-out at
+      max_df²/2. Sizes are computed before the cap so the denominator
+      stays exact; intersection counts become a lower bound for pairs
+      dominated by stop-shingles (documented approximation —
+      MinHash/LSH is the preferred scale path). By default the cap is
+      applied by filtering AFTER the posting list is collected — one
+      shuffle, but a pathologically hot shingle materializes its full
+      list in one aggregation buffer. ``safe_df_cap=True`` switches to
+      the two-phase plan (count df, semi-join rare shingles, then
+      collect) that never builds an over-cap buffer — the right setting
+      for 100-TB corpora, at the cost of one extra shuffle.
+
+    - ``prefix_filter``: LOSSLESS candidate pruning for
+      ``threshold > 2/3``. Each doc drops its ⌊(1−θ)·|set|⌋ globally
+      most-frequent shingles before pair generation; a qualifying pair
+      (J ≥ θ) shares ≥ θ·(|A|+|B|)/2 shingles of which the two drops
+      remove at most (1−θ)·(|A|+|B|), leaving ≥ (3θ/2−1)·(|A|+|B|) > 0
+      shared survivors — so every true pair still collides. Exact
+      intersection counts are then recomputed from the FULL sets for
+      the surviving candidates only. Raises for θ ≤ 2/3 where the
+      bound is vacuous.
     """
-    # the shingle set feeds sizes, the df-cap, and both join sides —
-    # persist so the scan+shingle+hash runs once, not four times
-    sets = shingle_sets(df, key_col, text_col, n).persist()
-    sizes = sets.groupBy("doc_id").agg(F.count("*").alias("set_size"))
-    if max_df is not None:
+    sets = hashed_shingle_sets(df, key_col, text_col, n)
+
+    if prefix_filter:
+        if threshold <= 2.0 / 3.0:
+            raise ValueError(
+                f"prefix_filter is only lossless for threshold > 2/3, got {threshold}"
+            )
+        from pyspark.sql import Window
+
+        dfc = sets.groupBy("sh").agg(F.count("*").alias("_df"))
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("_df").desc(), F.col("sh")
+        )
+        kept = (
+            sets.join(dfc, "sh")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(
+                F.col("_rn")
+                > F.floor(F.lit(1.0 - threshold) * F.col("set_size"))
+            )
+            .select("doc_id", "set_size", "sh")
+        )
+        cand_src = kept
+    else:
+        cand_src = sets
+
+    if max_df is not None and safe_df_cap:
         rare = (
-            sets.groupBy("sh")
+            cand_src.groupBy("sh")
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") <= max_df)
             .select("sh")
         )
-        sets = sets.join(rare, "sh")
-    a = sets.alias("a")
-    b = sets.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
+        cand_src = cand_src.join(rare, "sh")
+
+    # Posting-list element: (doc_id, set_size), packed into ONE long when
+    # the key is a non-negative integer — primitive long arrays make the
+    # collect_list / array_sort / combination explode allocate flat
+    # word-sized cells instead of a struct row per element (~2× faster
+    # measured; the combos HOF is interpreted, so allocation dominates).
+    # Packing is monotone in doc_id (set_size occupies the low bits), so
+    # sorted order and the a<b pair orientation are preserved. Guarded:
+    # a doc whose distinct-shingle count exceeds the low-bit capacity
+    # raises rather than silently corrupting keys.
+    integral_key = dict(df.dtypes)[key_col] in ("tinyint", "smallint", "int", "bigint")
+    if integral_key:
+        ss_bits = 21  # set_size < 2^21 (≈2M distinct shingles ≈ multi-MB doc)
+        cap = 1 << ss_bits
+        packed = F.when(
+            (F.col("set_size") < cap) & (F.col("doc_id") >= 0),
+            F.col("doc_id") * cap + F.col("set_size"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("ngram_jaccard_pairs: packed-key overflow for doc "),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+        )
+        elem = packed
+    else:
+        elem = F.struct("doc_id", "set_size")
+
+    posting = cand_src.groupBy("sh").agg(
+        F.array_sort(F.collect_list(elem.alias("e"))).alias("ds")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    if max_df is not None and not safe_df_cap:
+        posting = posting.filter(F.size("ds") <= max_df)
+    pairs = posting.filter(F.size("ds") > 1).select(
+        F.explode(_pair_combos(F.col("ds"))).alias("p")
+    )
+    if integral_key:
+        common = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.count("*").alias("n_common"))
+            .select(
+                F.expr(f"a DIV {cap}").alias("doc_a"),
+                F.expr(f"b DIV {cap}").alias("doc_b"),
+                F.pmod("a", F.lit(cap)).cast("int").alias("size_a"),
+                F.pmod("b", F.lit(cap)).cast("int").alias("size_b"),
+                "n_common",
+            )
+        )
+    else:
+        common = pairs.groupBy(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.set_size").alias("size_a"),
+            F.col("p.b.set_size").alias("size_b"),
+        ).agg(F.count("*").alias("n_common"))
+
+    if prefix_filter:
+        # exact recount from FULL sets, restricted to surviving candidates
+        cands = common.select("doc_a", "doc_b", "size_a", "size_b")
+        ea = sets.select(F.col("doc_id").alias("doc_a"), "sh")
+        eb = sets.select(F.col("doc_id").alias("doc_b"), "sh")
+        common = (
+            cands.join(ea, "doc_a")
+            .join(eb, ["doc_b", "sh"])
+            .groupBy("doc_a", "doc_b", "size_a", "size_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
@@ -151,10 +308,23 @@ def minhash_wide(
     (mod p) → k universal-hash minima. ZERO shuffles (the naive design
     explodes |shingles|·k rows through a groupBy). min over the shingle
     multiset equals min over the set, so no distinct pass either. Docs
-    with < n tokens (no shingles) are dropped."""
+    with < n tokens (no shingles) are dropped.
+
+    The base-hash array is materialized as a real attribute through a
+    one-element ``explode(array(struct(...)))`` barrier: with a plain
+    aliased projection, Catalyst's filter-pushdown + projection
+    collapse substitutes the md5-HOF expression into ALL k ``array_min``
+    consumers, re-hashing every shingle k times (measured ~2× slower at
+    k=16; the same pitfall is documented on ``hashed_shingle_sets``)."""
+    from sensomics_data_pipeline_spark.util import fan_out
+
     base = F.transform(
         word_shingles(F.col(text_col), n),
         lambda s: F.pmod(_hash_expr(s), F.lit(MINHASH_P)),
+    )
+    barrier = fan_out(df).select(
+        F.col(key_col).alias("doc_id"),
+        F.explode(F.array(F.struct(base.alias("h")))).alias("_w"),
     )
     minima = []
     for seed in range(num_hashes):
@@ -168,7 +338,7 @@ def minhash_wide(
             )
         )
     return (
-        df.select(F.col(key_col).alias("doc_id"), base.alias("_base"))
+        barrier.select("doc_id", F.col("_w.h").alias("_base"))
         .filter(F.size("_base") > 0)
         .select("doc_id", F.array(*minima).alias("mhs"))
     )
@@ -187,16 +357,14 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def _band_explode(
     signatures: DataFrame,
-    band_size: int = 4,
-    num_hashes: int = 16,
+    band_size: int,
+    num_hashes: int,
+    carry: list[str],
 ) -> DataFrame:
-    """LSH banding over wide signatures: slice the signature array into
-    bands of ``band_size``, stringify each band, explode to
-    (doc, band, band_sig), equi-join on (band, band_sig) — never an
-    all-pairs scan. Input: ``minhash_wide`` output (doc_id, mhs).
-    """
+    """Slice each wide signature into bands and explode to one row per
+    (doc, band, band_sig), carrying any extra columns in ``carry``."""
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -213,9 +381,22 @@ def lsh_candidate_pairs(
             for i in range(n_bands)
         ]
     )
-    banded = signatures.select(
-        "doc_id", F.explode(bands).alias("b")
-    ).select("doc_id", "b.band", "b.band_sig")
+    return signatures.select(
+        "doc_id", *carry, F.explode(bands).alias("b")
+    ).select("doc_id", *carry, "b.band", "b.band_sig")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    band_size: int = 4,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """LSH banding over wide signatures: slice the signature array into
+    bands of ``band_size``, stringify each band, explode to
+    (doc, band, band_sig), equi-join on (band, band_sig) — never an
+    all-pairs scan. Input: ``minhash_wide`` output (doc_id, mhs).
+    """
+    banded = _band_explode(signatures, band_size, num_hashes, [])
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -243,26 +424,45 @@ def minhash_lsh_dedup(
     """Full MinHash+LSH near-dup pipeline: wide signatures → banded
     candidate pairs → estimated Jaccard (fraction of equal minhash
     positions, via one zip_with over the two signature arrays — no
-    per-seed join)."""
-    # signatures feed banding and both sides of the estimate join —
-    # persist so the shingle hashing computes once
-    sigs = minhash_wide(df, key_col, text_col, n, num_hashes).persist()
-    pairs = lsh_candidate_pairs(sigs, band_size, num_hashes)
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("mhs").alias("_ma"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("mhs").alias("_mb"))
+    per-seed join).
+
+    No self-join and no persist: banded rows (carrying their doc's full
+    ``mhs``) are grouped by (band, band_sig) into sorted bucket lists,
+    and candidate pairs are emitted as in-bucket combinations — the
+    same inverted-index pair generation as ``ngram_jaccard_pairs``.
+    The round-2 version self-joined the banded table, which forced the
+    md5-heavy signature projection to be computed once per join side
+    (hence its ``persist()`` with no unpersist point); with bucket
+    collection the signatures have exactly ONE consumer, so nothing is
+    computed twice and nothing is pinned. LSH buckets are small by
+    construction (that is the point of banding), so the per-bucket
+    combination fan-out is bounded; a degenerate band value would show
+    up as a hot aggregation key — the same skew surface the join had."""
+    sigs = minhash_wide(df, key_col, text_col, n, num_hashes)
+    banded = _band_explode(sigs, band_size, num_hashes, ["mhs"])
+    buckets = banded.groupBy("band", "band_sig").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "mhs"))).alias("ds")
+    )
+    pairs = (
+        buckets.filter(F.size("ds") > 1)
+        .select(F.explode(_pair_combos(F.col("ds"))).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.mhs").alias("_ma"),
+            F.col("p.b.mhs").alias("_mb"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("_ma").alias("_ma"), F.first("_mb").alias("_mb"))
+    )
     matches = F.size(
         F.filter(
             F.zip_with("_ma", "_mb", lambda x, y: x == y), lambda v: v
         )
     )
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "est_jaccard", F.round(matches / F.lit(num_hashes), 6)
-        )
-        .select("doc_a", "doc_b", "est_jaccard")
-    )
+    return pairs.withColumn(
+        "est_jaccard", F.round(matches / F.lit(num_hashes), 6)
+    ).select("doc_a", "doc_b", "est_jaccard")
 
 
 def simhash(
@@ -280,8 +480,9 @@ def simhash(
     with a bit-shift dot product. All built-ins.
     """
     from sensomics_data_pipeline_spark.operators.text import tokens
+    from sensomics_data_pipeline_spark.util import fan_out
 
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(key_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     )
@@ -303,4 +504,76 @@ def simhash(
         F.sum(
             F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
         ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs from SimHash signatures: the Hamming-distance join
+    that makes ``simhash`` useful as a dedup operator.
+
+    LOSSLESS banding by pigeonhole: split the ``bits``-bit signature
+    into ``n_bands`` contiguous bands; two signatures within Hamming
+    distance ``max_hamming`` ≤ n_bands − 1 differ in at most
+    ``max_hamming`` bands, so at least one band is bit-identical —
+    an equi-join on (band index, band value) finds every qualifying
+    pair without an all-pairs scan (the standard rotate-and-band
+    construction). Candidates are then filtered exactly with
+    ``bit_count(a ^ b) <= max_hamming``.
+
+    Like ``minhash_lsh_dedup``, candidate pairs come from in-bucket
+    combinations after a groupBy — not a self-join — so the
+    shuffle-heavy signature computation (two aggregations) runs ONCE
+    and nothing needs a persist. Raises if ``max_hamming`` cannot be
+    guaranteed lossless for the chosen band count.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding is lossless only for max_hamming <= n_bands-1 "
+            f"({n_bands - 1}), got {max_hamming}"
+        )
+    if bits % n_bands:
+        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sigs = simhash(df, key_col, text_col, bits)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(f"(simhash >> {i * band_bits}) & {mask}").alias("bv"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "simhash", F.explode(bands).alias("b")
+    ).select("doc_id", "simhash", "b.band", "b.bv")
+    buckets = banded.groupBy("band", "bv").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds")
+    )
+    pairs = (
+        buckets.filter(F.size("ds") > 1)
+        .select(F.explode(_pair_combos(F.col("ds"))).alias("p"))
+        .groupBy(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.first("p.a.simhash").alias("_sa"),
+            F.first("p.b.simhash").alias("_sb"),
+        )
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.expr("_sa ^ _sb")).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )

@@ -146,16 +146,23 @@ def doc_fingerprint(
     # orders lexicographically exactly as its numeric value, so min/max
     # run on the strings and the costly conv(16,10) base conversion is
     # applied only to the TWO winners per document instead of every
-    # shingle. The hash array stays behind its own alias so Catalyst
-    # does not inline (and re-md5) it into both min and max.
+    # shingle. The hash array is materialized as a real attribute via a
+    # one-element explode barrier — a plain alias does NOT stop
+    # Catalyst's projection collapse from inlining (and re-md5-ing) the
+    # HOF into both the min and the max consumer (see
+    # ``dedup.hashed_shingle_sets`` for the measured pitfall).
+    from sensomics_data_pipeline_spark.util import fan_out
+
     hex_hashes = F.transform(sh, lambda s: F.substring(F.md5(s), 1, 15))
+    barrier = fan_out(df).withColumn(
+        "_w", F.explode(F.array(F.struct(hex_hashes.alias("h"))))
+    )
     return (
-        df.withColumn("_hex", hex_hashes)
-        .withColumn(
-            "fingerprint_min", F.conv(F.array_min("_hex"), 16, 10).cast("bigint")
+        barrier.withColumn(
+            "fingerprint_min", F.conv(F.array_min("_w.h"), 16, 10).cast("bigint")
         )
         .withColumn(
-            "fingerprint_max", F.conv(F.array_max("_hex"), 16, 10).cast("bigint")
+            "fingerprint_max", F.conv(F.array_max("_w.h"), 16, 10).cast("bigint")
         )
-        .drop("_hex")
+        .drop("_w")
     )

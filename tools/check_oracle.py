@@ -81,10 +81,17 @@ def compare(name, spark_pdf, duck_pdf) -> list[str]:
     for c in s.columns:
         a, b = s[c], d[c]
         if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
-            # Exact (bitwise) float equality, NaN == NaN — matches the
-            # driver's value hashing; no isclose tolerance.
+            # TRUE bitwise float equality — matches the driver's
+            # byte-level value hashing. `av == bv` is NOT enough:
+            # IEEE -0.0 == 0.0 is True but the bytes differ, and that
+            # exact gap let stats_suite pass locally while the driver
+            # hash failed (rounds 1-2 meta-bug). Canonicalize NaNs to a
+            # single payload, then compare raw bit patterns.
             av, bv = a.to_numpy(dtype="float64"), b.to_numpy(dtype="float64")
-            eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
+            av, bv = av.copy(), bv.copy()
+            av[np.isnan(av)] = np.nan
+            bv[np.isnan(bv)] = np.nan
+            eq = av.view(np.int64) == bv.view(np.int64)
         else:
             eq = (a.astype(str) == b.astype(str)).to_numpy()
         if not eq.all():
