@@ -308,3 +308,109 @@ def test_organize_keys_and_stem_detect(spark):
     # one unique stem across the listing (date suffix stripped)
     two = spark.createDataFrame(paths[:2], "path string")
     assert organize.auto_stem_detect(two) == ["subj A_ab-cd-ef-01-02-03"]
+
+
+# ---------------------------------------------------------------------------
+# Jaccard / simhash pairing (round-3 additions)
+# ---------------------------------------------------------------------------
+
+def _brute_jaccard(docs: dict[int, str], n: int = 3) -> dict[tuple, float]:
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    out = {}
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = shingles(docs[a]), shingles(docs[b])
+            if sa and sb:
+                out[(a, b)] = len(sa & sb) / len(sa | sb)
+    return out
+
+
+def test_ngram_jaccard_matches_brute_force(spark):
+    docs = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "alpha beta gamma delta epsilon zeta eta iota",
+        3: "one two three four five six seven eight nine",
+        4: "alpha beta gamma delta epsilon zeta eta theta",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = dedup_ops.ngram_jaccard_pairs(df, threshold=0.2).toPandas()
+    want = {k: v for k, v in _brute_jaccard(docs).items() if v >= 0.2}
+    assert set(zip(got.doc_a, got.doc_b)) == set(want)
+    for r in got.itertuples():
+        assert abs(r.jaccard - want[(r.doc_a, r.doc_b)]) < 1e-6
+
+
+def test_ngram_jaccard_prefix_filter_lossless(spark):
+    """prefix_filter=True must return EXACTLY the same pairs and values
+    as the unfiltered plan for threshold > 2/3 (the lossless bound)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = {}
+    for d in range(30):
+        base = [rng.choice(vocab) for _ in range(25)]
+        docs[2 * d] = " ".join(base)
+        mutated = list(base)
+        mutated[rng.randrange(25)] = rng.choice(vocab)
+        docs[2 * d + 1] = " ".join(mutated)
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    plain = dedup_ops.ngram_jaccard_pairs(df, threshold=0.7).toPandas()
+    pref = dedup_ops.ngram_jaccard_pairs(
+        df, threshold=0.7, prefix_filter=True
+    ).toPandas()
+    key = ["doc_a", "doc_b"]
+    assert sorted(map(tuple, plain[key].values.tolist())) == sorted(
+        map(tuple, pref[key].values.tolist())
+    )
+    merged = plain.merge(pref, on=key, suffixes=("_p", "_f"))
+    assert (merged.jaccard_p - merged.jaccard_f).abs().max() < 1e-9
+    assert (merged.n_common_p == merged.n_common_f).all()
+
+
+def test_ngram_jaccard_prefix_filter_rejects_low_threshold(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="2/3"):
+        dedup_ops.ngram_jaccard_pairs(df, threshold=0.5, prefix_filter=True)
+
+
+def test_ngram_jaccard_string_keys_fall_back_to_struct_path(spark):
+    docs = {
+        "a": "alpha beta gamma delta epsilon zeta",
+        "b": "alpha beta gamma delta epsilon eta",
+        "c": "one two three four five six",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id string, text string")
+    got = dedup_ops.ngram_jaccard_pairs(df, threshold=0.2).toPandas()
+    assert ("a", "b") in set(zip(got.doc_a, got.doc_b))
+
+
+def test_simhash_pairs_matches_brute_force(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [
+        (1, base),
+        (2, base.replace("kappa", "lambda", 1)),
+        (3, "one two three four five six seven eight nine ten " * 5),
+        (4, base),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r["doc_id"]: r["simhash"] for r in dedup_ops.simhash(df, bits=60).collect()}
+    want = {
+        (a, b)
+        for i, a in enumerate(sorted(sig))
+        for b in sorted(sig)[i + 1 :]
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    got = dedup_ops.simhash_pairs(df, bits=60, n_bands=4, max_hamming=3).toPandas()
+    assert set(zip(got.doc_a, got.doc_b)) == want
+    for r in got.itertuples():
+        assert r.hamming == bin(sig[r.doc_a] ^ sig[r.doc_b]).count("1")
+
+
+def test_simhash_pairs_rejects_lossy_banding(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="lossless"):
+        dedup_ops.simhash_pairs(df, n_bands=4, max_hamming=4)

@@ -71,3 +71,28 @@ def test_no_rdd_fallbacks(spark, sf_dir):
             continue  # streaming queries execute eagerly in run_bounded
         p = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in p, name
+
+
+def test_no_unmatched_persist_in_package():
+    """Every ``.persist(`` in the engine source must live in a file that
+    also releases it with ``.unpersist(`` (a lazy operator can't offer a
+    release point, so operators must not pin cache entries at all — at
+    100 TB an unbounded pinned cache entry is a memory-pressure bug).
+    Docstring/comment mentions don't count."""
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "sensomics_data_pipeline_spark"
+    offenders = []
+    for f in pkg.rglob("*.py"):
+        code_lines = [
+            ln
+            for ln in f.read_text().splitlines()
+            if not ln.lstrip().startswith(("#", '"', "'"))
+        ]
+        has_persist = any(
+            ".persist(" in ln and ".unpersist(" not in ln for ln in code_lines
+        )
+        has_unpersist = any(".unpersist(" in ln for ln in code_lines)
+        if has_persist and not has_unpersist:
+            offenders.append(str(f))
+    assert not offenders, f"persist without unpersist in: {offenders}"
