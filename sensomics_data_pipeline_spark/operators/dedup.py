@@ -83,24 +83,24 @@ def hashed_shingle_sets(
     ``persist()`` (with no unpersist point) be deleted outright.
 
     The shingle array is materialized as a real attribute through a
-    one-element ``explode(array(struct(...)))`` BEFORE the shingle
+    generator barrier (``util.materialize``) BEFORE the shingle
     explode: putting ``size(arr)`` and ``explode(arr)`` in one
     projection over the raw expression lets Catalyst's projection
     collapse substitute the full shingle-HOF tree into every consumer,
     re-tokenizing each document once per EXPLODED ROW (~50× duplicated
     work, measured 8× slower end-to-end). ``size()`` on a materialized
     attribute is O(1), so the barrier makes the collapse harmless."""
-    from sensomics_data_pipeline_spark.util import fan_out
+    from sensomics_data_pipeline_spark.util import fan_out, materialize
 
     raw = F.array_distinct(word_shingles(F.col(text_col), n))
-    barrier = fan_out(df).select(
-        F.col(key_col).alias("doc_id"),
-        F.explode(F.array(F.struct(raw.alias("shs")))).alias("_w"),
+    barrier = materialize(
+        fan_out(df).select(F.col(key_col).alias("doc_id"), F.col(text_col)),
+        _shs=raw,
     )
     return barrier.select(
         "doc_id",
-        F.size("_w.shs").alias("set_size"),
-        F.explode("_w.shs").alias("_shingle"),
+        F.size("_shs").alias("set_size"),
+        F.explode("_shs").alias("_shingle"),
     ).select(
         "doc_id", "set_size", _hex_hash_expr(F.col("_shingle")).alias("sh")
     )
@@ -311,20 +311,20 @@ def minhash_wide(
     with < n tokens (no shingles) are dropped.
 
     The base-hash array is materialized as a real attribute through a
-    one-element ``explode(array(struct(...)))`` barrier: with a plain
-    aliased projection, Catalyst's filter-pushdown + projection
-    collapse substitutes the md5-HOF expression into ALL k ``array_min``
+    generator barrier (``util.materialize``): with a plain aliased
+    projection, Catalyst's filter-pushdown + projection collapse
+    substitutes the md5-HOF expression into ALL k ``array_min``
     consumers, re-hashing every shingle k times (measured ~2× slower at
     k=16; the same pitfall is documented on ``hashed_shingle_sets``)."""
-    from sensomics_data_pipeline_spark.util import fan_out
+    from sensomics_data_pipeline_spark.util import fan_out, materialize
 
     base = F.transform(
         word_shingles(F.col(text_col), n),
         lambda s: F.pmod(_hash_expr(s), F.lit(MINHASH_P)),
     )
-    barrier = fan_out(df).select(
-        F.col(key_col).alias("doc_id"),
-        F.explode(F.array(F.struct(base.alias("h")))).alias("_w"),
+    barrier = materialize(
+        fan_out(df).select(F.col(key_col).alias("doc_id"), F.col(text_col)),
+        _base=base,
     )
     minima = []
     for seed in range(num_hashes):
@@ -338,8 +338,7 @@ def minhash_wide(
             )
         )
     return (
-        barrier.select("doc_id", F.col("_w.h").alias("_base"))
-        .filter(F.size("_base") > 0)
+        barrier.filter(F.size("_base") > 0)
         .select("doc_id", F.array(*minima).alias("mhs"))
     )
 

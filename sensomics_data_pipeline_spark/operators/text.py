@@ -44,14 +44,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality signals: length, token stats, punctuation /
     digit / uppercase ratios, stopword ratio, mean word length.
 
-    The tokenization runs ONCE per row: ``_toks``/counts are
-    materialized behind aliases referenced by every downstream feature
-    — inlining the split+filter into each of the four consumers (what
-    CollapseProject does to unaliased expressions) would re-tokenize
-    the document per feature."""
+    The tokenization runs ONCE per row: ``_toks`` is materialized
+    through a generator barrier (``util.materialize``) — a bare alias
+    does NOT survive CollapseProject, which would inline the
+    split+filter into each downstream consumer and re-tokenize the
+    document per feature (measured on the dedup family; same trap)."""
+    from sensomics_data_pipeline_spark.util import materialize
+
     c = F.col(text_col)
     pre = (
-        df.withColumn("_toks", tokens(c))
+        materialize(df, _toks=tokens(c))
         .withColumn("n_chars_q", F.length(c))
         .withColumn("n_tokens", F.size("_toks"))
     )
@@ -103,9 +105,11 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language heuristic: count marker hits per language,
     argmax with deterministic tie-break on language code; 'und' when no
     marker hits at all."""
+    from sensomics_data_pipeline_spark.util import materialize
+
     toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
     hit_cols = []
-    out = df.withColumn("_toks", toks)
+    out = materialize(df, _toks=toks)
     for lang, markers in sorted(LANG_MARKERS.items()):
         hits = F.size(F.filter(F.col("_toks"), lambda t: t.isin(markers)))
         col_name = f"_hits_{lang}"
@@ -146,23 +150,21 @@ def doc_fingerprint(
     # orders lexicographically exactly as its numeric value, so min/max
     # run on the strings and the costly conv(16,10) base conversion is
     # applied only to the TWO winners per document instead of every
-    # shingle. The hash array is materialized as a real attribute via a
-    # one-element explode barrier — a plain alias does NOT stop
-    # Catalyst's projection collapse from inlining (and re-md5-ing) the
-    # HOF into both the min and the max consumer (see
-    # ``dedup.hashed_shingle_sets`` for the measured pitfall).
-    from sensomics_data_pipeline_spark.util import fan_out
+    # shingle. The hash array is materialized via a generator barrier
+    # (``util.materialize``) — a plain alias does NOT stop Catalyst's
+    # projection collapse from inlining (and re-md5-ing) the HOF into
+    # both the min and the max consumer (measured pitfall, see
+    # ``dedup.hashed_shingle_sets``).
+    from sensomics_data_pipeline_spark.util import fan_out, materialize
 
     hex_hashes = F.transform(sh, lambda s: F.substring(F.md5(s), 1, 15))
-    barrier = fan_out(df).withColumn(
-        "_w", F.explode(F.array(F.struct(hex_hashes.alias("h"))))
-    )
+    barrier = materialize(fan_out(df), _hex=hex_hashes)
     return (
         barrier.withColumn(
-            "fingerprint_min", F.conv(F.array_min("_w.h"), 16, 10).cast("bigint")
+            "fingerprint_min", F.conv(F.array_min("_hex"), 16, 10).cast("bigint")
         )
         .withColumn(
-            "fingerprint_max", F.conv(F.array_max("_w.h"), 16, 10).cast("bigint")
+            "fingerprint_max", F.conv(F.array_max("_hex"), 16, 10).cast("bigint")
         )
-        .drop("_w")
+        .drop("_hex")
     )

@@ -115,6 +115,7 @@ def merge_adjacent_categorized(
     start_col: str = "start_time",
     end_col: str = "end_time",
     category_col: str = "category",
+    global_row_guard: int | None = 5_000_000,
 ) -> DataFrame:
     """W6: merge consecutive windows with equal category and
     ``next.start == current.end`` (``merge_windows``,
@@ -128,16 +129,35 @@ def merge_adjacent_categorized(
     operator are post-aggregation window tables whose cardinality is
     bounded by time-range/window-size (e.g. ≤ ~105k rows/year at 5-min
     windows), independent of raw data volume. For per-entity interval
-    tables always pass the entity key as ``partition_cols``.
+    tables always pass the entity key as ``partition_cols``. That
+    cardinality argument is ENFORCED, not assumed: in the global case a
+    ``global_row_guard`` raise_error fires at runtime if the input
+    exceeds the bound (a count over the same single partition the sort
+    already materializes, so the check is ~free; ``None`` disables).
     """
     w = Window.partitionBy(*partition_cols).orderBy(start_col)
     new_island = (
         (F.col(category_col) != F.lag(category_col).over(w))
         | (F.col(start_col) != F.lag(end_col).over(w))
     )
-    flagged = df.withColumn(
-        "_new", F.coalesce(new_island.cast("int"), F.lit(1))
-    ).withColumn(
+    flag = F.coalesce(new_island.cast("int"), F.lit(1))
+    if not partition_cols and global_row_guard is not None:
+        n_global = F.count("*").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        flag = F.when(
+            n_global > global_row_guard,
+            F.raise_error(
+                F.lit(
+                    "merge_adjacent_categorized: global (partition_cols=[]) "
+                    f"input exceeds {global_row_guard} rows — pass an entity "
+                    "key as partition_cols or raise global_row_guard"
+                )
+            ).cast("int"),
+        ).otherwise(flag)
+    flagged = df.withColumn("_new", flag).withColumn(
         "_grp", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     return (

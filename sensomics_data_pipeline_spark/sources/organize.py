@@ -32,10 +32,19 @@ SUBJECT_ID_DATE_PATTERN = SUBJECT_ID_PATTERN + r"_\d{4}(?:-\d{2}){2}"
 DATE_PATTERN = r"\d{4}-\d{2}-\d{2}"
 
 
+def _safe_decode(c: Column) -> Column:
+    """Percent-decode a path, falling back to the raw string when it is
+    not valid percent-encoding (e.g. a literal ``%`` in a raw filename
+    like ``SaO2_98%_2024-03-01.json`` from a non-binaryFile listing) —
+    an invalid escape must yield a usable key, not fail the whole job
+    with CANNOT_DECODE_URL."""
+    return F.coalesce(F.try_url_decode(c), c)
+
+
 def file_stem(path: Column | str) -> Column:
     """File name without directories or the final extension."""
     c = F.col(path) if isinstance(path, str) else path
-    base = F.element_at(F.split(F.url_decode(c), "/"), -1)
+    base = F.element_at(F.split(_safe_decode(c), "/"), -1)
     return F.regexp_replace(base, r"\.[^.]*$", "")
 
 
@@ -43,20 +52,20 @@ def subject_id(path: Column | str) -> Column:
     """The device/subject identifier embedded in an upload file name
     ('' when absent, matching the reference's empty grep)."""
     c = F.col(path) if isinstance(path, str) else path
-    return F.regexp_extract(F.url_decode(c), SUBJECT_ID_PATTERN, 0)
+    return F.regexp_extract(_safe_decode(c), SUBJECT_ID_PATTERN, 0)
 
 
 def subject_id_date(path: Column | str) -> Column:
     """The organize stage's full directory key: ``<id>_<date>``."""
     c = F.col(path) if isinstance(path, str) else path
-    return F.regexp_extract(F.url_decode(c), SUBJECT_ID_DATE_PATTERN, 0)
+    return F.regexp_extract(_safe_decode(c), SUBJECT_ID_DATE_PATTERN, 0)
 
 
 def file_date(path: Column | str) -> Column:
     """First ``YYYY-MM-DD`` in the file name, as a DATE (null if none)."""
     c = F.col(path) if isinstance(path, str) else path
     return F.to_date(
-        F.nullif(F.regexp_extract(F.url_decode(c), DATE_PATTERN, 0), F.lit(""))
+        F.nullif(F.regexp_extract(_safe_decode(c), DATE_PATTERN, 0), F.lit(""))
     )
 
 

@@ -171,15 +171,17 @@ def read_excel_measurements(spark: SparkSession, path: str) -> DataFrame:
     ``operators.unpivot.melt_computed_wide``.
     """
     try:
-        import pandas as pd  # noqa: F401
         import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "Excel source requires openpyxl; not available in this image"
-        ) from exc
-    import pandas as pd
+        import pandas as pd
 
-    sheets = pd.read_excel(path, sheet_name=None, dtype=str)
+        sheets = pd.read_excel(path, sheet_name=None, dtype=str)
+    except ImportError:
+        # No openpyxl in this image: the pure-stdlib SpreadsheetML
+        # parser honors the same {sheet: all-string frame} contract
+        # (see sources/xlsx.py for its documented date-serial limit).
+        from sensomics_data_pipeline_spark.sources.xlsx import read_xlsx_sheets
+
+        sheets = read_xlsx_sheets(path)
     return computed_sheets_to_df(spark, sheets)
 
 

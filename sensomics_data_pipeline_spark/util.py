@@ -2,7 +2,30 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def materialize(df: DataFrame, **exprs: Column) -> DataFrame:
+    """Force the named expressions to be computed ONCE per row as real
+    attributes, via a one-element ``explode(array(struct(...)))``
+    generator barrier.
+
+    Why: Catalyst's CollapseProject + filter pushdown substitute a
+    plain aliased expression into EVERY downstream consumer — for a
+    heavy higher-order expression (tokenize, shingle+hash) referenced
+    by k features, that re-evaluates it k times per row (measured 2-8×
+    end-to-end on the text operators). A Generate node is a real
+    barrier: its arguments are evaluated once per input row, and field
+    extraction from the resulting struct attribute is O(1) per
+    consumer."""
+    payload = F.explode(
+        F.array(F.struct(*[e.alias(k) for k, e in exprs.items()]))
+    )
+    out = df.withColumn("_mz", payload)
+    for k in exprs:
+        out = out.withColumn(k, F.col(f"_mz.{k}"))
+    return out.drop("_mz")
 
 
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:

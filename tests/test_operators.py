@@ -414,3 +414,42 @@ def test_simhash_pairs_rejects_lossy_banding(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="lossless"):
         dedup_ops.simhash_pairs(df, n_bands=4, max_hamming=4)
+
+
+def test_merge_adjacent_global_row_guard(spark):
+    from sensomics_data_pipeline_spark.operators.windows import (
+        merge_adjacent_categorized,
+    )
+
+    rows = [(i * 10, i * 10 + 10, "a") for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "start_time long, end_time long, category string"
+    )
+    # under the bound: merges into one island
+    ok = merge_adjacent_categorized(df, [], global_row_guard=100)
+    assert ok.count() == 1
+    # over the bound: the documented cardinality argument is enforced
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises(SparkRuntimeException, match="partition_cols"):
+        merge_adjacent_categorized(df, [], global_row_guard=10).count()
+
+
+def test_organize_keys_survive_literal_percent(spark):
+    """A raw (non-URI) listing with a literal % must yield keys, not
+    fail percent-decoding (CANNOT_DECODE_URL)."""
+    from sensomics_data_pipeline_spark.sources.organize import (
+        file_date,
+        file_stem,
+    )
+
+    df = spark.createDataFrame(
+        [("raw/SaO2_98%_2024-03-01.json",), ("enc/a%20b_2024-04-02.json",)],
+        "path string",
+    )
+    out = df.select(
+        file_stem("path").alias("stem"), file_date("path").alias("d")
+    ).collect()
+    assert out[0]["stem"] == "SaO2_98%_2024-03-01"
+    assert str(out[0]["d"]) == "2024-03-01"
+    assert out[1]["stem"] == "a b_2024-04-02"  # valid escape still decodes

@@ -167,8 +167,65 @@ def pipelines_reformat(spark, df):
     return reformat_acc(df, [])
 
 
-def test_excel_source_gated(spark):
-    pytest.importorskip("openpyxl", reason="Excel source gated behind openpyxl")
+def test_excel_source_end_to_end_xlsx(spark, tmp_path):
+    """S3 for real: a generated .xlsx workbook (two sheets, shared
+    strings absent — inline strings + numeric cells) goes through
+    ``read_excel_measurements`` → ``melt_computed_wide``. Runs with or
+    without openpyxl: the stdlib SpreadsheetML fallback honors the same
+    all-string frame contract ``pd.read_excel(dtype=str)`` provides."""
+    from sensomics_data_pipeline_spark.operators.unpivot import melt_computed_wide
+    from sensomics_data_pipeline_spark.sources.readers import read_excel_measurements
+    from sensomics_data_pipeline_spark.sources.xlsx import write_xlsx
+
+    path = str(tmp_path / "computed.xlsx")
+    write_xlsx(
+        path,
+        {
+            "March": [
+                ["Time", "Heart rate (bpm)", "SaO2 (%)", "Total sleep",
+                 "Body temperature (F)"],
+                ["2024-03-01 08:00:00", 72, 98, "7h30m", 98.6],
+                ["2024-03-01 08:15:00", 75, None, None, None],
+            ],
+            "April": [
+                ["Time", "Heart rate (bpm)"],
+                ["2024-04-01 09:00:00", 64],
+            ],
+        },
+    )
+    wide = read_excel_measurements(spark, path)
+    assert set(wide.select("_sheet").distinct().toPandas()["_sheet"]) == {
+        "March", "April",
+    }
+    long = melt_computed_wide(wide)
+    got = {(r["kind"], r["data"]) for r in long.collect()}
+    assert ("hr", 72.0) in got and ("hr", 75.0) in got and ("hr", 64.0) in got
+    assert ("spo2", 98.0) in got
+    assert ("sleep_total", 450.0) in got  # 7h30m → minutes
+    assert not any(k == "Body temperature (F)" for k, _ in got)
+
+
+def test_xlsx_reader_matches_pandas_contract(tmp_path):
+    """Frame-shape parity of the stdlib reader with the
+    ``pd.read_excel(dtype=str)`` contract: header row, string values
+    (numbers as their literal strings), NaN for missing cells."""
+    import numpy as np
+
+    from sensomics_data_pipeline_spark.sources.xlsx import (
+        read_xlsx_sheets,
+        write_xlsx,
+    )
+
+    path = str(tmp_path / "t.xlsx")
+    write_xlsx(
+        path,
+        {"S": [["a", "b"], ["x", 1.5], [None, "y"]]},
+    )
+    frames = read_xlsx_sheets(path)
+    f = frames["S"]
+    assert list(f.columns) == ["a", "b"]
+    assert f.loc[0, "a"] == "x" and f.loc[0, "b"] == "1.5"
+    assert f.loc[1, "b"] == "y" and (f.loc[1, "a"] is np.nan or f.isna().loc[1, "a"])
 
 
 def test_computed_workbook_path_end_to_end_csv_shaped(spark):
