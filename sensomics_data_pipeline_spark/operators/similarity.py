@@ -214,9 +214,13 @@ def cosine_near_dup_pairs(
     import numpy as np
     import pandas as pd
 
+    from sensomics_data_pipeline_spark.util import fan_out
+
     # one projection computes every table's bucket id (an array), then
     # posexplode → a single (table, bucket) equi-join builds candidates
-    # for all tables at once
+    # for all tables at once; fan_out so the 18 interpreted dot
+    # products per row don't serialize on a small scan's single split
+    df = fan_out(df)
     buckets = F.array(
         *[
             hyperplane_bucket(F.col(vec_col), dim, n_planes, seed_base=1 + t * n_planes)
@@ -327,16 +331,36 @@ def lsh_topk(
     per row), so recomputing it per join side is embarrassingly
     parallel and avoids pinning an unbounded cache entry for the
     plan's lifetime (a ``persist`` here has no matching ``unpersist``
-    point — the operator returns a lazy DataFrame)."""
-    # pre-normalize once per vector: cosine then reduces to a single
-    # dot product per candidate pair (vs 3 array reductions per pair)
-    norm = l2_norm(F.col(vec_col))
-    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
-    bucketed = df.select(
-        F.col(key_col).alias("vid"),
-        unit.alias("vec"),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    point — the operator returns a lazy DataFrame). Both unit vectors
+    RIDE THROUGH the probe join (512 B/row at dim=64), so there is no
+    join-back to fetch vectors, no pair-level ``distinct`` (each
+    probe value is distinct, so a pair can collide at most once), and
+    only TWO consumers of the bucketed subtree instead of four.
+
+    Expression discipline (measured, see ``util.materialize``): the
+    norm, unit vector, and bucket id are materialized through generator
+    barriers so they compute once per row — a bare aliased projection
+    would be collapse-inlined into every consumer, and a norm
+    referenced inside the normalize lambda would be re-evaluated per
+    ELEMENT (64× per row). Exact rescoring of candidates runs in one
+    Arrow-batched BLAS pass (``mapInPandas``), not the interpreted
+    per-pair zip_with dot."""
+    import numpy as np
+    import pandas as pd
+
+    from sensomics_data_pipeline_spark.util import fan_out, materialize
+
+    base = materialize(
+        fan_out(df).select(F.col(key_col).alias("vid"), F.col(vec_col)),
+        _norm=l2_norm(F.col(vec_col)),
     )
+    bucketed = materialize(
+        base,
+        vec=F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / F.col("_norm")
+        ),
+        bucket=hyperplane_bucket(F.col(vec_col), dim, n_planes),
+    ).select("vid", "vec", "bucket")
     if multi_probe:
         probes = F.array(
             F.col("bucket"),
@@ -349,25 +373,36 @@ def lsh_topk(
         probes = F.array(F.col("bucket"))
     a = bucketed.select(
         F.col("vid").alias("query_id"),
+        F.col("bucket").alias("qbucket"),
+        F.col("vec").alias("_va"),
         F.explode(probes).alias("bucket"),
     )
-    b = bucketed.select(F.col("vid").alias("neighbor_id"), "bucket")
-    pairs = (
+    b = bucketed.select(
+        F.col("vid").alias("neighbor_id"), "bucket", F.col("vec").alias("_vb")
+    )
+    cand = (
         a.join(b, ["bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
+        .select("query_id", "qbucket", "neighbor_id", "_va", "_vb")
     )
-    va = bucketed.select(
-        F.col("vid").alias("query_id"), F.col("vec").alias("_va"),
-        F.col("bucket").alias("bucket"),
-    )
-    vb = bucketed.select(F.col("vid").alias("neighbor_id"), F.col("vec").alias("_vb"))
-    scored = (
-        pairs.join(va, "query_id")
-        .join(vb, "neighbor_id")
-        .withColumn("cos_sim", F.round(dot(F.col("_va"), F.col("_vb")), 6))
-        .drop("_va", "_vb")
+
+    def rescore(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.array(list(pdf["_va"]), dtype=np.float64)
+            vb = np.array(list(pdf["_vb"]), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "bucket": pdf["qbucket"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                    "cos_sim": np.round(np.einsum("ij,ij->i", va, vb), 6),
+                }
+            )
+
+    scored = cand.mapInPandas(
+        rescore, "query_id long, bucket long, neighbor_id long, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
