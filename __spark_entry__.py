@@ -1743,6 +1743,38 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive duplicate clusters (iterative
+    min-label propagation = connected components; keep-lowest
+    canonical). The oracle re-derives the same components with a
+    recursive CTE over the simhash-pair edges — certifying that the
+    distributed fixpoint loop computes exactly the transitive closure's
+    min-label result."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.simhash_pairs(docs, bits=60, n_bands=4, max_hamming=3)
+    out = dedup_ops.duplicate_clusters(pairs)
+    return out.orderBy("doc_id")
+
+
+_SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  {_SQL_SIMHASH_PAIRS}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+  WHERE e.dst != r.src
+)
+SELECT src AS doc_id,
+       least(src, min(dst)) AS canonical_id
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors per embedding (numpy-scored
     exact baseline)."""
@@ -1927,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top1_per_group": q_top1_per_group,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "embedding_ivf": q_embedding_ivf,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1985,4 +2018,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh": _sql_embedding_lsh(),
         # embedding_ivf: iterative k-means — rows-only check by design
         "multimodal_frames": _SQL_MULTIMODAL,
+        "dedup_clusters": _SQL_DEDUP_CLUSTERS,
     }

@@ -464,6 +464,124 @@ def minhash_lsh_dedup(
     ).select("doc_a", "doc_b", "est_jaccard")
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
+    components by iterative min-label propagation, returning
+    ``(doc_id, canonical_id)`` with ``canonical_id`` = the smallest doc
+    id in the component (the same keep-lowest convention as
+    ``exact_duplicates``).
+
+    This is the missing last step between any pairwise near-dup
+    operator (``ngram_jaccard_pairs`` / ``minhash_lsh_dedup`` /
+    ``simhash_pairs`` / ``cosine_near_dup_pairs``) and an actually
+    deduplicated corpus: pairs (A,B),(B,C) must collapse to ONE
+    canonical survivor even though (A,C) was never emitted.
+
+    Scale shape: each round is one join + one groupBy-min (label =
+    min(own, neighbors')), converging in O(component diameter) rounds —
+    near-dup clusters are small-diameter in practice, and ``max_iter``
+    bounds the worst case. Convergence is detected with a changed-label
+    count; every round ends in an EAGER ``localCheckpoint`` that
+    truncates lineage (without it the plan doubles per round and the
+    driver re-plans O(2^rounds) nodes) and releases the previous
+    round's blocks."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("label").alias("_nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nl").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min.select(F.col("src").alias("doc_id"), "_nmin"),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("_nmin", F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("_nmin") < F.col("label")).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.select("doc_id", "label")
+        if not changed:
+            break
+    return labels.select("doc_id", F.col("label").alias("canonical_id"))
+
+
+def dedup_corpus(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "minhash",
+    **kwargs,
+) -> DataFrame:
+    """End-to-end near-dup deduplication: pairs → transitive clusters →
+    corpus with only the canonical (smallest-id) doc of every duplicate
+    cluster kept. Composes a pairwise detector with
+    ``duplicate_clusters``; docs in no pair survive untouched (they are
+    their own canonical).
+
+    ``method``: ``"exact"`` (hash groupBy — skips the pair stage
+    entirely), ``"minhash"`` (LSH banding, the 100-TB default),
+    ``"jaccard"`` (exact n-gram inverted index), or ``"simhash"``
+    (Hamming banding). Extra kwargs pass through to the detector."""
+    if method == "exact":
+        clusters = exact_duplicates(
+            df, key_col, text_col, only_dups=False
+        ).select("content_hash", "canonical_id")
+        hashed = df.withColumn("_ch", _hash_expr(F.col(text_col)))
+        return (
+            hashed.join(
+                clusters.select(
+                    F.col("content_hash").alias("_ch"), "canonical_id"
+                ),
+                "_ch",
+            )
+            .filter(F.col(key_col) == F.col("canonical_id"))
+            .drop("_ch", "canonical_id")
+        )
+    if method == "minhash":
+        pairs = minhash_lsh_dedup(df, key_col, text_col, **kwargs)
+    elif method == "jaccard":
+        pairs = ngram_jaccard_pairs(df, key_col, text_col, **kwargs)
+    elif method == "simhash":
+        pairs = simhash_pairs(df, key_col, text_col, **kwargs)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    clusters = duplicate_clusters(pairs.select("doc_a", "doc_b"))
+    losers = clusters.filter(F.col("doc_id") != F.col("canonical_id")).select(
+        F.col("doc_id").alias(key_col)
+    )
+    return df.join(losers, key_col, "left_anti")
+
+
 def simhash(
     df: DataFrame,
     key_col: str = "doc_id",

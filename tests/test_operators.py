@@ -453,3 +453,71 @@ def test_organize_keys_survive_literal_percent(spark):
     assert out[0]["stem"] == "SaO2_98%_2024-03-01"
     assert str(out[0]["d"]) == "2024-03-01"
     assert out[1]["stem"] == "a b_2024-04-02"  # valid escape still decodes
+
+
+def test_duplicate_clusters_transitive_closure(spark):
+    """Pairs (1,2),(2,3) must collapse to one cluster with canonical 1
+    even though (1,3) was never emitted; components stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    out = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_ops.duplicate_clusters(pairs).collect()
+    }
+    assert out == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
+
+
+def test_duplicate_clusters_matches_union_find_random(spark):
+    import random
+
+    rng = random.Random(13)
+    n = 60
+    edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(45)}
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    nodes = {x for e in edges for x in e}
+    for x in nodes:
+        want[x] = find(x)
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_ops.duplicate_clusters(pairs).collect()
+    }
+    assert got == want
+
+
+def test_dedup_corpus_exact_and_minhash(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("kappa", "lambda", 1)
+    far = "one two three four five six seven eight nine ten " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)],
+        "doc_id long, text string",
+    )
+    exact = dedup_ops.dedup_corpus(df, method="exact")
+    assert sorted(r["doc_id"] for r in exact.collect()) == [1, 3, 4]
+    mh = dedup_ops.dedup_corpus(df, method="minhash")
+    # 1,2 exact dups and 3 a near dup of 1 → one canonical survivor + far
+    assert sorted(r["doc_id"] for r in mh.collect()) == [1, 4]
+    with pytest.raises(ValueError, match="unknown method"):
+        dedup_ops.dedup_corpus(df, method="nope")
