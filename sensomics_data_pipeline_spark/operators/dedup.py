@@ -482,14 +482,18 @@ def duplicate_clusters(
     deduplicated corpus: pairs (A,B),(B,C) must collapse to ONE
     canonical survivor even though (A,C) was never emitted.
 
-    Scale shape: each round is one join + one groupBy-min (label =
-    min(own, neighbors')), converging in O(component diameter) rounds —
-    near-dup clusters are small-diameter in practice, and ``max_iter``
-    bounds the worst case. Convergence is detected with a changed-label
-    count; every round ends in an EAGER ``localCheckpoint`` that
-    truncates lineage (without it the plan doubles per round and the
-    driver re-plans O(2^rounds) nodes) and releases the previous
-    round's blocks."""
+    Scale shape: each round is (a) label = min(own, direct neighbors')
+    — one join + groupBy-min — then (b) one POINTER-JUMPING step
+    (label ← label's label, a self-join on the label table): (a) alone
+    converges in O(component diameter) rounds, the path-halving in (b)
+    brings it to O(log diameter), which matters because per-round fixed
+    cost (two jobs: checkpoint + convergence probe) dominates wall time
+    for the small-diameter components near-dup data produces.
+    ``max_iter`` bounds the worst case. Convergence is detected with a
+    changed-label count; every round ends in an EAGER
+    ``localCheckpoint`` that truncates lineage (without it the plan
+    doubles per round and the driver re-plans O(2^rounds) nodes) and
+    lets the previous round's blocks be released."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -513,25 +517,46 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("_nl").alias("_nmin"))
         )
-        new_labels = (
-            labels.join(
-                neighbor_min.select(F.col("src").alias("doc_id"), "_nmin"),
-                "doc_id",
+        stepped = labels.join(
+            neighbor_min.select(F.col("src").alias("doc_id"), "_nmin"),
+            "doc_id",
+            "left",
+        ).select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("_nmin", F.col("label"))).alias(
+                "label"
+            ),
+            (F.col("_nmin") < F.col("label")).alias("_chg"),
+        )
+        # pointer jumping: follow the label one hop (label of label) —
+        # halves remaining path lengths each round
+        jumped = (
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("doc_id").alias("label"), F.col("label").alias("_ll")
+                ).alias("y"),
+                "label",
                 "left",
             )
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce("_nmin", F.col("label"))).alias(
-                    "label"
-                ),
-                (F.col("_nmin") < F.col("label")).alias("_chg"),
+                F.coalesce("_ll", F.col("label")).alias("label"),
+                F.col("_chg"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = jumped.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_chg")).limit(1).count()
         labels = new_labels.select("doc_id", "label")
         if not changed:
             break
+    else:
+        # partially-propagated labels are silently WRONG clusters —
+        # with path halving max_iter=50 covers diameters ~2^50, so
+        # hitting this means something is broken, not slow
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds"
+        )
     return labels.select("doc_id", F.col("label").alias("canonical_id"))
 
 
