@@ -89,7 +89,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite 0-1 quality score from the features — monotone, cheap,
-    deterministic:长 docs with real words and sane punctuation score
+    deterministic: long docs with real words and sane punctuation score
     high; flooded punctuation / digits score low."""
     feats = quality_features(df, text_col)
     score = (
@@ -168,3 +168,34 @@ def doc_fingerprint(
         )
         .drop("_hex")
     )
+
+
+#: PII surface patterns — RE2-compatible (no lookaround), so the DuckDB
+#: oracle evaluates the IDENTICAL regex; email before phone so the
+#: digits in a redacted email can't re-match as a phone number.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d[\d().-]{7,}\d"),
+)
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", replacement: str = "[PII]"
+) -> DataFrame:
+    """Training-data PII scrubbing: redact emails / IPv4s / phone-like
+    digit runs with ``replacement`` and count redactions per kind.
+
+    All-codegen: one ``regexp_extract_all`` size per kind (count before
+    redaction) and a chained ``regexp_replace`` — no Python in the hot
+    path, linear per row, embarrassingly parallel at any scale. The
+    pattern set is deliberately RE2-compatible so an independent engine
+    (the DuckDB oracle) applies byte-identical semantics."""
+    out = df
+    scrubbed = F.col(text_col)
+    for kind, pat in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, replacement)
+    return out.withColumn("scrubbed_text", scrubbed)

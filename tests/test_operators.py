@@ -521,3 +521,56 @@ def test_dedup_corpus_exact_and_minhash(spark):
     assert sorted(r["doc_id"] for r in mh.collect()) == [1, 4]
     with pytest.raises(ValueError, match="unknown method"):
         dedup_ops.dedup_corpus(df, method="nope")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + sequence packing
+# ---------------------------------------------------------------------------
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from sensomics_data_pipeline_spark.operators.text import scrub_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.com or call +1(555)123-4567"),
+        (2, "server at 192.168.0.1 served 404s"),
+        (3, "clean text with no identifiers"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "@" not in out[1]["scrubbed_text"]
+    assert "555" not in out[1]["scrubbed_text"]
+    assert out[2]["n_ipv4"] == 1 and "192.168" not in out[2]["scrubbed_text"]
+    assert out[3]["scrubbed_text"] == rows[2][1]
+    assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
+
+
+def test_pack_sequences_invariants(spark):
+    import random
+
+    from sensomics_data_pipeline_spark.operators.packing import pack_sequences
+
+    rng = random.Random(5)
+    rows = [(i, rng.randrange(10, 900)) for i in range(300)]
+    rows.append((999, 5000))  # oversize doc
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, budget=1024, n_groups=8).toPandas()
+
+    # every doc exactly once
+    assert sorted(out.doc_id) == sorted(d for d, _ in rows)
+    # per-pack fill = sum of member tokens, and within budget unless a
+    # single oversize member
+    g = out.groupby("pack_id")
+    for pid, grp in g:
+        assert (grp.pack_fill == grp.n_tokens.sum()).all()
+        if len(grp) > 1 or not grp.oversize.any():
+            assert grp.n_tokens.sum() <= 1024
+    assert bool(out[out.doc_id == 999].oversize.iloc[0])
+    # deterministic across runs
+    out2 = pack_sequences(df, budget=1024, n_groups=8).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert (a == b).all().all()
+    # packing actually packs: average fill of multi-doc packs > 60%
+    multi = g.filter(lambda x: len(x) > 1)
+    assert multi.groupby("pack_id").pack_fill.first().mean() > 0.6 * 1024
