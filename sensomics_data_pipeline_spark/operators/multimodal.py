@@ -2,11 +2,18 @@
 opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` operators.
 
-The image/audio decode libraries are not in this container, so the
-*decode* step is stubbed (deterministic fake or ``NotImplementedError``)
-— but the Spark-side plumbing is real and tested: schemas, batch
-shapes, UDF signatures, partitioning. Swapping the stub for Pillow /
-torchaudio is a one-function change.
+Decode support is two-tier:
+
+- **Container-free formats decode for REAL** with stdlib + numpy:
+  PCM WAV (RIFF parse → samples → duration/RMS/peak features,
+  ``audio_features``) and uncompressed 24-bit BMP (header parse →
+  pixel array → per-channel stats and nearest-neighbor resize,
+  ``image_stats`` / ``resize_bmp_nearest``).
+- Compressed codecs (JPEG/PNG/MP3/H.264) need libs not in this
+  container, so that decode step is stubbed (deterministic fake or
+  ``NotImplementedError``) — the Spark-side plumbing (schemas, batch
+  shapes, UDF signatures, partitioning) is identical, and swapping the
+  stub for Pillow / torchaudio is a one-function change.
 
 Scale notes: binary payloads ride in Arrow buffers (no base64, no
 per-row pickling); ``spark.sql.files.maxPartitionBytes`` and
@@ -155,6 +162,216 @@ def resize_stub(
                 zlib.compress(p or b"", level=1)[: target[0] * target[1]]
                 for p in pdf[payload_col]
             ]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders for container-free formats (stdlib + numpy only)
+# ---------------------------------------------------------------------------
+
+def decode_wav(payload: bytes):
+    """Parse a PCM WAV (RIFF) payload → (sample_rate, n_channels,
+    float64 samples in [-1, 1], shape (frames, channels)). Pure
+    struct/numpy RIFF walk — supports 8/16/32-bit integer PCM, raises
+    on compressed codecs (which need external libs)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"compressed WAV (format {audio_format}) needs external codecs"
+        )
+    dtype, scale = {8: (np.uint8, 127.5), 16: (np.int16, 32768.0),
+                    32: (np.int32, 2147483648.0)}[bits]
+    raw = np.frombuffer(data, dtype=dtype)
+    x = raw.astype(np.float64)
+    if bits == 8:
+        x = (x - 127.5) / scale
+    else:
+        x = x / scale
+    return sample_rate, n_channels, x.reshape(-1, n_channels)
+
+
+def decode_bmp(payload: bytes):
+    """Parse an uncompressed 24-bit BMP payload → uint8 RGB array of
+    shape (height, width, 3). Handles bottom-up row order and 4-byte
+    row padding; raises on compressed / palettized variants."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    w, h = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        px = px[::-1]
+    return px[..., ::-1].copy()  # BGR → RGB
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio feature extraction for PCM WAV payloads (Arrow-batched
+    mapInPandas): sample rate, channels, duration, RMS energy, peak.
+    Non-WAV / compressed payloads yield nulls (``decode_ok = false``)
+    instead of failing the batch — at 100 TB a poison payload must not
+    kill the job."""
+    import math  # noqa: F401
+
+    fields = [f for f in df.schema.fields]
+    out_schema = T.StructType(
+        fields
+        + [
+            T.StructField("decode_ok", T.BooleanType(), False),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_channels", T.IntegerType(), True),
+            T.StructField("duration_s", T.DoubleType(), True),
+            T.StructField("rms", T.DoubleType(), True),
+            T.StructField("peak", T.DoubleType(), True),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for p in pdf[payload_col]:
+                try:
+                    sr, nch, x = decode_wav(p or b"")
+                    feats.append(
+                        (
+                            True, sr, nch,
+                            round(len(x) / sr, 6),
+                            round(float(np.sqrt(np.mean(x**2))), 6),
+                            round(float(np.abs(x).max(initial=0.0)), 6),
+                        )
+                    )
+                except Exception:
+                    feats.append((False, None, None, None, None, None))
+            fdf = pd.DataFrame(
+                feats,
+                columns=[
+                    "decode_ok", "sample_rate", "n_channels",
+                    "duration_s", "rms", "peak",
+                ],
+            )
+            yield pd.concat([pdf.reset_index(drop=True), fdf], axis=1)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def image_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL image statistics for uncompressed BMP payloads: dimensions
+    and per-channel mean/std. Poison payloads yield decode_ok=false."""
+    fields = [f for f in df.schema.fields]
+    out_schema = T.StructType(
+        fields
+        + [
+            T.StructField("decode_ok", T.BooleanType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("mean_rgb", T.ArrayType(T.DoubleType()), True),
+            T.StructField("std_rgb", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for p in pdf[payload_col]:
+                try:
+                    px = decode_bmp(p or b"")
+                    feats.append(
+                        (
+                            True, px.shape[1], px.shape[0],
+                            [round(float(v), 6) for v in px.mean(axis=(0, 1))],
+                            [round(float(v), 6) for v in px.std(axis=(0, 1))],
+                        )
+                    )
+                except Exception:
+                    feats.append((False, None, None, None, None))
+            fdf = pd.DataFrame(
+                feats,
+                columns=["decode_ok", "width", "height", "mean_rgb", "std_rgb"],
+            )
+            yield pd.concat([pdf.reset_index(drop=True), fdf], axis=1)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def resize_bmp_nearest(
+    df: DataFrame,
+    payload_col: str = "payload",
+    target: tuple[int, int] = (64, 64),
+) -> DataFrame:
+    """REAL nearest-neighbor resize for BMP payloads: decode → index-map
+    resample → raw RGB bytes out (plus dims), ready for a featurizer.
+    The compressed-codec equivalent keeps the exact same shape with a
+    library decode swapped in."""
+    fields = [f for f in df.schema.fields]
+    out_schema = T.StructType(
+        fields
+        + [
+            T.StructField("rgb", T.BinaryType(), True),
+            T.StructField("out_w", T.IntegerType(), True),
+            T.StructField("out_h", T.IntegerType(), True),
+        ]
+    )
+    tw, th = target
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rgb, ow, oh = [], [], []
+            for p in pdf[payload_col]:
+                try:
+                    px = decode_bmp(p or b"")
+                    h, w = px.shape[:2]
+                    yi = (np.arange(th) * h) // th
+                    xi = (np.arange(tw) * w) // tw
+                    rgb.append(px[yi][:, xi].tobytes())
+                    ow.append(tw)
+                    oh.append(th)
+                except Exception:
+                    rgb.append(None)
+                    ow.append(None)
+                    oh.append(None)
+            pdf = pdf.reset_index(drop=True).assign(rgb=rgb, out_w=ow, out_h=oh)
             yield pdf
 
     return df.mapInPandas(run, out_schema)

@@ -574,3 +574,75 @@ def test_pack_sequences_invariants(spark):
     # packing actually packs: average fill of multi-doc packs > 60%
     multi = g.filter(lambda x: len(x) > 1)
     assert multi.groupby("pack_id").pack_fill.first().mean() > 0.6 * 1024
+
+
+def _make_wav(freq=440.0, sr=8000, seconds=0.5, amp=0.5):
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(sr * seconds)) / sr
+    x = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def _make_bmp(w=8, h=4, rgb=(10, 200, 30)):
+    import struct
+
+    row = (bytes([rgb[2], rgb[1], rgb[0]]) * w + b"\x00" * 3)[
+        : (w * 3 + 3) & ~3
+    ]
+    pixels = row * h
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+    )
+    return header + pixels
+
+
+def test_audio_features_real_wav_decode(spark):
+    from sensomics_data_pipeline_spark.operators.multimodal import audio_features
+
+    wav = _make_wav(amp=0.5, sr=8000, seconds=0.5)
+    df = spark.createDataFrame(
+        [(1, wav), (2, b"not audio at all")], "media_id long, payload binary"
+    )
+    out = {r["media_id"]: r for r in audio_features(df).collect()}
+    ok = out[1]
+    assert ok["decode_ok"] and ok["sample_rate"] == 8000 and ok["n_channels"] == 1
+    assert abs(ok["duration_s"] - 0.5) < 1e-6
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2)
+    assert abs(ok["rms"] - 0.5 / 2**0.5) < 1e-3
+    assert 0.49 < ok["peak"] <= 0.5
+    assert out[2]["decode_ok"] is False and out[2]["rms"] is None
+
+
+def test_image_stats_and_resize_real_bmp(spark):
+    from sensomics_data_pipeline_spark.operators.multimodal import (
+        image_stats,
+        resize_bmp_nearest,
+    )
+
+    bmp = _make_bmp(w=8, h=4, rgb=(10, 200, 30))
+    df = spark.createDataFrame(
+        [(1, bmp), (2, b"garbage")], "media_id long, payload binary"
+    )
+    out = {r["media_id"]: r for r in image_stats(df).collect()}
+    ok = out[1]
+    assert ok["decode_ok"] and ok["width"] == 8 and ok["height"] == 4
+    assert ok["mean_rgb"] == [10.0, 200.0, 30.0]
+    assert ok["std_rgb"] == [0.0, 0.0, 0.0]
+    assert out[2]["decode_ok"] is False
+
+    rs = {r["media_id"]: r for r in resize_bmp_nearest(df, target=(4, 2)).collect()}
+    assert rs[1]["out_w"] == 4 and rs[1]["out_h"] == 2
+    assert rs[1]["rgb"] == bytes([10, 200, 30]) * 8
+    assert rs[2]["rgb"] is None
