@@ -86,3 +86,48 @@ def merge_upsert(
     """
     untouched = target.join(source.select(*keys), keys, "left_anti")
     return source.unionByName(untouched)
+
+
+def interpolate_linear(
+    df: DataFrame,
+    partition_cols: list[str],
+    ts_col: str = "date_time",
+    value_col: str = "data",
+) -> DataFrame:
+    """Linear gap interpolation over an (irregular) time series: null
+    values become the time-weighted blend of the nearest non-null
+    observations on either side; leading/trailing nulls take the
+    nearest single-sided value (pandas ``interpolate(method='index',
+    limit_direction='both')`` semantics, parity-tested).
+
+    Pure window plan — two running ``last/first(ignorenulls)`` frames
+    per partition key, no Python, no self-join; the same two-frame
+    shape ``resample_ffill`` uses, so it scales identically (explicit
+    partition keys, one shuffle)."""
+    t = F.unix_timestamp(F.col(ts_col)).cast("double")
+    v = F.col(value_col)
+    w_prev = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(ts_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last(v, ignorenulls=True).over(w_prev)
+    prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(w_prev)
+    next_v = F.first(v, ignorenulls=True).over(w_next)
+    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(w_next)
+    frac = (t - prev_t) / (next_t - prev_t)
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .when(next_t == prev_t, prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return df.withColumn(f"{value_col}_interp", filled).withColumn(
+        "is_observed", v.isNotNull()
+    )

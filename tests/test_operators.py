@@ -646,3 +646,48 @@ def test_image_stats_and_resize_real_bmp(spark):
     assert rs[1]["out_w"] == 4 and rs[1]["out_h"] == 2
     assert rs[1]["rgb"] == bytes([10, 200, 30]) * 8
     assert rs[2]["rgb"] is None
+
+
+def test_interpolate_linear_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from sensomics_data_pipeline_spark.operators.resample import (
+        interpolate_linear,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for dev in ("a", "b"):
+        ts = 1_700_000_000
+        for _ in range(60):
+            ts += rng.randrange(10, 500)
+            v = None if rng.random() < 0.4 else round(rng.uniform(-5, 5), 3)
+            rows.append((dev, ts, v))
+    pdf = pd.DataFrame(rows, columns=["dev", "ts", "v"])
+    df = spark.createDataFrame(pdf).withColumn(
+        "date_time", F.col("ts").cast("timestamp")
+    )
+    got = (
+        interpolate_linear(df, ["dev"], "date_time", "v")
+        .select("dev", "ts", "v_interp")
+        .toPandas()
+        .sort_values(["dev", "ts"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for dev, grp in pdf.groupby("dev"):
+        s = grp.set_index("ts")["v"].astype(float)
+        want.append(
+            s.interpolate(method="index", limit_direction="both").reset_index()
+        )
+    want = (
+        pd.concat(
+            [w.assign(dev=d) for w, d in zip(want, sorted(pdf.dev.unique()))]
+        )
+        .sort_values(["dev", "ts"])
+        .reset_index(drop=True)
+    )
+    assert np.allclose(got["v_interp"].to_numpy(), want["v"].to_numpy(), atol=1e-9)
