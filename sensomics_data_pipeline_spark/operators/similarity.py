@@ -219,7 +219,12 @@ def cosine_near_dup_pairs(
     # one projection computes every table's bucket id (an array), then
     # posexplode → a single (table, bucket) equi-join builds candidates
     # for all tables at once; fan_out so the 18 interpreted dot
-    # products per row don't serialize on a small scan's single split
+    # products per row don't serialize on a small scan's single split.
+    # Both raw vectors RIDE THROUGH the band join (n_tables× payload
+    # replication in the shuffle, ~0.5 KB/row at dim=64) — cheaper at
+    # every scale than the two join-backs + second scan subtree the
+    # join-back shape costs, and the pair-dedup (a pair can collide in
+    # several tables) becomes a groupBy keeping the first vec copy.
     df = fan_out(df)
     buckets = F.array(
         *[
@@ -229,20 +234,21 @@ def cosine_near_dup_pairs(
     )
     b = df.select(
         F.col(key_col).alias("vid"),
+        F.col(vec_col).alias("_v"),
         F.posexplode(buckets).alias("tbl", "bucket"),
     )
-    a_side = b.select(F.col("vid").alias("vec_a"), "tbl", "bucket")
-    b_side = b.select(F.col("vid").alias("vec_b"), "tbl", "bucket")
-    candidates = (
+    a_side = b.select(
+        F.col("vid").alias("vec_a"), F.col("_v").alias("_va"), "tbl", "bucket"
+    )
+    b_side = b.select(
+        F.col("vid").alias("vec_b"), F.col("_v").alias("_vb"), "tbl", "bucket"
+    )
+    with_vecs = (
         a_side.join(b_side, ["tbl", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+        .groupBy("vec_a", "vec_b")
+        .agg(F.first("_va").alias("_va"), F.first("_vb").alias("_vb"))
     )
-
-    va = df.select(F.col(key_col).alias("vec_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(key_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
-    with_vecs = candidates.join(va, "vec_a").join(vb, "vec_b")
 
     out_cols = ["vec_a", "vec_b", "cos_sim"]
     out_schema = "vec_a long, vec_b long, cos_sim double"
