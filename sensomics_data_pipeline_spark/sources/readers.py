@@ -114,8 +114,12 @@ def read_raw_json(
     )
     df = reader.json(path)
     # input_file_name() is URL-encoded ("upload%202024-..."), so decode
-    # before the timestamp regex (which contains a literal space)
-    fname = F.url_decode(F.input_file_name())
+    # before the timestamp regex (which contains a literal space); safe
+    # decode so a malformed escape degrades to the raw name instead of
+    # failing the scan (same guard as sources.organize)
+    from sensomics_data_pipeline_spark.sources.organize import _safe_decode
+
+    fname = _safe_decode(F.input_file_name())
     return df.withColumn(
         "jname", F.regexp_extract(fname, file_ref_pattern, 0)
     )
