@@ -96,3 +96,25 @@ def test_no_unmatched_persist_in_package():
         if has_persist and not has_unpersist:
             offenders.append(str(f))
     assert not offenders, f"persist without unpersist in: {offenders}"
+
+
+#: Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+#: a ONE-ROW scalar side (thresholds from an upstream global aggregate)
+#: cross-joined onto the fact table — O(n) work, broadcast of a single
+#: row, the standard Spark shape for "attach computed scalars".
+SCALAR_BROADCAST_OK = {"tumbling_categorize", "quantiles", "merge_windows"}
+
+
+def test_no_cartesian_products(spark, sf_dir):
+    """No declared query may plan a cartesian or unbounded nested-loop
+    join — the quadratic shapes that silently stop scaling. (The exact
+    near-dup ground-truth variant is chunk-replicated by construction
+    and carries its O(n²) cost in its name/docstring; 1-row scalar
+    broadcasts are whitelisted explicitly above.)"""
+    for name in entrymod.queries():
+        if name.startswith("streaming") or name == "embedding_near_dup_exact":
+            continue
+        p = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        if name not in SCALAR_BROADCAST_OK:
+            assert "BroadcastNestedLoopJoin" not in p, name
