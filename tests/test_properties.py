@@ -276,3 +276,71 @@ def test_computed_workbook_path_end_to_end_csv_shaped(spark):
     rows = measurements.orderBy("date_time").collect()
     assert [r["kind"] for r in rows] == ["hr current", "hr current"]
     assert rows[0]["date_time"].timestamp() == base_ms / 1000 + 900
+
+
+# ---------------------------------------------------------------------------
+# Round-3 losslessness properties (prefix filter, simhash banding)
+# ---------------------------------------------------------------------------
+
+corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from([f"w{i}" for i in range(12)]), min_size=5, max_size=14
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(docs=corpus_strategy)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_prefix_filter_lossless_property(spark, docs):
+    """For any corpus and θ=0.75 > 2/3, prefix-filtered Jaccard pairs
+    must equal the unfiltered plan's pairs exactly (ids and values)."""
+    from sensomics_data_pipeline_spark.operators import dedup as dedup_ops
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = dedup_ops.ngram_jaccard_pairs(df, threshold=0.75).toPandas()
+    pref = dedup_ops.ngram_jaccard_pairs(
+        df, threshold=0.75, prefix_filter=True
+    ).toPandas()
+    key = lambda f: sorted(
+        map(tuple, f[["doc_a", "doc_b", "n_common", "jaccard"]].values.tolist())
+    )
+    assert key(plain) == key(pref)
+
+
+@given(docs=corpus_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_simhash_banding_lossless_property(spark, docs):
+    """Banded Hamming join must find EVERY pair within max_hamming of
+    each other (pigeonhole losslessness), for arbitrary corpora."""
+    from sensomics_data_pipeline_spark.operators import dedup as dedup_ops
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup_ops.simhash(df, bits=60).collect()
+    }
+    want = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for i, a in enumerate(sorted(sig))
+        for b in sorted(sig)[i + 1 :]
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup_ops.simhash_pairs(
+            df, bits=60, n_bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got == want
