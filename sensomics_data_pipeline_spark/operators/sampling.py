@@ -1,0 +1,61 @@
+"""Deterministic sampling for training-data curation (north-star op,
+no reference analog).
+
+``spark.sample`` / ``sampleBy`` are Bernoulli: per-row coin flips give
+only EXPECTED counts, vary with partitioning, and can't be reproduced
+by an independent engine. Curation pipelines want exact per-stratum
+quotas and byte-reproducible selections — so sampling here is a
+*rank-by-portable-hash* plan: order rows inside each stratum by the
+60-bit md5 hash of (seed, key), keep the first ``k`` (or
+``ceil(fraction·n)``). One shuffle on the strata keys; deterministic
+across cluster layouts, restarts, AND engines (DuckDB can reproduce
+the exact selection, since md5 is md5 everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _rank_hash(key_col: str, seed: int):
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key_col))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    fraction: float | None = None,
+    n_per_stratum: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep exactly ``n_per_stratum`` rows per stratum, or exactly
+    ``ceil(fraction · stratum_size)`` when ``fraction`` is given —
+    selected by portable-hash rank so the sample is a pure function of
+    (data, seed). Exactly one of ``fraction`` / ``n_per_stratum``.
+
+    Plan: one window over the strata keys ordered by the hash rank
+    (+key tiebreak), a windowed count for the fraction quota — a single
+    shuffle, no driver involvement, any scale."""
+    if (fraction is None) == (n_per_stratum is None):
+        raise ValueError("pass exactly one of fraction / n_per_stratum")
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _rank_hash(key_col, seed), F.col(key_col)
+    )
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    if n_per_stratum is not None:
+        quota = F.lit(n_per_stratum)
+    else:
+        cnt = F.count("*").over(Window.partitionBy(*strata_cols))
+        quota = F.ceil(F.lit(float(fraction)) * cnt)
+    # window exprs can't live in a WHERE — materialize the quota column
+    return (
+        ranked.withColumn("_quota", quota)
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )

@@ -691,3 +691,54 @@ def test_interpolate_linear_matches_pandas(spark):
         .reset_index(drop=True)
     )
     assert np.allclose(got["v_interp"].to_numpy(), want["v"].to_numpy(), atol=1e-9)
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from sensomics_data_pipeline_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+
+    # exact n per stratum, clipped by stratum size
+    s = stratified_sample_exact(df, ["src"], "doc_id", n_per_stratum=10)
+    got = s.groupBy("src").count().collect()
+    assert {r["src"]: r["count"] for r in got} == {"big": 10, "small": 10}
+
+    # exact fractional quota: ceil(0.25*80)=20, ceil(0.25*20)=5
+    f = stratified_sample_exact(df, ["src"], "doc_id", fraction=0.25)
+    got = {r["src"]: r["count"] for r in f.groupBy("src").count().collect()}
+    assert got == {"big": 20, "small": 5}
+
+    # deterministic: same seed → same ids; different seed → different set
+    a = sorted(r["doc_id"] for r in stratified_sample_exact(
+        df, ["src"], "doc_id", n_per_stratum=10, seed=7).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample_exact(
+        df, ["src"], "doc_id", n_per_stratum=10, seed=7
+    ).repartition(13).collect())
+    c = sorted(r["doc_id"] for r in stratified_sample_exact(
+        df, ["src"], "doc_id", n_per_stratum=10, seed=8).collect())
+    assert a == b
+    assert a != c
+
+    # engine-portable: DuckDB reproduces the identical selection
+    import duckdb
+
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    dd = con.execute(
+        """
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (
+            PARTITION BY src
+            ORDER BY ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                     doc_id
+          ) AS rn FROM t
+        ) WHERE rn <= 10 ORDER BY doc_id
+        """
+    ).df()
+    assert sorted(dd.doc_id.tolist()) == a
+    with pytest.raises(ValueError, match="exactly one"):
+        stratified_sample_exact(df, ["src"], "doc_id")
