@@ -1,11 +1,14 @@
 """Deduplication operators for training-data pipelines (north-star ops):
-exact hash dedup, n-gram Jaccard, MinHash+LSH, SimHash.
+exact hash dedup, n-gram Jaccard, MinHash+LSH, SimHash signatures +
+Hamming pairing, transitive duplicate-cluster resolution
+(``duplicate_clusters``) and the end-to-end ``dedup_corpus`` composer.
 
 Scale design: every variant avoids the O(n²) all-pairs comparison —
-exact dedup is a hash groupBy; MinHash/LSH banding turns near-dup search
-into an equi-join on band signatures; SimHash buckets on rotated
-prefixes. The only quadratic step left is *within candidate buckets*,
-which banding keeps tiny. All hashes are the portable 60-bit
+exact dedup is a hash groupBy; Jaccard generates pairs from df-capped
+inverted-index posting lists; MinHash/LSH banding and SimHash band
+splitting turn near-dup search into bucket-grouped in-list
+combinations. The only quadratic step left is *within candidate
+buckets*, which banding keeps tiny. All hashes are the portable 60-bit
 ``md5``-derived hash so results are engine-independent and
 oracle-checkable.
 """
@@ -51,21 +54,6 @@ def exact_duplicates(
         F.min(key_col).alias("canonical_id"),
     )
     return out.filter(F.col("n_docs") > 1) if only_dups else out
-
-
-def shingle_sets(
-    df: DataFrame, key_col: str = "doc_id", text_col: str = "text", n: int = 3
-) -> DataFrame:
-    """Exploded distinct (doc, shingle-hash) pairs — the common substrate
-    for Jaccard and MinHash."""
-    return (
-        df.select(
-            F.col(key_col).alias("doc_id"),
-            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-        )
-        .select("doc_id", _hex_hash_expr(F.col("shingle")).alias("sh"))
-        .distinct()
-    )
 
 
 def hashed_shingle_sets(
