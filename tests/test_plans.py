@@ -118,3 +118,15 @@ def test_no_cartesian_products(spark, sf_dir):
         assert "CartesianProduct" not in p, name
         if name not in SCALAR_BROADCAST_OK:
             assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_session_scale_confs(spark):
+    """The scale-critical session settings are part of the engine's
+    contract (AQE re-planning, skew-join splitting, Arrow transfers,
+    UTC timestamps for oracle parity) — regressions here change every
+    plan silently."""
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert conf.get("spark.sql.session.timeZone") == "UTC"
