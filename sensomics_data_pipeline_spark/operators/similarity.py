@@ -420,6 +420,42 @@ def lsh_topk(
     )
 
 
+def ivf_train(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_iter: int = 3,
+    train_sample: int = 4096,
+):
+    """Train the IVF coarse quantizer once and return the (n_lists ×
+    dim) unit-norm centroid matrix — persist it (numpy save, a table,
+    a broadcast var) and pass to :func:`ivf_topk` for every subsequent
+    query batch instead of retraining per call.
+
+    Training samples the ``train_sample`` lowest-keyed vectors via a
+    distributed TakeOrdered (each partition ships only its local
+    top-n — bounded driver memory, deterministic), then runs spherical
+    k-means driver-side on the KB-scale sample."""
+    import numpy as np
+
+    sample = (
+        df.select(key_col, vec_col).orderBy(key_col).limit(train_sample).collect()
+    )
+    smat = np.array([r[1] for r in sample], dtype=np.float64)
+    smat_n = smat / np.linalg.norm(smat, axis=1)[:, None]
+
+    cent = smat_n[:n_lists].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(smat_n @ cent.T, axis=1)
+        for c in range(n_lists):
+            members = smat_n[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / (np.linalg.norm(m) or 1.0)
+    return cent
+
+
 def ivf_topk(
     df: DataFrame,
     key_col: str = "vec_id",
@@ -429,6 +465,7 @@ def ivf_topk(
     n_probe: int = 2,
     n_iter: int = 3,
     train_sample: int = 4096,
+    centroids=None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer, vectors
     assigned to their nearest centroid's list, queries probe the
@@ -451,24 +488,23 @@ def ivf_topk(
 
     Iterative training is not SQL-expressible — rows-only driver
     check; recall vs ``brute_force_topk`` is pytest-verified.
+
+    ``centroids``: pass a matrix from :func:`ivf_train` to reuse a
+    quantizer across many query batches (the production pattern — an
+    IVF index is built once and probed millions of times); ``None``
+    trains one inline for self-contained single-shot use.
     """
     import numpy as np
     import pandas as pd
 
-    sample = (
-        df.select(key_col, vec_col).orderBy(key_col).limit(train_sample).collect()
-    )
-    smat = np.array([r[1] for r in sample], dtype=np.float64)
-    smat_n = smat / np.linalg.norm(smat, axis=1)[:, None]
-
-    cent = smat_n[:n_lists].copy()
-    for _ in range(n_iter):
-        assign = np.argmax(smat_n @ cent.T, axis=1)
-        for c in range(n_lists):
-            members = smat_n[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cent[c] = m / (np.linalg.norm(m) or 1.0)
+    if centroids is None:
+        cent = ivf_train(df, key_col, vec_col, n_lists, n_iter, train_sample)
+    else:
+        cent = np.asarray(centroids, dtype=np.float64)
+        if cent.shape[0] != n_lists:
+            raise ValueError(
+                f"centroids rows {cent.shape[0]} != n_lists {n_lists}"
+            )
 
     def assign_lists(batches: Iterator) -> Iterator:
         for pdf in batches:

@@ -742,3 +742,23 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
     assert sorted(dd.doc_id.tolist()) == a
     with pytest.raises(ValueError, match="exactly one"):
         stratified_sample_exact(df, ["src"], "doc_id")
+
+
+def test_ivf_pretrained_centroids_match_inline(spark):
+    import numpy as np
+
+    from sensomics_data_pipeline_spark.operators import similarity as sim_ops
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = sim_ops.ivf_train(emb, n_lists=8, train_sample=256)
+    assert cent.shape[0] == 8
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
+    inline = sim_ops.ivf_topk(
+        emb, k=3, n_lists=8, train_sample=256
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pre = sim_ops.ivf_topk(
+        emb, k=3, n_lists=8, train_sample=256, centroids=cent
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (inline == pre).all().all()
+    with pytest.raises(ValueError, match="n_lists"):
+        sim_ops.ivf_topk(emb, n_lists=4, centroids=cent)
