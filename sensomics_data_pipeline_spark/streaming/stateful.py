@@ -80,3 +80,104 @@ def dedup_consecutive_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(deduped, "append").select(
         "event_id", "user_id", "event_type", "ts", "bucket"
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 arbitrary-state API (transformWithStateInPandas)
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - import surface depends on environment
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    # the TWS state-server protocol runs over protobuf; without the
+    # python bindings the driver worker crashes at query start
+    # (ImportError: cannot import name 'descriptor' from
+    # 'google.protobuf'), so gate on BOTH imports
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    HAS_TWS = False
+
+HWM_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+class HighWatermarkProcessor(StatefulProcessor):
+    """Spark 4 ``transformWithStateInPandas`` processor: per
+    (user, type) group, emit only events whose value strictly exceeds
+    every previously seen value — the streaming "new record high"
+    filter. ValueState holds one double per group (O(groups) memory);
+    within a batch the comparison is a vectorized cummax, state carries
+    the running max across micro-batches.
+
+    This certifies the v2 arbitrary-state API (typed state handles,
+    explicit time modes) alongside the v1 ``applyInPandasWithState``
+    operator above; batch parity = ``value > max(previous)`` over a
+    window (see tests)."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self.state = handle.getValueState(
+            "mx", T.StructType([T.StructField("mx", T.DoubleType())])
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        mx = self.state.get()[0] if self.state.exists() else None
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            run = pdf["value"].cummax().shift()
+            if mx is not None:
+                run = run.fillna(mx).clip(lower=mx)
+            keep = run.isna() | (pdf["value"] > run)
+            out = pdf.loc[keep, ["event_id", "ts", "value"]].copy()
+            out.insert(0, "event_type", key[1])
+            out.insert(0, "user_id", key[0])
+            batch_max = float(pdf["value"].max())
+            mx = batch_max if mx is None else max(mx, batch_max)
+            yield out
+        if mx is not None:
+            self.state.update((mx,))
+
+    def close(self) -> None:
+        pass
+
+
+def high_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the v2-API record-high filter over the bounded events stream;
+    one micro-batch ⇒ equals the batch window form."""
+    from sensomics_data_pipeline_spark.streaming.demo import (
+        read_events_stream,
+        run_bounded,
+    )
+
+    if not HAS_TWS:  # pragma: no cover
+        raise NotImplementedError(
+            "transformWithStateInPandas needs Spark >= 4.0 and the "
+            "google.protobuf python bindings (absent in this image)"
+        )
+    events = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    out = events.groupBy("user_id", "event_type").transformWithStateInPandas(
+        HighWatermarkProcessor(),
+        outputStructType=HWM_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+    return run_bounded(out, "append").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )

@@ -762,3 +762,37 @@ def test_ivf_pretrained_centroids_match_inline(spark):
     assert (inline == pre).all().all()
     with pytest.raises(ValueError, match="n_lists"):
         sim_ops.ivf_topk(emb, n_lists=4, centroids=cent)
+
+
+def test_transform_with_state_high_watermark_matches_batch(spark, sf_dir):
+    """Spark 4 v2 stateful API (transformWithStateInPandas): the
+    streaming record-high filter over one bounded micro-batch equals
+    the batch window form value > max(previous per key)."""
+    from pyspark.sql import Window
+
+    from sensomics_data_pipeline_spark.sources.readers import load_table
+    from sensomics_data_pipeline_spark.streaming.stateful import (
+        HAS_TWS,
+        high_watermark_stream,
+    )
+
+    if not HAS_TWS:
+        # environment gate (protobuf bindings absent in this image):
+        # assert the gate raises cleanly instead of crashing a query
+        with pytest.raises(NotImplementedError, match="transformWithState"):
+            high_watermark_stream(spark, sf_dir)
+        return
+    got = high_watermark_stream(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = (
+        ev.withColumn("_prev_max", F.max("value").over(w))
+        .filter(F.col("_prev_max").isNull() | (F.col("value") > F.col("_prev_max")))
+        .select("event_id")
+        .toPandas()
+    )
+    assert sorted(got.event_id) == sorted(want.event_id)
