@@ -1775,6 +1775,66 @@ FROM reach GROUP BY src ORDER BY doc_id
 """
 
 
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation (sensor-domain twin of resample_ffill):
+    deterministically null out every 7th event, reduce to unique
+    (user, ts) keys, interpolate per user. Timestamps enter the frac
+    as integer seconds (`unix_timestamp` / `floor(epoch)`) so both
+    engines evaluate the identical IEEE expression."""
+    ev = _t(spark, sf_dir, "events")
+    base = (
+        ev.withColumn(
+            "v", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
+        )
+        .groupBy("user_id", "ts")
+        .agg(F.max("v").alias("v"))
+    )
+    from sensomics_data_pipeline_spark.operators.resample import interpolate_linear
+
+    out = interpolate_linear(base, ["user_id"], "ts", "v")
+    return out.select(
+        "user_id",
+        "ts",
+        (F.round("v_interp", 6) + F.lit(0.0)).alias("v_interp"),
+        "is_observed",
+    )
+
+
+_SQL_INTERPOLATE = """
+WITH base AS (
+  SELECT user_id, ts,
+         max(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END) AS v
+  FROM events GROUP BY user_id, ts
+), t AS (
+  SELECT user_id, ts, v,
+         CAST(floor(epoch(ts)) AS DOUBLE) AS tt,
+         last_value(v IGNORE NULLS) OVER w_prev AS pv,
+         last_value(CASE WHEN v IS NOT NULL
+                         THEN CAST(floor(epoch(ts)) AS DOUBLE) END IGNORE NULLS)
+           OVER w_prev AS pt,
+         first_value(v IGNORE NULLS) OVER w_next AS nv,
+         first_value(CASE WHEN v IS NOT NULL
+                          THEN CAST(floor(epoch(ts)) AS DOUBLE) END IGNORE NULLS)
+           OVER w_next AS nt
+  FROM base
+  WINDOW
+    w_prev AS (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, ts,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  WHEN nt = pt THEN pv
+                  ELSE pv + (nv - pv) * (tt - pt) / (nt - pt) END, 6) + 0.0
+         AS v_interp,
+       v IS NOT NULL AS is_observed
+FROM t
+"""
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors per embedding (numpy-scored
     exact baseline)."""
@@ -1960,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "embedding_ivf": q_embedding_ivf,
         "dedup_clusters": q_dedup_clusters,
+        "interpolate_linear": q_interpolate_linear,
     }
 
 
@@ -2019,4 +2080,5 @@ def oracle_sql() -> dict[str, str]:
         # embedding_ivf: iterative k-means — rows-only check by design
         "multimodal_frames": _SQL_MULTIMODAL,
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,
+        "interpolate_linear": _SQL_INTERPOLATE,
     }
