@@ -125,17 +125,23 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """n-word shingles: join each sliding window of n tokens with a
-    single space. Built-ins only: transform over index sequence +
-    slice + array_join."""
-    toks = tokens(col)
+def shingles_of(toks: Column, n: int) -> Column:
+    """n-word shingles from an already-tokenized array: join each
+    sliding window of n tokens with a single space. Built-ins only:
+    transform over index sequence + slice + array_join. Take the token
+    array as input (rather than re-tokenizing) so callers that need
+    several shingle widths tokenize once behind a generator barrier."""
     k = F.size(toks) - (n - 1)
     idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
     return F.when(
         k >= 1,
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """n-word shingles of a raw text column (tokenize + ``shingles_of``)."""
+    return shingles_of(tokens(col), n)
 
 
 def doc_fingerprint(
@@ -167,6 +173,169 @@ def doc_fingerprint(
             "fingerprint_max", F.conv(F.array_max("_hex"), 16, 10).cast("bigint")
         )
         .drop("_hex")
+    )
+
+
+def _run_stats(arr: Column) -> Column:
+    """``struct(max_run, n_distinct)`` over an array's elements: the
+    highest multiplicity of any single value and the distinct count.
+
+    Computed per row as one O(n log n) fold: ``array_sort`` then a
+    single ``aggregate`` pass that tracks the current run length. This
+    is the per-document equivalent of ``explode → groupBy(doc, value)
+    → count → max`` with ZERO shuffle — at 100 TB the explode plan
+    shuffles the entire token stream, while this stays inside the scan
+    stage as a codegen'd projection. (No index arithmetic: ANSI mode
+    makes ``element_at(arr, 0)`` a runtime error, so a fold over the
+    sorted array is both safer and one pass.)"""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("max_run"),
+        F.lit(0).alias("n_distinct"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = x.eqNullSafe(acc["prev"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["max_run"], run).alias("max_run"),
+            (acc["n_distinct"] + F.when(same, F.lit(0)).otherwise(F.lit(1))).alias(
+                "n_distinct"
+            ),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr),
+        zero,
+        step,
+        lambda acc: F.struct(
+            acc["max_run"].alias("max_run"), acc["n_distinct"].alias("n_distinct")
+        ),
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals in the style of the Gopher /
+    FineWeb heuristics, word-shaped (the corpus has no line structure):
+
+    - ``top_word_frac`` — occurrences of the most frequent token over
+      total tokens (boilerplate / keyword-stuffing detector),
+    - ``unique_word_ratio`` — distinct tokens over total tokens,
+    - ``top_bigram_frac`` — occurrences of the most frequent word
+      bigram over total bigrams,
+    - ``dup_trigram_frac`` — fraction of trigram occurrences that are
+      repeats of an earlier trigram (1 − distinct/total),
+    - ``repetitious`` — the composite keep/drop flag a training
+      pipeline filters on.
+
+    Plan shape: tokenize ONCE per row behind a generator barrier, build
+    2/3-gram shingles from the materialized array, then one sorted-fold
+    per width (``_run_stats``). Everything is a per-row projection —
+    no shuffle, no UDF, embarrassingly parallel at any scale. Ratios
+    are rounded to 6 and ``+ 0.0``-normalized so the DuckDB oracle
+    (which computes the same counts via unnest + groupBy — an
+    independent algorithm) hashes byte-identically."""
+    from sensomics_data_pipeline_spark.util import fan_out, materialize
+
+    pre = materialize(fan_out(df), _toks=tokens(F.col(text_col)))
+    t = F.col("_toks")
+    pre = materialize(
+        pre,
+        _w=_run_stats(t),
+        _b=_run_stats(shingles_of(t, 2)),
+        _t=_run_stats(shingles_of(t, 3)),
+        _n=F.size(t).cast("bigint"),
+    )
+    n = F.col("_n")
+    n_bg = F.greatest(n - 1, F.lit(0).cast("bigint"))
+    n_tg = F.greatest(n - 2, F.lit(0).cast("bigint"))
+    z = F.lit(0.0)
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.when(den > 0, F.round(num / den, 6) + z).otherwise(z)
+
+    out = (
+        pre.withColumn("n_tokens", n)
+        .withColumn("top_word_frac", frac(F.col("_w.max_run"), n))
+        .withColumn("unique_word_ratio", frac(F.col("_w.n_distinct"), n))
+        .withColumn("top_bigram_frac", frac(F.col("_b.max_run"), n_bg))
+        .withColumn(
+            "dup_trigram_frac",
+            F.when(
+                n_tg > 0,
+                F.round(1.0 - F.col("_t.n_distinct") / n_tg, 6) + z,
+            ).otherwise(z),
+        )
+    )
+    repetitious = (
+        (F.col("top_word_frac") > 0.20)
+        | (F.col("top_bigram_frac") > 0.18)
+        | (F.col("dup_trigram_frac") > 0.30)
+    )
+    return out.withColumn("repetitious", repetitious).drop(
+        "_toks", "_w", "_b", "_t", "_n"
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, count the
+    DISTINCT word ``n``-grams it shares with an evaluation set and flag
+    documents at or above ``min_overlap`` — the contamination check a
+    training pipeline runs before shipping data (the classic setup uses
+    8-13-gram overlap against held-out benchmarks).
+
+    Plan shape: both sides tokenize once behind a generator barrier,
+    shingle, and reduce each n-gram to the portable 60-bit hex hash
+    (15 bytes on the wire instead of the ~50-byte gram string). The
+    eval side collapses to one globally-distinct hash column — eval
+    sets are benchmark-sized, so it is broadcast by default and the
+    corpus side never shuffles its gram stream for the probe; the only
+    shuffle is the per-doc count of matches (hits only, usually a tiny
+    fraction of the corpus). Set ``broadcast_eval=False`` if the eval
+    set is itself corpus-scale. Hashing on BOTH engines (the oracle
+    applies the identical md5-substr) keeps the count identical even in
+    the astronomically-unlikely collision case."""
+    from sensomics_data_pipeline_spark.util import fan_out, materialize
+
+    def _doc_grams(df: DataFrame) -> DataFrame:
+        sh = shingles_of(tokens(F.col(text_col)), n)
+        return materialize(
+            fan_out(df),
+            _g=F.array_distinct(
+                F.transform(sh, lambda s: F.substring(F.md5(s), 1, 15))
+            ),
+        )
+
+    eval_grams = (
+        _doc_grams(eval_df).select(F.explode("_g").alias("g")).distinct()
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    hits = (
+        _doc_grams(corpus)
+        .select(F.col(key_col), F.explode("_g").alias("g"))
+        .join(eval_grams, "g")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        corpus.select(key_col)
+        .join(hits, key_col, "left")
+        .withColumn(
+            "n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint")
+        )
+        .withColumn("contaminated", F.col("n_overlap") >= min_overlap)
     )
 
 

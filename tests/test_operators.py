@@ -545,6 +545,83 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
 
 
+def test_repetition_signals_hand_computed(spark):
+    from sensomics_data_pipeline_spark.operators.text import repetition_signals
+
+    rows = [
+        (1, "a b a b a b"),          # 6 toks: top word 'a'x3, bigrams
+        (2, "x x x x"),              # degenerate repetition
+        (3, "one two three four five six seven eight nine ten"),  # distinct
+        (4, "solo"),                 # 1 token: no bigrams/trigrams
+        (5, "   "),                  # whitespace only: 0 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+
+    r1 = out[1]
+    # 6 tokens, 'a' and 'b' 3x each -> top_word_frac 0.5, 2 distinct
+    assert r1["n_tokens"] == 6
+    assert r1["top_word_frac"] == 0.5
+    assert abs(r1["unique_word_ratio"] - round(2 / 6, 6)) < 1e-9
+    # bigrams: 'a b'x3, 'b a'x2 over 5 -> 0.6; trigrams: 2 distinct / 4
+    assert r1["top_bigram_frac"] == 0.6
+    assert r1["dup_trigram_frac"] == 0.5
+    assert bool(r1["repetitious"])
+
+    r2 = out[2]
+    assert r2["top_word_frac"] == 1.0
+    assert r2["top_bigram_frac"] == 1.0
+    assert abs(r2["dup_trigram_frac"] - round(1 - 1 / 2, 6)) < 1e-9
+    assert bool(r2["repetitious"])
+
+    r3 = out[3]
+    assert r3["top_word_frac"] == 0.1
+    assert r3["unique_word_ratio"] == 1.0
+    assert r3["dup_trigram_frac"] == 0.0
+    assert not bool(r3["repetitious"])
+
+    r4 = out[4]
+    assert r4["n_tokens"] == 1 and r4["top_word_frac"] == 1.0
+    assert r4["top_bigram_frac"] == 0.0 and r4["dup_trigram_frac"] == 0.0
+
+    r5 = out[5]
+    assert r5["n_tokens"] == 0
+    assert r5["top_word_frac"] == 0.0 and r5["unique_word_ratio"] == 0.0
+
+
+def test_ngram_contamination_planted_overlap(spark):
+    from sensomics_data_pipeline_spark.operators.text import ngram_contamination
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 toks
+    eval_rows = [(100, f"intro words {bench} outro words")]
+    corpus_rows = [
+        (1, f"prefix {bench} suffix tail"),        # contains the 8-gram
+        (2, "totally different content with no shared eight gram run here"),
+        (3, f"{bench} {bench}"),                   # contains it + more grams
+    ]
+    eval_df = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in ngram_contamination(corpus, eval_df, n=8).collect()
+    }
+    assert out[1]["n_overlap"] >= 1 and bool(out[1]["contaminated"])
+    assert out[2]["n_overlap"] == 0 and not bool(out[2]["contaminated"])
+    # doc 3 shares only grams that exist in the eval doc — the planted
+    # 8-gram — regardless of how many grams doc 3 itself has
+    assert out[3]["n_overlap"] == out[1]["n_overlap"] == 1
+    # distinct semantics: doc 3 repeats the benchmark twice but the
+    # shared DISTINCT gram count is still 1
+    # non-broadcast path agrees
+    out2 = {
+        r["doc_id"]: r["n_overlap"]
+        for r in ngram_contamination(
+            corpus, eval_df, n=8, broadcast_eval=False
+        ).collect()
+    }
+    assert out2 == {k: v["n_overlap"] for k, v in out.items()}
+
+
 def test_pack_sequences_invariants(spark):
     import random
 
