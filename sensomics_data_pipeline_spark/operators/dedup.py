@@ -482,9 +482,21 @@ def duplicate_clusters(
     ``localCheckpoint`` that truncates lineage (without it the plan
     doubles per round and the driver re-plans O(2^rounds) nodes) and
     lets the previous round's blocks be released."""
+    # Symmetrize via a single explode, NOT union of two selects: union
+    # branches are separate plan subtrees, so an expensive `pairs`
+    # (e.g. a banding join + Arrow rescore) would execute once PER
+    # BRANCH — exchange reuse does not cover the post-join projection.
+    # One explode evaluates the pair source exactly once.
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+                    F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -517,7 +529,13 @@ def duplicate_clusters(
             (F.col("_nmin") < F.col("label")).alias("_chg"),
         )
         # pointer jumping: follow the label one hop (label of label) —
-        # halves remaining path lengths each round
+        # halves remaining path lengths each round. Exactly ONE jump
+        # per round: `stepped` is lazy, so the self-join already
+        # evaluates it twice; chaining a second jump would square that
+        # (each jump's x/y branches re-run the whole neighbor-min
+        # join — measured 4-10x slower at sf0.1), and checkpointing
+        # `stepped` first to avoid it costs the extra job the second
+        # jump was meant to save.
         jumped = (
             stepped.alias("x")
             .join(
@@ -534,7 +552,13 @@ def duplicate_clusters(
             )
         )
         new_labels = jumped.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        # Convergence probe: one straight aggregate over the cached
+        # blocks (single job, all partitions in parallel). A
+        # filter+limit(1).count() probe looks cheaper but CollectLimit
+        # scans partitions in escalating waves — on the final
+        # (converged) round, where nothing matches, that is several
+        # scheduling rounds instead of one.
+        changed = new_labels.agg(F.max("_chg")).first()[0]
         labels = new_labels.select("doc_id", "label")
         if not changed:
             break
