@@ -429,6 +429,93 @@ def test_activity_pipeline_golden(spark):
     }
 
 
+def _greedy_ref(tx, vx, ty, vy, tz, vz, tol_us, n):
+    """Independent plain-Python walk of the greedy alignment spec
+    (SURVEY.md §2.4 J1, incl. the replicated x-z bug): used to parity-
+    check the applyInPandas operator's Spark plumbing (grouping, sort,
+    Arrow types) on inputs far larger than the golden fixtures."""
+
+    def match3(a, b, c):
+        return max(abs(a - b), abs(b - c), abs(b - c)) <= tol_us
+
+    ix = iy = iz = 0
+    rows = []
+    while ix < len(tx) - n and iy < len(ty) - n and iz < len(tz) - n:
+        if not match3(tx[ix], ty[iy], tz[iz]):
+            found = None
+            m = n
+            while found is None:
+                cand = [
+                    (i + j + k, i, j, k)
+                    for i in range(min(m, len(tx) - ix))
+                    for j in range(min(m, len(ty) - iy))
+                    for k in range(min(m, len(tz) - iz))
+                    if match3(tx[ix + i], ty[iy + j], tz[iz + k])
+                ]
+                if cand:
+                    found = min(cand)
+                else:
+                    m += 2
+            _, di, dj, dk = found
+            ix, iy, iz = ix + di, iy + dj, iz + dk
+        rows.append((tx[ix], vx[ix], vy[iy], vz[iz]))
+        ix, iy, iz = ix + 1, iy + 1, iz + 1
+    return rows
+
+
+def test_align_greedy_large_randomized_parity(spark):
+    """Large randomized stream (2 groups x ~3000 triples, jitter, 2%
+    random drops per axis): the distributed Plan B must reproduce the
+    reference walk exactly, per group, with no state crossing groups."""
+    import random
+
+    rng = random.Random(17)
+    base_us = int(pd.Timestamp("2024-03-01").value // 1000)
+    rows = []
+    per_group = {}
+    for subj in ("s1", "s2"):
+        streams = {}
+        for axis in ("acx", "acy", "acz"):
+            t, v = [], []
+            for i in range(3000):
+                if rng.random() < 0.02:  # dropped sample
+                    continue
+                jitter = rng.randint(-50_000, 50_000)
+                t.append(base_us + 500_000 * i + jitter)
+                v.append(float(i))
+            streams[axis] = (t, v)
+            rows += [
+                (subj, pd.Timestamp(us, unit="us"), axis, val)
+                for us, val in zip(t, v)
+            ]
+        per_group[subj] = streams
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["subject", "date_time", "kind", "data"])
+    )
+    got = (
+        acc_ops.align_axes_greedy(df, ["subject"], ts_col="date_time")
+        .toPandas()
+        .sort_values(["subject", "date_time"])
+        .reset_index(drop=True)
+    )
+    for subj, streams in per_group.items():
+        tx, vx = streams["acx"]
+        ty, vy = streams["acy"]
+        tz, vz = streams["acz"]
+        want = _greedy_ref(tx, vx, ty, vy, tz, vz, 500_000, 6)
+        sub = got[got.subject == subj].reset_index(drop=True)
+        assert len(sub) == len(want), (subj, len(sub), len(want))
+        assert (
+            sub.date_time.to_numpy("datetime64[us]").astype("int64")
+            == [w[0] for w in want]
+        ).all()
+        for col, pos in (("acx", 1), ("acy", 2), ("acz", 3)):
+            assert (sub[col].to_numpy() == [w[pos] for w in want]).all(), (
+                subj,
+                col,
+            )
+
+
 def test_align_plans_agree_on_clean_data(spark):
     """On drop-free, well-separated streams, the scalable bucket plan
     (A) and the greedy parity plan (B) must produce identical aligned
