@@ -1496,9 +1496,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_TEXT_QUALITY = f"""
+#: Shared scored-documents subquery (per-doc quality features + the
+#: composite score) — used by both the text_quality rollup and the
+#: quality_gate percentile filter.
+_SQL_DOC_QUALITY = f"""(
 WITH feats AS (
-  SELECT source,
+  SELECT doc_id, source,
          length(text) AS n_chars,
          len({_D_TOKS}) AS n_tokens,
          round(CASE WHEN len({_D_TOKS}) > 0
@@ -1514,13 +1517,19 @@ WITH feats AS (
                  x -> lower(x) IN ('the','and','of','to','is')))
                * 1.0 / greatest(len({_D_TOKS}), 1), 6) AS stopword_ratio
   FROM documents
-), scored AS (
-  SELECT *,
-         round(least(n_tokens / 100.0, 1.0) * 0.4
-               + (1 - least(punct_ratio * 4, 1.0)) * 0.3
-               + (1 - least(digit_ratio * 4, 1.0)) * 0.2
-               + least(stopword_ratio * 5, 1.0) * 0.1, 6) AS quality_score
-  FROM feats
+)
+SELECT *,
+       round(least(n_tokens / 100.0, 1.0) * 0.4
+             + (1 - least(punct_ratio * 4, 1.0)) * 0.3
+             + (1 - least(digit_ratio * 4, 1.0)) * 0.2
+             + least(stopword_ratio * 5, 1.0) * 0.1, 6) AS quality_score
+FROM feats
+)"""
+
+
+_SQL_TEXT_QUALITY = f"""
+WITH scored AS (
+  SELECT * FROM {_SQL_DOC_QUALITY} q
 )
 SELECT source, count(*) AS n_docs,
        round(avg(punct_ratio), 6)    AS avg_punct,
@@ -1600,6 +1609,29 @@ SELECT doc_id, n_tokens, top_word_frac, unique_word_ratio,
        (top_word_frac > 0.20 OR top_bigram_frac > 0.18
         OR dup_trigram_frac > 0.30) AS repetitious
 FROM sig
+"""
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality percentile gate: keep the top 40% of docs by
+    composite quality score within each source (deterministic
+    percent_rank with key tiebreak on both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.quality_percentile_gate(docs, keep_frac=0.4).select(
+        "doc_id", "source", "quality_score", "pct_rank"
+    )
+
+
+_SQL_QUALITY_GATE = f"""
+SELECT doc_id, source, quality_score, round(pr, 6) + 0.0 AS pct_rank
+FROM (
+  SELECT doc_id, source, quality_score,
+         percent_rank() OVER (
+           PARTITION BY source ORDER BY quality_score DESC, doc_id
+         ) AS pr
+  FROM {_SQL_DOC_QUALITY} q
+) ranked
+WHERE pr <= 0.4
 """
 
 
@@ -2132,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_linear": q_interpolate_linear,
         "profile_table": q_profile_table,
         "set_ops": q_set_ops,
+        "quality_gate": q_quality_gate,
     }
 
 
@@ -2194,4 +2227,5 @@ def oracle_sql() -> dict[str, str]:
         "interpolate_linear": _SQL_INTERPOLATE,
         "repetition_signals": _SQL_REPETITION,
         "decontaminate": _SQL_DECONTAMINATE,
+        "quality_gate": _SQL_QUALITY_GATE,
     }

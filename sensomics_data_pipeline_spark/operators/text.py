@@ -280,6 +280,38 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_percentile_gate(
+    df: DataFrame,
+    keep_frac: float = 0.4,
+    partition_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group quality gate: keep the top ``keep_frac`` fraction of
+    documents by composite quality score WITHIN each group (source /
+    crawl / shard) — the "filter to the best q% per source" step of a
+    training-data pipeline, which must be per-group so one
+    high-quality source cannot crowd out every other source.
+
+    Ranking is ``percent_rank`` over (score desc, key) — the key
+    tiebreak makes the kept set deterministic and engine-reproducible.
+    Scale note: the window shuffles one partition per group; with few
+    huge groups, swap to a two-pass form (per-group
+    ``percentile_approx`` threshold, broadcast back) which this module
+    keeps expressible via ``quality_score`` + a grouped agg."""
+    from pyspark.sql import Window
+
+    scored = quality_score(df, text_col)
+    w = Window.partitionBy(partition_col).orderBy(
+        F.desc("quality_score"), F.col(key_col)
+    )
+    return (
+        scored.withColumn("pct_rank", F.percent_rank().over(w))
+        .filter(F.col("pct_rank") <= keep_frac)
+        .withColumn("pct_rank", F.round("pct_rank", 6) + F.lit(0.0))
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     eval_df: DataFrame,

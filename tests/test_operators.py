@@ -589,6 +589,27 @@ def test_repetition_signals_hand_computed(spark):
     assert r5["top_word_frac"] == 0.0 and r5["unique_word_ratio"] == 0.0
 
 
+def test_quality_gate_per_group_quota(spark):
+    from sensomics_data_pipeline_spark.operators.text import (
+        quality_percentile_gate,
+    )
+
+    rows = []
+    # group A: 10 docs of strictly increasing quality (longer = better)
+    for i in range(10):
+        rows.append((i, "A", "word " * (10 * (i + 1))))
+    rows.append((100, "B", "lonely single document here"))  # 1-doc group
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = quality_percentile_gate(df, keep_frac=0.4).toPandas()
+    a = out[out.source == "A"]
+    # percent_rank = rank/(n-1): over 10 rows, ranks 0..3 give
+    # 0, 1/9, 2/9, 3/9 <= 0.4 while 4/9 > 0.4 -> keeps the 4 longest
+    # (highest-quality, = highest doc_id here) docs
+    assert sorted(a.doc_id) == [6, 7, 8, 9]
+    # single-doc group: percent_rank is 0.0 by convention -> kept
+    assert (out[out.source == "B"].doc_id == 100).all()
+
+
 def test_ngram_contamination_planted_overlap(spark):
     from sensomics_data_pipeline_spark.operators.text import ngram_contamination
 
