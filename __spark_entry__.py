@@ -1670,6 +1670,28 @@ WHERE d.source <> 'src0'
 """
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-preparation composition (scrub → repetition →
+    quality gate → decontaminate vs src0 → exact dedup → packing) as
+    one lazy plan. No SQL oracle — the stages are individually
+    oracle-checked (repetition_signals / quality_gate / decontaminate /
+    exact_dedup) and the composition contract is invariant-tested
+    (`tests/test_operators.py::test_prepare_corpus_end_to_end`); this
+    entry certifies the composed plan executes end-to-end at bench
+    scale (rows-only driver check, like embedding_ivf)."""
+    from sensomics_data_pipeline_spark.operators.corpus import prepare_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return prepare_corpus(
+        docs,
+        eval_df=docs.filter(F.col("source") == "src0"),
+        quality_keep_frac=0.6,
+        dedup_method="exact",
+        pack_budget=512,
+        pack_groups=16,
+    ).orderBy("doc_id")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: marker-word argmax vs the labeled lang."""
     docs = _t(spark, sf_dir, "documents")
@@ -2165,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "set_ops": q_set_ops,
         "quality_gate": q_quality_gate,
+        "corpus_pipeline": q_corpus_pipeline,
     }
 
 

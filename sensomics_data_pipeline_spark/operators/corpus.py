@@ -1,0 +1,113 @@
+"""End-to-end training-corpus preparation: the composition a
+large-scale data pipeline actually ships — PII scrubbing → repetition
+filter → per-source quality gate → benchmark decontamination →
+near-dup deduplication → sequence packing — expressed as ONE lazy
+Spark plan over a ``documents``-shaped table.
+
+Each stage is an independently oracle-/unit-tested operator from this
+package; this module owns only the composition contract (column
+hand-off, filter order, final schema). Stage order is deliberate:
+
+1. scrub first, so every later text-derived signal (quality, grams,
+   dedup hashes) sees the text that would actually be trained on;
+2. cheap per-row filters (repetition) before windowed ones (quality
+   percentile) before join-shaped ones (contamination, dedup) — drop
+   rows while it is cheapest;
+3. dedup after content filters, so near-dup clusters are not formed
+   across documents that were going to be dropped anyway;
+4. packing last, over survivors only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sensomics_data_pipeline_spark.operators.dedup import dedup_corpus
+from sensomics_data_pipeline_spark.operators.packing import pack_sequences
+from sensomics_data_pipeline_spark.operators.text import (
+    ngram_contamination,
+    quality_percentile_gate,
+    repetition_signals,
+    scrub_pii,
+)
+
+
+def prepare_corpus(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    eval_df: DataFrame | None = None,
+    quality_keep_frac: float = 0.5,
+    contamination_ngram: int = 8,
+    dedup_method: str = "minhash",
+    dedup_kwargs: dict | None = None,
+    pack_budget: int = 2048,
+    pack_groups: int = 64,
+) -> DataFrame:
+    """Run the full corpus-preparation pipeline; returns one row per
+    SURVIVING document with its pack assignment:
+
+    ``(key, source, text [scrubbed], n_tokens, quality_score,
+    pack_id, pack_fill, oversize)``
+
+    ``eval_df`` (optional) is the benchmark set for decontamination;
+    when omitted that stage is skipped. ``dedup_method`` passes through
+    to :func:`dedup_corpus` (``minhash``/``jaccard``/``simhash``/
+    ``exact``).
+
+    Scale shape: stages 1-2 are pure per-row projections (no
+    shuffle); the quality gate shuffles once per source-partitioned
+    window; contamination is a broadcast probe; dedup is the banding
+    equi-join family; packing shuffles only ``(key, n_tokens)`` pairs.
+    Nothing materializes the corpus until the caller does.
+    """
+    scrubbed = scrub_pii(df, text_col).select(
+        key_col, source_col, F.col("scrubbed_text").alias(text_col)
+    )
+    non_repetitious = (
+        repetition_signals(scrubbed, text_col)
+        .filter(~F.col("repetitious"))
+        .select(key_col, source_col, text_col)
+    )
+    gated = quality_percentile_gate(
+        non_repetitious,
+        keep_frac=quality_keep_frac,
+        partition_col=source_col,
+        key_col=key_col,
+        text_col=text_col,
+    ).select(key_col, source_col, text_col, "n_tokens", "quality_score")
+    if eval_df is not None:
+        clean_ids = ngram_contamination(
+            gated,
+            eval_df,
+            key_col=key_col,
+            text_col=text_col,
+            n=contamination_ngram,
+        ).filter(~F.col("contaminated"))
+        gated = gated.join(
+            clean_ids.select(key_col), key_col, "left_semi"
+        )
+    survivors = dedup_corpus(
+        gated, key_col, text_col, method=dedup_method, **(dedup_kwargs or {})
+    )
+    packed = pack_sequences(
+        survivors.select(key_col, "n_tokens"),
+        key_col=key_col,
+        tokens_col="n_tokens",
+        budget=pack_budget,
+        n_groups=pack_groups,
+    )
+    return survivors.join(
+        packed.select(key_col, "pack_id", "pack_fill", "oversize"), key_col
+    ).select(
+        key_col,
+        source_col,
+        text_col,
+        "n_tokens",
+        "quality_score",
+        "pack_id",
+        "pack_fill",
+        "oversize",
+    )

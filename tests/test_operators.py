@@ -589,6 +589,66 @@ def test_repetition_signals_hand_computed(spark):
     assert r5["top_word_frac"] == 0.0 and r5["unique_word_ratio"] == 0.0
 
 
+def test_prepare_corpus_end_to_end(spark):
+    import random
+
+    from sensomics_data_pipeline_spark.operators.corpus import prepare_corpus
+
+    rng = random.Random(11)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    # 20 normal docs across 2 sources
+    for i in range(20):
+        words = [rng.choice(vocab) for _ in range(60)]
+        rows.append((i, f"s{i % 2}", " ".join(words)))
+    # PII doc (otherwise normal)
+    rows.append((50, "s0", rows[0][2].replace("alpha", "bob@x.com", 1)))
+    # repetitious doc
+    rows.append((51, "s0", "spam " * 80))
+    # exact near-dup pair (identical text -> any detector catches it)
+    dup_text = " ".join(rng.choice(vocab) for _ in range(60))
+    rows.append((60, "s1", dup_text))
+    rows.append((61, "s1", dup_text))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    eval_df = spark.createDataFrame(
+        [(999, rows[5][2])], "doc_id long, text string"
+    )  # doc 5's full text is "benchmark" -> doc 5 must be dropped
+
+    out = prepare_corpus(
+        df,
+        eval_df=eval_df,
+        quality_keep_frac=0.9,
+        dedup_method="exact",
+        pack_budget=128,
+        pack_groups=4,
+    ).toPandas()
+
+    ids = set(out.doc_id)
+    assert ids <= {r[0] for r in rows}          # no invented docs
+    assert 51 not in ids                        # repetitious dropped
+    assert 5 not in ids                         # contaminated dropped
+    assert not (60 in ids and 61 in ids)        # dup pair collapsed
+    assert (out.n_tokens > 0).all()
+    # PII scrubbed in the surviving text payloads
+    assert not out.text.str.contains("@").any()
+    # pack bookkeeping: every survivor packed exactly once, fills match
+    assert out.doc_id.is_unique
+    for _, grp in out.groupby("pack_id"):
+        assert (grp.pack_fill == grp.n_tokens.sum()).all()
+    # deterministic
+    out2 = prepare_corpus(
+        df,
+        eval_df=eval_df,
+        quality_keep_frac=0.9,
+        dedup_method="exact",
+        pack_budget=128,
+        pack_groups=4,
+    ).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert (a == b).all().all()
+
+
 def test_quality_gate_per_group_quota(spark):
     from sensomics_data_pipeline_spark.operators.text import (
         quality_percentile_gate,
