@@ -1670,6 +1670,26 @@ WHERE d.source <> 'src0'
 """
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-50: token occurrence + document frequency,
+    deterministic (count desc, token) order."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.vocab_topk(docs, k=50)
+
+
+_SQL_VOCAB_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_D_TOKS}) AS token FROM documents
+)
+SELECT token,
+       count(*)::BIGINT            AS n_occurrences,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM tok GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 50
+"""
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-preparation composition (scrub → repetition →
     quality gate → decontaminate vs src0 → exact dedup → packing) as
@@ -2187,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "set_ops": q_set_ops,
         "quality_gate": q_quality_gate,
+        "vocab_topk": q_vocab_topk,
         "corpus_pipeline": q_corpus_pipeline,
     }
 
@@ -2251,4 +2272,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _SQL_REPETITION,
         "decontaminate": _SQL_DECONTAMINATE,
         "quality_gate": _SQL_QUALITY_GATE,
+        "vocab_topk": _SQL_VOCAB_TOPK,
     }

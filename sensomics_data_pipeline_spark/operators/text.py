@@ -280,6 +280,38 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def vocab_topk(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent tokens with total
+    occurrence counts and document frequencies — the wordcount every
+    pipeline needs for stopword lists, df-caps and tokenizer vocab
+    seeding.
+
+    Plan: explode the token stream → one groupBy(token) with map-side
+    partial aggregation (count + approx-free exact distinct via the
+    (token, doc) pre-distinct) → global top-k. Deterministic total
+    order: (count desc, token asc). At 100 TB this is the canonical
+    one-shuffle wordcount; the top-k limit is a TakeOrdered, not a full
+    sort."""
+    from sensomics_data_pipeline_spark.util import fan_out, materialize
+
+    toks = (
+        materialize(fan_out(df), _toks=tokens(F.col(text_col)))
+        .select(F.col(key_col), F.explode("_toks").alias("token"))
+    )
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct(key_col).alias("n_docs"),
+    )
+    return counts.orderBy(
+        F.desc("n_occurrences"), F.asc("token")
+    ).limit(k)
+
+
 def quality_percentile_gate(
     df: DataFrame,
     keep_frac: float = 0.4,
