@@ -91,6 +91,24 @@ def cmd_activity(args) -> int:
     return 0
 
 
+def cmd_corpus(args) -> int:
+    from sensomics_data_pipeline_spark.operators.corpus import prepare_corpus
+
+    spark = _spark()
+    docs = spark.read.parquet(args.input)
+    eval_df = spark.read.parquet(args.eval) if args.eval else None
+    out = prepare_corpus(
+        docs,
+        eval_df=eval_df,
+        quality_keep_frac=args.keep_frac,
+        dedup_method=args.dedup,
+        pack_budget=args.budget,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="sensomics-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -123,6 +141,19 @@ def main(argv=None) -> int:
     c.add_argument("-a", "--acc", required=True)
     c.add_argument("-o", "--out", required=True)
     c.set_defaults(fn=cmd_activity)
+
+    k = sub.add_parser(
+        "corpus",
+        help="training-corpus prep: scrub -> filter -> dedup -> pack",
+    )
+    k.add_argument("-i", "--input", required=True, help="documents parquet")
+    k.add_argument("-o", "--out", required=True)
+    k.add_argument("--eval", default=None, help="benchmark parquet for decontamination")
+    k.add_argument("--keep-frac", type=float, default=0.5)
+    k.add_argument("--dedup", default="minhash",
+                   choices=["exact", "minhash", "jaccard", "simhash"])
+    k.add_argument("--budget", type=int, default=2048, help="pack token budget")
+    k.set_defaults(fn=cmd_corpus)
 
     args = p.parse_args(argv)
     return args.fn(args)

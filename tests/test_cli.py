@@ -75,3 +75,27 @@ def test_cli_reformat_with_skew(spark, raw_json_dir, tmp_path):
     # all timestamps shifted forward by 15 minutes
     first = meas.agg({"date_time": "min"}).first()[0]
     assert first.minute == 15
+
+
+def test_cli_corpus(spark, tmp_path):
+    docs_path = str(tmp_path / "docs")
+    out = str(tmp_path / "corpus_out")
+    rows = [
+        (i, "s0" if i % 2 else "s1", f"doc {i} " + "text body words here " * (3 + i % 5))
+        for i in range(12)
+    ]
+    rows.append((99, "s0", "spam " * 50))  # repetitious -> dropped
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(docs_path)
+
+    assert cli.main(
+        ["corpus", "-i", docs_path, "-o", out, "--dedup", "exact",
+         "--keep-frac", "0.9", "--budget", "256"]
+    ) == 0
+    got = spark.read.parquet(out)
+    assert {"doc_id", "pack_id", "pack_fill", "n_tokens", "quality_score"} <= set(
+        got.columns
+    )
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert 99 not in ids and ids <= {r[0] for r in rows}
