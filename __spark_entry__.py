@@ -1519,10 +1519,16 @@ WITH feats AS (
   FROM documents
 )
 SELECT *,
-       round(least(n_tokens / 100.0, 1.0) * 0.4
+       -- round((x)*1e6)/1e6, NOT round(x, 6): the weighted sum of
+       -- 6-decimal ratios ties at 7th-decimal halves, and
+       -- fractional-digit round() breaks ties engine-specifically;
+       -- digit-0 round on the identical scaled double agrees with
+       -- Spark (see operators/text.py quality_score docstring)
+       round((least(n_tokens / 100.0, 1.0) * 0.4
              + (1 - least(punct_ratio * 4, 1.0)) * 0.3
              + (1 - least(digit_ratio * 4, 1.0)) * 0.2
-             + least(stopword_ratio * 5, 1.0) * 0.1, 6) AS quality_score
+             + least(stopword_ratio * 5, 1.0) * 0.1) * 1000000.0)
+         / 1000000.0 AS quality_score
 FROM feats
 )"""
 

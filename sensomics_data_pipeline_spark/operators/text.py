@@ -90,7 +90,17 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite 0-1 quality score from the features — monotone, cheap,
     deterministic: long docs with real words and sane punctuation score
-    high; flooded punctuation / digits score low."""
+    high; flooded punctuation / digits score low.
+
+    Rounding is ``round(x * 1e6) / 1e6`` rather than ``round(x, 6)``,
+    deliberately: the weighted sum of 6-decimal ratios with 1-decimal
+    weights lands EXACTLY on 7th-decimal halves all the time, and
+    fractional-digit round() breaks those ties engine-specifically
+    (Spark rounds the binary double's exact decimal expansion; DuckDB
+    multiplies by 1e6 first, which can cross the .5 boundary the other
+    way — observed as a 1-ulp-in-the-6th-decimal disagreement at
+    sf0.1). Scaling first and rounding at digit 0 makes both engines
+    round the SAME double with the same ties-away-from-zero rule."""
     feats = quality_features(df, text_col)
     score = (
         F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4
@@ -98,7 +108,9 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + (1 - F.least(F.col("digit_ratio") * 4, F.lit(1.0))) * 0.2
         + F.least(F.col("stopword_ratio") * 5, F.lit(1.0)) * 0.1
     )
-    return feats.withColumn("quality_score", F.round(score, 6))
+    return feats.withColumn(
+        "quality_score", F.round(score * 1_000_000.0) / 1_000_000.0
+    )
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
