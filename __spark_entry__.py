@@ -1696,6 +1696,32 @@ LIMIT 50
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunking (64-token windows, 16
+    overlap) — integer-exact chunk grid on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+_SQL_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS l FROM documents
+), c AS (
+  SELECT doc_id, l,
+         unnest(generate_series(0,
+           CASE WHEN len(l) <= 64 THEN 0
+                ELSE (len(l) - 64 + 47) // 48 END)) AS chunk_id
+  FROM t
+)
+SELECT doc_id, chunk_id::INT AS chunk_id,
+       array_to_string(l[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+         AS chunk_text,
+       len(l[chunk_id * 48 + 1 : chunk_id * 48 + 64])::BIGINT
+         AS chunk_n_tokens
+FROM c
+"""
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-preparation composition (scrub → repetition →
     quality gate → decontaminate vs src0 → exact dedup → packing) as
@@ -2214,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "quality_gate": q_quality_gate,
         "vocab_topk": q_vocab_topk,
+        "chunk_documents": q_chunk_documents,
         "corpus_pipeline": q_corpus_pipeline,
     }
 
@@ -2279,4 +2306,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _SQL_DECONTAMINATE,
         "quality_gate": _SQL_QUALITY_GATE,
         "vocab_topk": _SQL_VOCAB_TOPK,
+        "chunk_documents": _SQL_CHUNKS,
     }

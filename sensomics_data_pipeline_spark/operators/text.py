@@ -292,6 +292,51 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    long-document chunking step before embedding / context-window
+    packing. Emits ``(key, chunk_id, chunk_text, chunk_n_tokens)``;
+    every document yields at least one chunk (short docs come through
+    whole), consecutive chunks share ``overlap`` tokens, and the last
+    chunk may be short (nothing is dropped).
+
+    Chunk count uses pure integer arithmetic
+    (``(n - chunk + stride - 1) div stride + 1``) so the Spark plan and
+    the SQL oracle derive identical chunk grids — float ``ceil`` is an
+    engine-specific tie-breaker. Per-row generator fan-out (tokenize
+    once → posexplode of sliced windows): no shuffle, linear in output
+    size, embarrassingly parallel."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    from sensomics_data_pipeline_spark.util import fan_out, materialize
+
+    pre = materialize(fan_out(df), _toks=tokens(F.col(text_col)))
+    n = F.size("_toks")
+    last_idx = F.when(n <= chunk_tokens, F.lit(0)).otherwise(
+        F.floor((n - chunk_tokens + (stride - 1)) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), last_idx),
+        lambda i: F.slice(F.col("_toks"), i * stride + 1, chunk_tokens),
+    )
+    return (
+        pre.select(
+            F.col(key_col),
+            F.posexplode(chunks).alias("chunk_id", "_chunk"),
+        )
+        .withColumn("chunk_text", F.array_join("_chunk", " "))
+        .withColumn("chunk_n_tokens", F.size("_chunk").cast("bigint"))
+        .drop("_chunk")
+    )
+
+
 def vocab_topk(
     df: DataFrame,
     key_col: str = "doc_id",

@@ -649,6 +649,42 @@ def test_prepare_corpus_end_to_end(spark):
     assert (a == b).all().all()
 
 
+def test_chunk_documents_grid(spark):
+    import pytest as _pytest
+
+    from sensomics_data_pipeline_spark.operators.text import chunk_documents
+
+    def doc(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [(64, doc(64)), (65, doc(65)), (100, doc(100)), (0, "  "), (5, doc(5))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=64, overlap=16).toPandas()
+    g = out.groupby("doc_id")
+
+    # exactly-one-chunk cases: short, empty, exact fit
+    for did, want_tokens in ((64, 64), (5, 5), (0, 0)):
+        grp = g.get_group(did)
+        assert len(grp) == 1 and grp.chunk_n_tokens.iloc[0] == want_tokens
+    # 65 tokens -> chunks [0:64] and [48:65] (17 tokens, 16 overlapped + 1)
+    grp = g.get_group(65).sort_values("chunk_id")
+    assert list(grp.chunk_n_tokens) == [64, 17]
+    assert grp.chunk_text.iloc[1].split()[0] == "w48"
+    # 100 tokens -> [0:64], [48:100]
+    grp = g.get_group(100).sort_values("chunk_id")
+    assert list(grp.chunk_n_tokens) == [64, 52]
+    # overlap reconstruction: stripping the 16-token overlap from every
+    # non-first chunk re-yields the original token stream
+    toks = []
+    for _, r in grp.reset_index().iterrows():
+        parts = r.chunk_text.split()
+        toks += parts if r.chunk_id == 0 else parts[16:]
+    assert toks == doc(100).split()
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=16, overlap=16)
+
+
 def test_quality_gate_per_group_quota(spark):
     from sensomics_data_pipeline_spark.operators.text import (
         quality_percentile_gate,
