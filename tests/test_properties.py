@@ -344,3 +344,37 @@ def test_simhash_banding_lossless_property(spark, docs):
         ).collect()
     }
     assert got == want
+
+
+@given(docs=corpus_strategy)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_run_stats_fold_matches_counter(spark, docs):
+    """The per-row sorted-fold multiplicity stats behind
+    repetition_signals must agree with collections.Counter on arbitrary
+    token arrays (incl. duplicates-heavy, singleton and short lists)."""
+    from collections import Counter
+
+    from sensomics_data_pipeline_spark.operators.text import (
+        repetition_signals,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        c = Counter(toks)
+        bi = Counter(" ".join(p) for p in zip(toks, toks[1:]))
+        tri = Counter(" ".join(p) for p in zip(toks, toks[1:], toks[2:]))
+        r = got[i]
+        assert r["n_tokens"] == n
+        assert r["top_word_frac"] == round(max(c.values()) / n, 6)
+        assert r["unique_word_ratio"] == round(len(c) / n, 6)
+        if n >= 2:
+            assert r["top_bigram_frac"] == round(max(bi.values()) / (n - 1), 6)
+        if n >= 3:
+            assert r["dup_trigram_frac"] == round(1 - len(tri) / (n - 2), 6)
