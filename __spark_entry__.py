@@ -1696,6 +1696,26 @@ LIMIT 50
 """
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise embedding centroids in long form
+    (label, pos, n_vecs, centroid) — exact via 1e-6 fixed-point long
+    sums, order-insensitive and engine-identical."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.embedding_centroids(emb, "label", "embedding")
+
+
+_SQL_EMB_CENTROIDS = """
+WITH e AS (
+  SELECT label, i - 1 AS pos,
+         round(embedding[i]::DOUBLE * 1000000.0)::BIGINT AS q
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+)
+SELECT label, pos::INT AS pos, count(*)::BIGINT AS n_vecs,
+       (sum(q)::DOUBLE / count(*)) / 1000000.0 AS centroid
+FROM e GROUP BY label, pos
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-size token chunking (64-token windows, 16
     overlap) — integer-exact chunk grid on both engines."""
@@ -2241,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate": q_quality_gate,
         "vocab_topk": q_vocab_topk,
         "chunk_documents": q_chunk_documents,
+        "embedding_centroids": q_embedding_centroids,
         "corpus_pipeline": q_corpus_pipeline,
     }
 
@@ -2307,4 +2328,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_gate": _SQL_QUALITY_GATE,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "chunk_documents": _SQL_CHUNKS,
+        "embedding_centroids": _SQL_EMB_CENTROIDS,
     }

@@ -587,3 +587,48 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    assemble: bool = False,
+) -> DataFrame:
+    """Per-group element-wise centroid of an embedding column — the
+    building block for source-drift monitoring, cluster summaries and
+    IVF retraining from labeled partitions.
+
+    Exactness contract: each float element is quantized to a 1e-6
+    fixed-point LONG (`round(val * 1e6)` — exact for |val| < 2^53/1e6),
+    and the per-(group, pos) sums run on longs, which are
+    order-insensitive — so the result is bit-identical regardless of
+    partitioning AND across engines (the DuckDB oracle applies the
+    identical quantization). A plain `avg(float)` would depend on
+    summation order, which a distributed engine does not guarantee.
+    Plan: posexplode → one groupBy(group, pos) with map-side partial
+    long sums; `assemble=True` adds a second small shuffle to rebuild
+    `array<double>` centroids (one row per group).
+    """
+    exploded = df.select(
+        F.col(group_col), F.posexplode(vec_col).alias("pos", "_val")
+    )
+    q = F.round(F.col("_val").cast("double") * 1_000_000.0).cast("bigint")
+    per = exploded.groupBy(group_col, "pos").agg(
+        F.sum(q).alias("_sumq"), F.count("*").alias("n_vecs")
+    )
+    long_form = per.select(
+        group_col,
+        "pos",
+        "n_vecs",
+        ((F.col("_sumq") / F.col("n_vecs")) / 1_000_000.0).alias("centroid"),
+    )
+    if not assemble:
+        return long_form
+    return long_form.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("centroid_vec"),
+        F.first("n_vecs").alias("n_vecs"),
+    )

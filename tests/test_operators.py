@@ -649,6 +649,34 @@ def test_prepare_corpus_end_to_end(spark):
     assert (a == b).all().all()
 
 
+def test_embedding_centroids_exact(spark):
+    from sensomics_data_pipeline_spark.operators.similarity import (
+        embedding_centroids,
+    )
+
+    rows = [
+        (1, [1.0, 2.0], 0),
+        (2, [3.0, 6.0], 0),
+        (3, [10.0, -10.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        (r["label"], r["pos"]): r
+        for r in embedding_centroids(df, "label", "embedding").collect()
+    }
+    assert out[(0, 0)]["centroid"] == 2.0 and out[(0, 1)]["centroid"] == 4.0
+    assert out[(1, 0)]["centroid"] == 10.0 and out[(1, 1)]["centroid"] == -10.0
+    assert out[(0, 0)]["n_vecs"] == 2 and out[(1, 0)]["n_vecs"] == 1
+    # assembled form rebuilds position-ordered vectors
+    vecs = {
+        r["label"]: r["centroid_vec"]
+        for r in embedding_centroids(
+            df, "label", "embedding", assemble=True
+        ).collect()
+    }
+    assert vecs[0] == [2.0, 4.0] and vecs[1] == [10.0, -10.0]
+
+
 def test_chunk_documents_grid(spark):
     import pytest as _pytest
 
