@@ -1696,6 +1696,96 @@ LIMIT 50
 """
 
 
+def q_streaming_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless corpus text stages (PII scrub + repetition signals) as
+    a Structured Stream in append mode — certifies the streaming-ingest
+    surface of the training-data family. The oracle recomputes both
+    stages in batch SQL (identical per-row semantics ⇒ identical
+    rows)."""
+    from sensomics_data_pipeline_spark.streaming.demo import corpus_signals
+
+    return corpus_signals(spark, sf_dir)
+
+
+def _sql_streaming_corpus() -> str:
+    from sensomics_data_pipeline_spark.operators.text import PII_PATTERNS
+
+    # mirror scrub_pii's loop exactly: each kind is COUNTED on the text
+    # as scrubbed so far, then redacted before the next kind
+    stext = "text"
+    count_cols = []
+    for kind, pat in PII_PATTERNS:
+        count_cols.append(
+            f"len(regexp_extract_all({stext}, '{pat}')) AS n_{kind}"
+        )
+        stext = f"regexp_replace({stext}, '{pat}', '[PII]', 'g')"
+    toks = f"list_filter(string_split_regex(trim({stext}), '\\s+'), x -> x != '')"
+    return f"""
+WITH scrub AS (
+  SELECT doc_id, {", ".join(count_cols)}, {toks} AS l FROM documents
+), pos AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM scrub
+), wc AS (
+  SELECT doc_id, l[i] AS w, count(*) AS c FROM pos GROUP BY 1, 2
+), wagg AS (
+  SELECT doc_id, max(c) AS top_w, sum(c) AS n_tok FROM wc GROUP BY 1
+), bgc AS (
+  SELECT doc_id, l[i] || ' ' || l[i + 1] AS bg, count(*) AS c
+  FROM pos WHERE i <= len(l) - 1 GROUP BY 1, 2
+), bgagg AS (
+  SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM bgc GROUP BY 1
+), tgc AS (
+  SELECT doc_id, l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS tg,
+         count(*) AS c
+  FROM pos WHERE i <= len(l) - 2 GROUP BY 1, 2
+), tgagg AS (
+  SELECT doc_id, count(*) AS n_dist_tg, sum(c) AS n_tg FROM tgc GROUP BY 1
+)
+SELECT s.doc_id, s.n_email, s.n_ipv4, s.n_phone,
+       coalesce(wagg.n_tok, 0)::BIGINT AS n_tokens,
+       (coalesce(CASE WHEN wagg.n_tok > 0
+                 THEN round(wagg.top_w * 1.0 / wagg.n_tok, 6) + 0.0 END, 0.0)
+          > 0.20
+        OR coalesce(CASE WHEN bgagg.n_bg > 0
+                 THEN round(bgagg.top_bg * 1.0 / bgagg.n_bg, 6) + 0.0 END, 0.0)
+          > 0.18
+        OR coalesce(CASE WHEN tgagg.n_tg > 0
+                 THEN round(1.0 - tgagg.n_dist_tg * 1.0 / tgagg.n_tg, 6) + 0.0
+                 END, 0.0) > 0.30) AS repetitious
+FROM scrub s
+LEFT JOIN wagg USING (doc_id)
+LEFT JOIN bgagg USING (doc_id)
+LEFT JOIN tgagg USING (doc_id)
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by (tf desc, df asc, token)
+    — integer-exact tf-idf ordering (no libm log in the ranking)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.tfidf_top_terms(docs, k=3)
+
+
+_SQL_TFIDF = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_D_TOKS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), ranked AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC
+         ) AS rank
+  FROM tf JOIN dfreq USING (token)
+)
+SELECT doc_id, token, tf, df, rank::INT AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label element-wise embedding centroids in long form
     (label, pos, n_vecs, centroid) — exact via 1e-6 fixed-point long
@@ -2261,6 +2351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate": q_quality_gate,
         "vocab_topk": q_vocab_topk,
         "chunk_documents": q_chunk_documents,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "streaming_corpus": q_streaming_corpus,
         "embedding_centroids": q_embedding_centroids,
         "corpus_pipeline": q_corpus_pipeline,
     }
@@ -2329,4 +2421,6 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _SQL_VOCAB_TOPK,
         "chunk_documents": _SQL_CHUNKS,
         "embedding_centroids": _SQL_EMB_CENTROIDS,
+        "tfidf_top_terms": _SQL_TFIDF,
+        "streaming_corpus": _sql_streaming_corpus(),
     }

@@ -369,6 +369,51 @@ def vocab_topk(
     ).limit(k)
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf — keyword
+    extraction / topic labeling over a corpus.
+
+    Scoring is integer-exact across engines: tf = in-doc count, idf is
+    kept as the RAW df (document frequency) and the ranking uses
+    (tf DESC per df ASC) lexicographically via an exact integer
+    composite instead of tf * log(N/df) — log() is a libm call whose
+    last-ulp differs by platform, which would make the top-k set
+    engine-dependent. The composite preserves the tf-idf order for any
+    corpus with df < 10^6 docs per term snapshot; the raw (tf, df)
+    pair is emitted so callers can apply their own idf curve.
+
+    Plan: explode → (doc, token) counts → broadcast-join the token df
+    table (vocab-sized) → per-doc top-k window. Two shuffles (the
+    wordcounts), one broadcast."""
+    from sensomics_data_pipeline_spark.util import fan_out, materialize
+
+    from pyspark.sql import Window
+
+    toks = (
+        materialize(fan_out(df), _toks=tokens(F.col(text_col)))
+        .select(F.col(key_col), F.explode("_toks").alias("token"))
+    )
+    tf = toks.groupBy(key_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = tf.join(F.broadcast(dfreq), "token")
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(key_col, "token", "tf", "df", "rank")
+    )
+
+
 def quality_percentile_gate(
     df: DataFrame,
     keep_frac: float = 0.4,

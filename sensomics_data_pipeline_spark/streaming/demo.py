@@ -115,3 +115,46 @@ def session_windows(
         F.col("w.end").alias("session_end"),
         "n_rows",
     )
+
+
+#: Read schema for the documents parquet as a stream.
+_DOCS_RAW = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+
+def corpus_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateless text stages of the corpus pipeline (PII scrub +
+    repetition signals) run as a Structured Stream: both operators are
+    pure per-row projections, so the same code composes over
+    ``readStream`` unchanged and emits in append mode with no state
+    store and no watermark — the streaming-ingest shape of a
+    training-data pipeline (per-doc signals at arrival time; the
+    corpus-global stages — quality percentiles, dedup, packing — stay
+    batch over the accumulated store)."""
+    from sensomics_data_pipeline_spark.operators.text import (
+        repetition_signals,
+        scrub_pii,
+    )
+    from sensomics_data_pipeline_spark.sources.readers import (
+        ensure_session_confs,
+    )
+
+    ensure_session_confs(spark)
+    stream = (
+        spark.readStream.schema(_DOCS_RAW)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    scrubbed = scrub_pii(stream).withColumn("text", F.col("scrubbed_text"))
+    sigs = repetition_signals(scrubbed, "text")
+    out = sigs.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "n_tokens", "repetitious"
+    )
+    return run_bounded(out, "append")

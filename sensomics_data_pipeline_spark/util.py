@@ -42,6 +42,10 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     partition-count check makes the repartition conditional, so no
     shuffle of the full corpus is ever forced on big inputs.
     """
+    if df.isStreaming:
+        # partitioning of a stream is the source's concern (maxFilesPer
+        # Trigger / kafka partitions); df.rdd is not defined here anyway
+        return df
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
