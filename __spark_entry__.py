@@ -1696,6 +1696,42 @@ LIMIT 50
 """
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of l_extendedprice with in-plan
+    min/max bounds — floor bucketing is tie-free across engines."""
+    from sensomics_data_pipeline_spark.operators.profile import (
+        numeric_histogram,
+    )
+
+    return numeric_histogram(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", n_buckets=20
+    )
+
+
+_SQL_HISTOGRAM = """
+WITH b AS (
+  SELECT min(l_extendedprice)::DOUBLE AS lo,
+         max(l_extendedprice)::DOUBLE AS hi
+  FROM lineitem
+), d AS (
+  SELECT l_extendedprice::DOUBLE AS v, lo, hi, (hi - lo) / 20.0 AS w
+  FROM lineitem, b WHERE l_extendedprice IS NOT NULL
+), k AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE least(floor((v - lo) / w), 19)::INT END AS bucket,
+         v, lo, w
+  FROM d
+)
+SELECT bucket,
+       min(lo + bucket * w)       AS bucket_lo,
+       min(lo + (bucket + 1) * w) AS bucket_hi,
+       count(*)::BIGINT           AS n,
+       min(v)                     AS bucket_min,
+       max(v)                     AS bucket_max
+FROM k GROUP BY bucket
+"""
+
+
 def q_streaming_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateless corpus text stages (PII scrub + repetition signals) as
     a Structured Stream in append mode — certifies the streaming-ingest
@@ -2353,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "tfidf_top_terms": q_tfidf_top_terms,
         "streaming_corpus": q_streaming_corpus,
+        "histogram": q_histogram,
         "embedding_centroids": q_embedding_centroids,
         "corpus_pipeline": q_corpus_pipeline,
     }
@@ -2423,4 +2460,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": _SQL_EMB_CENTROIDS,
         "tfidf_top_terms": _SQL_TFIDF,
         "streaming_corpus": _sql_streaming_corpus(),
+        "histogram": _SQL_HISTOGRAM,
     }

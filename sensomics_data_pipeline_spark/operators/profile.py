@@ -44,3 +44,52 @@ def profile_table(
         f"stack({len(df.columns)}, {stacks}) AS "
         "(column, n_null, approx_distinct, min_value, max_value)",
     ).select("column", "n", "n_null", "approx_distinct", "min_value", "max_value")
+
+
+def numeric_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column:
+    ``(bucket, bucket_lo, bucket_hi, n, bucket_min, bucket_max)``.
+
+    Bounds default to the column's min/max, computed in the same plan
+    (tiny 1-row aggregate cross-joined back — the A1 two-pass scalar
+    pattern, no driver round-trip). Bucket assignment is
+    ``least(floor((v - lo) / width), n_buckets - 1)`` — floor on an
+    identically-derived double is tie-free across engines, unlike
+    fractional round(). NULLs are dropped; the top edge folds into the
+    last bucket. One aggregate + one broadcast-of-one-row join + one
+    groupBy: two shuffles total, independent of data size."""
+    v = F.col(value_col)
+    data = df.filter(v.isNotNull())
+    if lo is None or hi is None:
+        bounds = data.agg(
+            F.min(v).cast("double").alias("_lo"),
+            F.max(v).cast("double").alias("_hi"),
+        )
+        data = data.crossJoin(F.broadcast(bounds))
+        lo_c, hi_c = F.col("_lo"), F.col("_hi")
+    else:
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    width = (hi_c - lo_c) / F.lit(float(n_buckets))
+    bucket = F.when(hi_c == lo_c, F.lit(0)).otherwise(
+        F.least(
+            F.floor((v.cast("double") - lo_c) / width),
+            F.lit(n_buckets - 1),
+        )
+    ).cast("int")
+    return (
+        data.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.min(lo_c + F.col("bucket") * width).alias("bucket_lo"),
+            F.min(lo_c + (F.col("bucket") + 1) * width).alias("bucket_hi"),
+            F.count("*").alias("n"),
+            F.min(v.cast("double")).alias("bucket_min"),
+            F.max(v.cast("double")).alias("bucket_max"),
+        )
+    )

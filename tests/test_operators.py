@@ -649,6 +649,36 @@ def test_prepare_corpus_end_to_end(spark):
     assert (a == b).all().all()
 
 
+def test_numeric_histogram(spark):
+    from sensomics_data_pipeline_spark.operators.profile import (
+        numeric_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)], "v double"
+    )
+    out = {
+        r["bucket"]: r
+        for r in numeric_histogram(df, "v", n_buckets=10).collect()
+    }
+    # bounds 0..99, width 9.9: bucket 0 holds 0..9.9 -> 10 values
+    assert len(out) == 10
+    assert sum(r["n"] for r in out.values()) == 100  # NULL dropped
+    assert out[0]["bucket_min"] == 0.0 and out[0]["bucket_lo"] == 0.0
+    # top edge folds into last bucket
+    assert out[9]["bucket_max"] == 99.0
+    # fixed bounds variant
+    fixed = {
+        r["bucket"]: r["n"]
+        for r in numeric_histogram(df, "v", n_buckets=4, lo=0, hi=100).collect()
+    }
+    assert fixed == {0: 25, 1: 25, 2: 25, 3: 25}
+    # degenerate: all values equal -> single bucket 0
+    one = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    got = numeric_histogram(one, "v", n_buckets=8).collect()
+    assert len(got) == 1 and got[0]["bucket"] == 0 and got[0]["n"] == 2
+
+
 def test_embedding_centroids_exact(spark):
     from sensomics_data_pipeline_spark.operators.similarity import (
         embedding_centroids,
