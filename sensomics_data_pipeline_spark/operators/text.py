@@ -374,6 +374,7 @@ def tfidf_top_terms(
     key_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    broadcast_df_table: bool = True,
 ) -> DataFrame:
     """Top-``k`` characteristic terms per document by tf-idf — keyword
     extraction / topic labeling over a corpus.
@@ -387,9 +388,12 @@ def tfidf_top_terms(
     corpus with df < 10^6 docs per term snapshot; the raw (tf, df)
     pair is emitted so callers can apply their own idf curve.
 
-    Plan: explode → (doc, token) counts → broadcast-join the token df
-    table (vocab-sized) → per-doc top-k window. Two shuffles (the
-    wordcounts), one broadcast."""
+    Plan: explode → (doc, token) counts → join the token df table
+    (vocab-sized; broadcast by default — natural-language vocabularies
+    are ~10⁷ terms ≈ hundreds of MB, set ``broadcast_df_table=False``
+    for adversarial/unbounded vocabularies to fall back to a shuffle
+    hash join) → per-doc top-k window. Two shuffles (the wordcounts),
+    one broadcast."""
     from sensomics_data_pipeline_spark.util import fan_out, materialize
 
     from pyspark.sql import Window
@@ -403,7 +407,9 @@ def tfidf_top_terms(
         tf.groupBy("token")
         .agg(F.count("*").alias("df"))
     )
-    scored = tf.join(F.broadcast(dfreq), "token")
+    if broadcast_df_table:
+        dfreq = F.broadcast(dfreq)
+    scored = tf.join(dfreq, "token")
     w = Window.partitionBy(key_col).orderBy(
         F.desc("tf"), F.asc("df"), F.asc("token")
     )
