@@ -99,10 +99,16 @@ def test_no_unmatched_persist_in_package():
 
 
 #: Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
-#: a ONE-ROW scalar side (thresholds from an upstream global aggregate)
-#: cross-joined onto the fact table — O(n) work, broadcast of a single
-#: row, the standard Spark shape for "attach computed scalars".
-SCALAR_BROADCAST_OK = {"tumbling_categorize", "quantiles", "merge_windows"}
+#: a ONE-ROW scalar side (thresholds / histogram bounds from an
+#: upstream global aggregate) cross-joined onto the fact table — O(n)
+#: work, broadcast of a single row, the standard Spark shape for
+#: "attach computed scalars".
+SCALAR_BROADCAST_OK = {
+    "tumbling_categorize",
+    "quantiles",
+    "merge_windows",
+    "histogram",
+}
 
 
 def test_no_cartesian_products(spark, sf_dir):
@@ -118,6 +124,23 @@ def test_no_cartesian_products(spark, sf_dir):
         assert "CartesianProduct" not in p, name
         if name not in SCALAR_BROADCAST_OK:
             assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_text_family_plan_shapes(spark, sf_dir):
+    """Pin the documented plan-shape guarantees of the text/training
+    operators: the per-row families must not shuffle (the only allowed
+    Exchange is fan_out's small-scale RoundRobin), the contamination
+    probe must broadcast, and vocab top-k must plan a TakeOrdered, not
+    a global sort."""
+    for q in ("repetition_signals", "chunk_documents"):
+        p = plan_of(spark, sf_dir, q)
+        assert "hashpartitioning" not in p, (q, "unexpected shuffle")
+        assert "rangepartitioning" not in p, (q, "unexpected sort shuffle")
+    p = plan_of(spark, sf_dir, "decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    p = plan_of(spark, sf_dir, "vocab_topk")
+    assert "TakeOrderedAndProject" in p
 
 
 def test_session_scale_confs(spark):
