@@ -1890,6 +1890,64 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly ``ceil(0.3·n)`` docs
+    per source, selected by rank of the 60-bit portable md5 hash of
+    (seed, doc_id) — the selection is a pure function of (data, seed),
+    byte-reproducible across cluster layouts, restarts, AND engines
+    (unlike Bernoulli ``df.sample``). One shuffle (window over
+    source); the oracle reproduces the exact row set."""
+    from sensomics_data_pipeline_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return stratified_sample_exact(
+        docs, ["source"], "doc_id", fraction=0.3, seed=7
+    )
+
+
+# ceil(0.3::DOUBLE * cnt), not ceil(0.3 * cnt): DuckDB parses the bare
+# literal as DECIMAL(2,1) — forcing DOUBLE makes both engines evaluate
+# the identical IEEE expression (same bits => same ceil at every n).
+_SQL_STRATIFIED_SAMPLE = """
+WITH h AS (
+  SELECT doc_id, source, lang, n_chars,
+         ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 15))::BIGINT AS rk
+  FROM documents
+), r AS (
+  SELECT doc_id, source, lang, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM h
+)
+SELECT doc_id, source, lang, n_chars
+FROM r WHERE rn <= ceil(0.3::DOUBLE * cnt)
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFD sequence packing: documents hash-split into 16 independent
+    groups, each packed first-fit-decreasing into 2048-char budgets in
+    one Arrow batch. Rows-only driver check (like embedding_ivf) — FFD
+    is inherently iterative/stateful, not SQL-expressible; the packing
+    invariants (fill ≤ budget, every doc packed exactly once, oversize
+    isolation, layout-independent determinism) are pytest-covered
+    (`tests/test_operators.py`)."""
+    from sensomics_data_pipeline_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs.select("doc_id", F.col("n_chars").alias("n_tokens")),
+        key_col="doc_id",
+        tokens_col="n_tokens",
+        budget=2048,
+        n_groups=16,
+    ).orderBy("pack_id", "doc_id")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: marker-word argmax vs the labeled lang."""
     docs = _t(spark, sf_dir, "documents")
@@ -2392,6 +2450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "embedding_centroids": q_embedding_centroids,
         "corpus_pipeline": q_corpus_pipeline,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2461,4 +2521,6 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _SQL_TFIDF,
         "streaming_corpus": _sql_streaming_corpus(),
         "histogram": _SQL_HISTOGRAM,
+        "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+        # pack_sequences: iterative FFD — rows-only check by design
     }
