@@ -69,6 +69,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer DIV, not `/`: double division loses precision on
             # 1.7e18-scale nanosecond longs and rounds the microsecond
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif field.dataType.simpleString() == "timestamp_ntz":
+            # Driver revisions have shipped events.ts as TIMESTAMP(NANOS)
+            # (handled above) and TIMESTAMP(MICROS) with
+            # isAdjustedToUTC=false, which scans as TIMESTAMP_NTZ. NTZ
+            # breaks event-time ops (unix_micros, watermarks); under the
+            # UTC session timezone the cast to TIMESTAMP is wall-clock
+            # preserving and yields the exact type the nanos path
+            # produced, so downstream plans and oracle comparisons are
+            # identical across driver data revisions.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

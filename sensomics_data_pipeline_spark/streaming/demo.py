@@ -16,41 +16,59 @@ run against Kafka with checkpointed exactly-once sinks.
 
 from __future__ import annotations
 
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-#: Read schema for the events parquet as a stream: ts arrives as raw
-#: nanos (see sources.readers.load_table) and is converted after read.
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.LongType(), False),
-        T.StructField("user_id", T.LongType(), False),
-        T.StructField("event_type", T.StringType(), False),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded events stream with the same ts normalization as the batch
+    loader (``sources.readers.load_table``).
+
+    ``readStream`` needs an explicit schema, but the events parquet has
+    shipped with ``ts`` as both TIMESTAMP(NANOS) (scans as bigint under
+    ``nanosAsLong``) and TIMESTAMP(MICROS) (scans as timestamp) across
+    driver revisions — so the read schema is inferred from a one-file
+    batch scan of the footer (metadata only, no data read) instead of
+    being hardcoded, and the nanos→µs conversion is applied only when
+    the scan type is bigint.
+    """
     from sensomics_data_pipeline_spark.sources.readers import ensure_session_confs
 
     ensure_session_confs(spark)
+    batch_schema = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .schema
+    )
     stream = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ts_kind = dict((f.name, f.dataType.simpleString()) for f in batch_schema.fields)
+    if ts_kind.get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_kind.get("ts") == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+        # on NTZ); with the UTC session timezone the cast is wall-clock
+        # preserving and matches what timestamp_micros() produced before.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def run_bounded(agg: DataFrame, mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregate over the bounded source to completion
-    via a memory sink; returns the result as a batch DataFrame."""
+    via a memory sink; returns the result as a batch DataFrame.
+
+    ``processAllAvailable`` only waits for batches with source offsets;
+    the trailing *no-data* micro-batch (which advances the watermark and,
+    in append mode, flushes the now-closed windows) is not awaited and a
+    prompt ``stop()`` can kill it before anything reaches the sink. For
+    stateful append/update queries we therefore poll ``lastProgress``
+    until a zero-input batch has run (bounded wait), then drain again.
+    """
     name = f"stream_{uuid.uuid4().hex[:12]}"
     q = (
         agg.writeStream.outputMode(mode)
@@ -60,6 +78,14 @@ def run_bounded(agg: DataFrame, mode: str = "complete") -> DataFrame:
     )
     try:
         q.processAllAvailable()
+        if mode in ("append", "update"):
+            deadline = time.time() + 30.0
+            while time.time() < deadline:
+                lp = q.lastProgress
+                if lp is not None and lp.get("numInputRows", -1) == 0:
+                    break
+                time.sleep(0.2)
+            q.processAllAvailable()
     finally:
         q.stop()
     return agg.sparkSession.table(name)
@@ -117,16 +143,6 @@ def session_windows(
     )
 
 
-#: Read schema for the documents parquet as a stream.
-_DOCS_RAW = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("text", T.StringType(), True),
-        T.StructField("lang", T.StringType(), True),
-        T.StructField("source", T.StringType(), True),
-        T.StructField("n_chars", T.LongType(), True),
-    ]
-)
 
 
 def corpus_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,8 +163,13 @@ def corpus_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ensure_session_confs(spark)
+    docs_schema = (
+        spark.read.option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .schema
+    )
     stream = (
-        spark.readStream.schema(_DOCS_RAW)
+        spark.readStream.schema(docs_schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
