@@ -1928,6 +1928,99 @@ FROM r WHERE rn <= ceil(0.3::DOUBLE * cnt)
 """
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level boilerplate removal (CCNet/RefinedWeb-style):
+    strip every 10-word window that appears verbatim in ≥2 distinct
+    documents, reassembling each document in order. The synthetic
+    corpus has no newline paragraph boundaries, so the boundary-free
+    word-window splitter is the meaningful unit here (127 repeated
+    windows across the sf0.01 corpus — non-vacuous). 3 linear shuffles
+    (paragraph-hash agg, flag join, per-doc reassembly); no all-pairs
+    step, no UDF."""
+    from sensomics_data_pipeline_spark.operators.dedup import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup_paragraphs(
+            docs, "text", "doc_id", sep=None, words_per_para=10, min_docs=2
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_PARAGRAPH_DEDUP = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), pos AS (
+  SELECT doc_id, ws,
+         unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS g
+  FROM words
+), paras AS (
+  SELECT doc_id, g,
+         array_to_string(ws[(g*10+1):(g*10+10)], ' ') AS para
+  FROM pos
+), boiler AS (
+  SELECT para FROM paras GROUP BY para HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT p.doc_id,
+       coalesce(string_agg(CASE WHEN b.para IS NULL THEN p.para END,
+                           ' ' ORDER BY p.g), '') AS clean_text,
+       count(*) AS n_paras,
+       count(CASE WHEN b.para IS NOT NULL THEN 1 END) AS n_removed
+FROM paras p LEFT JOIN boiler b USING (para)
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
+#: Target domain mix for q_domain_mix: weight src{i} ∝ i+1. Integer-
+#: valued doubles on purpose — the scale m = min(count/weight) and the
+#: quotas floor(m·weight) then stay exact binary fractions, so both
+#: engines compute bit-identical quotas (no decimal-literal drift).
+_MIX_WEIGHTS = {f"src{i}": float(i + 1) for i in range(20)}
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mix rebalancing: subsample every source to
+    match a target mix (weight ∝ source index) at maximum total volume
+    — the data-mixing step of a training pipeline. Selection is the
+    portable-hash rank, so the exact kept row set is engine-
+    reproducible; the oracle re-derives quotas and selection from the
+    same weights."""
+    from sensomics_data_pipeline_spark.operators.sampling import (
+        rebalance_sources,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return rebalance_sources(docs, _MIX_WEIGHTS, "source", "doc_id", seed=11)
+
+
+_SQL_DOMAIN_MIX = """
+WITH w(source, wt) AS (VALUES {values}),
+c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+m AS (SELECT min(n / wt) AS m FROM c JOIN w USING (source)),
+q AS (SELECT w.source, CAST(floor(m.m * w.wt) AS BIGINT) AS quota
+      FROM w CROSS JOIN m),
+r AS (
+  SELECT doc_id, source, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5('11:' || doc_id::VARCHAR), 1, 15))::BIGINT,
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.lang, r.n_chars
+FROM r JOIN q USING (source) WHERE r.rn <= q.quota
+""".format(
+    values=", ".join(
+        f"('src{i}', {float(i + 1)}::DOUBLE)" for i in range(20)
+    )
+)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FFD sequence packing: documents hash-split into 16 independent
     groups, each packed first-fit-decreasing into 2048-char budgets in
@@ -2448,7 +2541,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         # ---- positions 51+: not driver-checked this round (green in
-        # CORRECTNESS_r02 with an in-set twin; see comment above) ----
+        # CORRECTNESS_r02 with an in-set twin; see comment above).
+        # paragraph_dedup / domain_mix are new THIS round (local
+        # bit-exact sweep only) — rotate them into the first 50 next
+        # round. ----
+        "paragraph_dedup": q_paragraph_dedup,
+        "domain_mix": q_domain_mix,
         "lag_dedup": q_lag_dedup,
         "sessionization": q_sessionization,
         "cube_agg": q_cube_agg,
@@ -2536,5 +2634,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_corpus": _sql_streaming_corpus(),
         "histogram": _SQL_HISTOGRAM,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+        "paragraph_dedup": _SQL_PARAGRAPH_DEDUP,
+        "domain_mix": _SQL_DOMAIN_MIX,
         # pack_sequences: iterative FFD — rows-only check by design
     }

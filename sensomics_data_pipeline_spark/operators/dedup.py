@@ -731,3 +731,104 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def split_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    sep: str | None = None,
+    words_per_para: int = 10,
+) -> DataFrame:
+    """Explode documents into ordered paragraph units →
+    ``(doc_col, pos, para)``.
+
+    Two splitting strategies:
+
+    - ``sep`` given (e.g. ``"\\n\\n"``): real paragraph boundaries — the
+      production path for web/markdown corpora.
+    - ``sep=None``: fixed non-overlapping windows of ``words_per_para``
+      whitespace words — the boundary-free fallback (and the only
+      meaningful unit on the driver's synthetic single-line documents).
+
+    Pure built-ins (``split``/``sequence``/``transform``/``slice`` +
+    one ``posexplode``) — per-row work, no UDF, no shuffle.
+    """
+    if sep is not None:
+        # NB: Spark split() treats sep as a Java regex (escape as needed)
+        paras = F.split(F.col(text_col), sep)
+    else:
+        words = F.split(F.col(text_col), " ")
+        k = int(words_per_para)
+        n_paras = F.ceil(F.size(words) / F.lit(float(k))).cast("int")
+        paras = F.transform(
+            F.sequence(F.lit(0), n_paras - F.lit(1)),
+            lambda g: F.array_join(F.slice(words, g * k + 1, k), " "),
+        )
+    return df.select(
+        doc_col, F.posexplode(paras).alias("pos", "para")
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    sep: str | None = None,
+    words_per_para: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Paragraph-level boilerplate removal (CCNet/RefinedWeb-style):
+    drop every paragraph that appears verbatim in ≥ ``min_docs``
+    DISTINCT documents (navboxes, license headers, repeated chunks),
+    keeping each document's remaining paragraphs in order. No reference
+    analog (north-star corpus op).
+
+    Returns ``(doc_col, clean_text, n_paras, n_removed)``.
+
+    Plan (3 shuffles, all linear in corpus size — no all-pairs step):
+
+    1. split → paragraph units (per-row, no shuffle);
+    2. boilerplate set: groupBy the 15-hex md5 of the paragraph,
+       ``count_distinct(doc)`` — hashing first keeps the shuffle rows
+       at 15 bytes instead of full paragraph text (the 100-TB lever;
+       md5-collision risk is the documented portable-hash contract
+       shared by every dedup op here);
+    3. left join the flag back (AQE decides broadcast vs shuffle — the
+       boilerplate set is usually tiny but unbounded, so it is NOT
+       force-broadcast) and re-aggregate per document:
+       ``collect_list(when(not boiler, struct(pos, para)))`` skips
+       nulls, so kept paragraphs, counts, and removals come out of ONE
+       groupBy — no second join against per-doc totals.
+    """
+    joiner = " " if sep is None else sep
+    paras = split_paragraphs(df, text_col, doc_col, sep, words_per_para)
+    paras = paras.withColumn("_ph", _hex_hash_expr(F.col("para")))
+    boiler = (
+        paras.groupBy("_ph")
+        .agg(F.count_distinct(F.col(doc_col)).alias("_nd"))
+        .filter(F.col("_nd") >= int(min_docs))
+        .select("_ph", F.lit(True).alias("_boiler"))
+    )
+    flagged = paras.join(boiler, "_ph", "left")
+    return (
+        flagged.groupBy(doc_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_boiler").isNull(),
+                                F.struct("pos", "para"),
+                            )
+                        )
+                    ),
+                    lambda x: x["para"],
+                ),
+                joiner,
+            ).alias("clean_text"),
+            F.count("*").alias("n_paras"),
+            F.count("_boiler").alias("n_removed"),
+        )
+    )

@@ -59,3 +59,55 @@ def stratified_sample_exact(
         .filter(F.col("_rn") <= F.col("_quota"))
         .drop("_rn", "_quota")
     )
+
+
+def rebalance_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic domain-mix rebalancing (north-star op): subsample
+    each source so the kept corpus matches the target mix ``weights``
+    as closely as exact integer quotas allow, keeping the maximum total
+    volume — the data-mixing step of a training-data pipeline (e.g.
+    up-weighting curated sources vs raw web crawl).
+
+    Quota math: with per-source counts ``c_s`` and target weights
+    ``w_s``, the binding source fixes the scale ``m = min_s(c_s/w_s)``
+    and each source keeps ``floor(m · w_s)`` rows (its full count for
+    the binding source). Selection within a source is the same
+    rank-by-portable-hash as ``stratified_sample_exact`` — a pure
+    function of (data, weights, seed), byte-reproducible on any engine.
+
+    Plan: tiny per-source count agg → scalar min → broadcast quota map
+    joined onto one rank window per source. One data-sized shuffle (the
+    window); unknown sources (absent from ``weights``) are dropped.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, float(w)) for s, w in sorted(weights.items())],
+        f"{source_col} string, _wt double",
+    )
+    counts = df.groupBy(source_col).count()
+    scale = (
+        counts.join(wdf, source_col)
+        .select(F.min(F.col("count") / F.col("_wt")).alias("_m"))
+    )
+    quotas = (
+        wdf.crossJoin(scale)
+        .select(
+            source_col,
+            F.floor(F.col("_m") * F.col("_wt")).cast("bigint").alias("_quota"),
+        )
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        _rank_hash(key_col, seed), F.col(key_col)
+    )
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quotas), source_col)
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )

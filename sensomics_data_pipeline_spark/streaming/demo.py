@@ -80,11 +80,20 @@ def run_bounded(agg: DataFrame, mode: str = "complete") -> DataFrame:
         q.processAllAvailable()
         if mode in ("append", "update"):
             deadline = time.time() + 30.0
+            last_batch, stable = -1, 0
             while time.time() < deadline:
                 lp = q.lastProgress
                 if lp is not None and lp.get("numInputRows", -1) == 0:
                     break
-                time.sleep(0.2)
+                bid = -1 if lp is None else lp.get("batchId", -1)
+                stable = stable + 1 if bid == last_batch else 0
+                last_batch = bid
+                # ~1.5s with no new batch ⇒ the engine has decided no
+                # no-data batch is needed (watermark unchanged); don't
+                # burn the full deadline waiting for one.
+                if stable >= 15:
+                    break
+                time.sleep(0.1)
             q.processAllAvailable()
     finally:
         q.stop()

@@ -1048,3 +1048,96 @@ def test_transform_with_state_high_watermark_matches_batch(spark, sf_dir):
         .toPandas()
     )
     assert sorted(got.event_id) == sorted(want.event_id)
+
+
+# ---------------------------------------------------------------------------
+# Paragraph dedup + domain mix
+# ---------------------------------------------------------------------------
+
+def test_dedup_paragraphs_separator_path(spark):
+    """Real paragraph boundaries: the shared boilerplate paragraph is
+    stripped from every doc; unique paragraphs survive in order."""
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha one\n\n{boiler}\n\nbeta two"),
+        (2, f"{boiler}\n\ngamma three"),
+        (3, "delta four\n\nepsilon five"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        dedup_ops.dedup_paragraphs(df, sep="\n\n", min_docs=2)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(out.clean_text) == [
+        "alpha one\n\nbeta two",
+        "gamma three",
+        "delta four\n\nepsilon five",
+    ]
+    assert list(out.n_paras) == [3, 2, 2]
+    assert list(out.n_removed) == [1, 1, 0]
+
+
+def test_dedup_paragraphs_word_windows(spark):
+    """Boundary-free splitter: 3-word windows; a window shared by two
+    docs is removed from both, and a doc that is ALL boilerplate
+    collapses to the empty string (not NULL, not a dropped row)."""
+    shared = "x y z"
+    rows = [
+        (1, f"a b c {shared}"),
+        (2, f"{shared} d e f"),
+        (3, shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        dedup_ops.dedup_paragraphs(
+            df, sep=None, words_per_para=3, min_docs=2
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # windows: doc1 = ["a b c", "x y z"], doc2 = ["x y z", "d e f"],
+    # doc3 = ["x y z"]; "x y z" appears in 3 distinct docs -> removed
+    assert list(out.clean_text) == ["a b c", "d e f", ""]
+    assert list(out.n_removed) == [1, 1, 1]
+    assert list(out.n_paras) == [2, 2, 1]
+
+
+def test_rebalance_sources_quota_and_determinism(spark):
+    """Quota math: m = min(count/weight); keep floor(m*w) per source —
+    the binding source keeps everything; selection is deterministic."""
+    from sensomics_data_pipeline_spark.operators.sampling import (
+        rebalance_sources,
+    )
+
+    rows = [(i, "web" if i < 40 else "books") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # counts: web 40, books 10; weights 1:1 -> m = 10, keep 10 + 10
+    out = rebalance_sources(df, {"web": 1.0, "books": 1.0}, seed=3)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"web": 10, "books": 10}
+    # weights 3:1 -> m = min(40/3, 10/1) = 10 -> web 30, books 10
+    out2 = rebalance_sources(df, {"web": 3.0, "books": 1.0}, seed=3)
+    counts2 = {
+        r["source"]: r["n"]
+        for r in out2.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts2 == {"web": 30, "books": 10}
+    # determinism: same (data, weights, seed) -> identical row set
+    ids_a = sorted(r.doc_id for r in out2.select("doc_id").collect())
+    ids_b = sorted(
+        r.doc_id
+        for r in rebalance_sources(
+            df, {"web": 3.0, "books": 1.0}, seed=3
+        ).select("doc_id").collect()
+    )
+    assert ids_a == ids_b
+    # unknown sources are dropped
+    df2 = df.union(
+        spark.createDataFrame([(99, "spam")], "doc_id long, source string")
+    )
+    out3 = rebalance_sources(df2, {"web": 3.0, "books": 1.0}, seed=3)
+    assert out3.filter(F.col("source") == "spam").count() == 0

@@ -108,6 +108,9 @@ SCALAR_BROADCAST_OK = {
     "quantiles",
     "merge_windows",
     "histogram",
+    # 1-row global scale m = min(count/weight) crossed onto the
+    # |weights|-row quota table — both sides tiny by construction
+    "domain_mix",
 }
 
 
