@@ -70,6 +70,12 @@ def run_bounded(agg: DataFrame, mode: str = "complete") -> DataFrame:
     until a zero-input batch has run (bounded wait), then drain again.
     """
     name = f"stream_{uuid.uuid4().hex[:12]}"
+    # Only watermarked queries can owe a no-data batch (it exists to
+    # advance the watermark and flush closed state); for un-watermarked
+    # append streams the wait would be pure dead time.
+    watermarked = "EventTimeWatermark" in str(
+        agg._jdf.queryExecution().analyzed()
+    )
     q = (
         agg.writeStream.outputMode(mode)
         .format("memory")
@@ -78,7 +84,7 @@ def run_bounded(agg: DataFrame, mode: str = "complete") -> DataFrame:
     )
     try:
         q.processAllAvailable()
-        if mode in ("append", "update"):
+        if watermarked and mode in ("append", "update"):
             deadline = time.time() + 30.0
             last_batch, stable = -1, 0
             while time.time() < deadline:
