@@ -37,19 +37,20 @@ def main() -> None:
     spark = get_spark("bench")
 
     qs = entrymod.queries()
-    # warm the JVM + parquet footers + streaming machinery once (not
-    # counted): the first streaming job pays one-time state-store and
-    # micro-batch engine init that would otherwise distort one query
-    entrymod.q_pricing_summary(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    for warm in (entrymod.q_streaming_tumbling, entrymod.q_streaming_stateful_dedup):
+    # Warm EVERY query once at the smallest SF (not counted): whole-stage
+    # codegen JIT of the big hash/HOF kernels is a one-time per-JVM cost
+    # that is independent of data scale (measured: ngram_jaccard pays
+    # ~9s at sf0.001 and ~2.5s at sf0.1 afterwards) — without this,
+    # min-of-N at small N reports compiler time, not plan cost. Also
+    # covers parquet footers and streaming state-store/micro-batch init.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    for name, fn in qs.items():
         try:
-            warm(spark, "/root/testdata/sf0.001").write.format("noop").mode(
-                "overwrite"
-            ).save()
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
+        finally:
+            spark.catalog.clearCache()
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}

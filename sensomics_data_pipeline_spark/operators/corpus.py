@@ -23,8 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sensomics_data_pipeline_spark.operators.dedup import dedup_corpus
+from sensomics_data_pipeline_spark.operators.dedup import (
+    dedup_corpus,
+    dedup_paragraphs,
+)
 from sensomics_data_pipeline_spark.operators.packing import pack_sequences
+from sensomics_data_pipeline_spark.operators.sampling import rebalance_sources
 from sensomics_data_pipeline_spark.operators.text import (
     ngram_contamination,
     quality_percentile_gate,
@@ -45,6 +49,11 @@ def prepare_corpus(
     dedup_kwargs: dict | None = None,
     pack_budget: int = 2048,
     pack_groups: int = 64,
+    paragraph_min_docs: int | None = None,
+    paragraph_sep: str | None = None,
+    paragraph_words: int = 10,
+    mix_weights: dict[str, float] | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Run the full corpus-preparation pipeline; returns one row per
     SURVIVING document with its pack assignment:
@@ -57,6 +66,15 @@ def prepare_corpus(
     to :func:`dedup_corpus` (``minhash``/``jaccard``/``simhash``/
     ``exact``).
 
+    Two optional stages (both off by default, preserving the r3 query
+    contract): ``paragraph_min_docs`` inserts paragraph-level
+    boilerplate removal (:func:`dedup_paragraphs`) right after PII
+    scrubbing — shared navbox/license paragraphs are stripped before
+    any text-derived signal is computed; ``mix_weights`` appends
+    deterministic domain-mix rebalancing (:func:`rebalance_sources`)
+    over the survivors just before packing, so packs are built from
+    the final mix.
+
     Scale shape: stages 1-2 are pure per-row projections (no
     shuffle); the quality gate shuffles once per source-partitioned
     window; contamination is a broadcast probe; dedup is the banding
@@ -66,6 +84,18 @@ def prepare_corpus(
     scrubbed = scrub_pii(df, text_col).select(
         key_col, source_col, F.col("scrubbed_text").alias(text_col)
     )
+    if paragraph_min_docs is not None:
+        cleaned = dedup_paragraphs(
+            scrubbed,
+            text_col=text_col,
+            doc_col=key_col,
+            sep=paragraph_sep,
+            words_per_para=paragraph_words,
+            min_docs=paragraph_min_docs,
+        ).select(key_col, F.col("clean_text").alias(text_col))
+        scrubbed = scrubbed.select(key_col, source_col).join(
+            cleaned, key_col
+        )
     non_repetitious = (
         repetition_signals(scrubbed, text_col)
         .filter(~F.col("repetitious"))
@@ -92,6 +122,10 @@ def prepare_corpus(
     survivors = dedup_corpus(
         gated, key_col, text_col, method=dedup_method, **(dedup_kwargs or {})
     )
+    if mix_weights is not None:
+        survivors = rebalance_sources(
+            survivors, mix_weights, source_col, key_col, seed=seed
+        )
     packed = pack_sequences(
         survivors.select(key_col, "n_tokens"),
         key_col=key_col,

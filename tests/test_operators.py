@@ -1141,3 +1141,48 @@ def test_rebalance_sources_quota_and_determinism(spark):
     )
     out3 = rebalance_sources(df2, {"web": 3.0, "books": 1.0}, seed=3)
     assert out3.filter(F.col("source") == "spam").count() == 0
+
+
+def test_prepare_corpus_optional_stages(spark):
+    """paragraph_min_docs strips shared boilerplate before signals are
+    computed; mix_weights rebalances survivors before packing."""
+    import random
+
+    from sensomics_data_pipeline_spark.operators.corpus import prepare_corpus
+
+    rng = random.Random(5)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    boiler = "click here to subscribe now"   # 5 words
+    rows = []
+    for i in range(24):
+        words = [rng.choice(vocab) for _ in range(60)]
+        # append the same boilerplate tail to every doc in source s0
+        text = " ".join(words) + (f" {boiler}" if i % 2 == 0 else "")
+        rows.append((i, f"s{i % 2}", text))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    kwargs = dict(
+        quality_keep_frac=1.0,
+        dedup_method="exact",
+        pack_budget=128,
+        pack_groups=4,
+        paragraph_min_docs=2,
+        paragraph_sep=None,
+        paragraph_words=5,
+    )
+    base = prepare_corpus(df, **kwargs).toPandas()
+    out = prepare_corpus(
+        df, mix_weights={"s0": 2.0, "s1": 1.0}, **kwargs
+    ).toPandas()
+
+    # boilerplate removed from every surviving text
+    assert not base.text.str.contains("subscribe").any()
+    assert not out.text.str.contains("subscribe").any()
+    # quota math over the actual survivor counts: m = min(c0/2, c1/1)
+    surv = base.groupby("source").size()
+    m = min(surv["s0"] / 2.0, surv["s1"] / 1.0)
+    counts = out.groupby("source").size()
+    assert counts["s0"] == int(m * 2.0) and counts["s1"] == int(m * 1.0)
+    # still packed with consistent bookkeeping
+    for _, grp in out.groupby("pack_id"):
+        assert (grp.pack_fill == grp.n_tokens.sum()).all()
