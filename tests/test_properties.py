@@ -378,3 +378,66 @@ def test_run_stats_fold_matches_counter(spark, docs):
             assert r["top_bigram_frac"] == round(max(bi.values()) / (n - 1), 6)
         if n >= 3:
             assert r["dup_trigram_frac"] == round(1 - len(tri) / (n - 2), 6)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee".split()),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+    min_docs=st.integers(min_value=2, max_value=3),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dedup_paragraphs_vs_python_reference(spark, docs, k, min_docs):
+    """For arbitrary corpora / window sizes / thresholds, the Spark
+    plan must equal an independent pure-Python walk of the spec:
+    split into k-word windows, drop windows occurring in >= min_docs
+    distinct docs, reassemble in order."""
+    from collections import defaultdict
+
+    from sensomics_data_pipeline_spark.operators import dedup as dedup_ops
+
+    texts = {i: " ".join(toks) for i, toks in enumerate(docs)}
+
+    def windows(text):
+        ws = text.split(" ")
+        return [
+            " ".join(ws[g * k : g * k + k])
+            for g in range((len(ws) + k - 1) // k)
+        ]
+
+    seen = defaultdict(set)
+    for i, t in texts.items():
+        for w in windows(t):
+            seen[w].add(i)
+    boiler = {w for w, d in seen.items() if len(d) >= min_docs}
+    expect = {}
+    for i, t in texts.items():
+        kept = [w for w in windows(t) if w not in boiler]
+        expect[i] = (
+            " ".join(kept),
+            len(windows(t)),
+            sum(1 for w in windows(t) if w in boiler),
+        )
+
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    out = dedup_ops.dedup_paragraphs(
+        df, sep=None, words_per_para=k, min_docs=min_docs
+    ).toPandas()
+    got = {
+        int(r.doc_id): (r.clean_text, int(r.n_paras), int(r.n_removed))
+        for r in out.itertuples()
+    }
+    assert got == expect
