@@ -44,13 +44,24 @@ def main() -> None:
     # min-of-N at small N reports compiler time, not plan cost. Also
     # covers parquet footers and streaming state-store/micro-batch init.
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    warm_budget = float(os.environ.get("SPARK_GRAFT_WARM_BUDGET_S", "300"))
+    warm_t0 = time.time()
+    n_warmed = 0
     for name, fn in qs.items():
+        if time.time() - warm_t0 > warm_budget:
+            break
         try:
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
         finally:
+            n_warmed += 1
             spark.catalog.clearCache()
+    print(
+        f"warm pass: {n_warmed}/{len(qs)} queries in "
+        f"{time.time() - warm_t0:.1f}s",
+        file=sys.stderr,
+    )
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}

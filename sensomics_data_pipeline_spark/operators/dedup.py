@@ -800,6 +800,15 @@ def dedup_paragraphs(
        ``collect_list(when(not boiler, struct(pos, para)))`` skips
        nulls, so kept paragraphs, counts, and removals come out of ONE
        groupBy — no second join against per-doc totals.
+
+    The documents scan runs TWICE (boiler-count pass + reassembly
+    pass) — deliberately: fusing them by piggy-backing posting lists
+    through a single ``groupBy(_ph)`` would buffer a hot boilerplate
+    paragraph's full (doc, pos) posting list in one aggregation buffer
+    before its count is known — the unbounded-buffer hazard
+    ``ngram_jaccard_pairs(safe_df_cap=True)`` exists to avoid. A
+    second columnar scan is linear, spill-free, and parallel at any
+    scale; an over-cap buffer is an executor OOM.
     """
     joiner = " " if sep is None else sep
     paras = split_paragraphs(df, text_col, doc_col, sep, words_per_para)
