@@ -2021,6 +2021,49 @@ FROM r JOIN q USING (source) WHERE r.rn <= q.quota
 )
 
 
+#: Holdout fractions for q_holdout_split. The cumulative cut points are
+#: computed ONCE here in python float arithmetic and injected verbatim
+#: into both engines (0.1 + 0.8 is 0.9000000000000001 in IEEE — each
+#: engine must compare against the same bits, not a retyped "0.9").
+_HOLDOUT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment as a per-row projection
+    of the portable hash — no shuffle, append-stable (a new document
+    never moves an existing one's split), engine-reproducible. The
+    oracle re-derives the same u = hash/2^60 in [0,1) and the same
+    cumulative cuts."""
+    from sensomics_data_pipeline_spark.operators.sampling import (
+        assign_splits,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return assign_splits(docs, _HOLDOUT_FRACTIONS, "doc_id", seed=13)
+
+
+def _holdout_sql() -> str:
+    labels = sorted(_HOLDOUT_FRACTIONS)
+    cases, cum = [], 0.0
+    for lab in labels[:-1]:
+        cum += _HOLDOUT_FRACTIONS[lab]
+        cases.append(f"WHEN u < {cum!r}::DOUBLE THEN '{lab}'")
+    return f"""
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('13:' || doc_id::VARCHAR), 1, 15))::BIGINT
+           / {float(1 << 60)!r}::DOUBLE AS u
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE {' '.join(cases)} ELSE '{labels[-1]}' END AS split
+FROM h
+"""
+
+
+_SQL_HOLDOUT_SPLIT = _holdout_sql()
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FFD sequence packing: documents hash-split into 16 independent
     groups, each packed first-fit-decreasing into 2048-char budgets in
@@ -2547,6 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round. ----
         "paragraph_dedup": q_paragraph_dedup,
         "domain_mix": q_domain_mix,
+        "holdout_split": q_holdout_split,
         "lag_dedup": q_lag_dedup,
         "sessionization": q_sessionization,
         "cube_agg": q_cube_agg,
@@ -2636,5 +2680,6 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "paragraph_dedup": _SQL_PARAGRAPH_DEDUP,
         "domain_mix": _SQL_DOMAIN_MIX,
+        "holdout_split": _SQL_HOLDOUT_SPLIT,
         # pack_sequences: iterative FFD — rows-only check by design
     }

@@ -111,3 +111,44 @@ def rebalance_sources(
         .filter(F.col("_rn") <= F.col("_quota"))
         .drop("_rn", "_quota")
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets a split
+    label from ``fractions`` (label → fraction, summing to 1) as a pure
+    function of (key, seed) — no quota windows, no shuffle, no
+    coordination.
+
+    The portable 60-bit hash is scaled to [0, 1) and cut at the
+    cumulative fraction boundaries (labels in sorted order for
+    determinism; the last label absorbs any float residue). Per-row
+    projection only — the assignment survives repartitioning,
+    incremental appends (a new row never moves an old row's split),
+    and re-runs on any engine. This is the property quota-exact splits
+    (``stratified_sample_exact``) cannot give you on a growing corpus;
+    use this for train/holdout hygiene and the quota variant for
+    fixed-size evaluation sets.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    labels = sorted(fractions)
+    # u in [0, 1): 60-bit hash / 2^60
+    u = _rank_hash(key_col, seed) / F.lit(float(1 << 60))
+    expr, cum = None, 0.0
+    for lab in labels[:-1]:
+        cum += fractions[lab]
+        cond = u < F.lit(cum)
+        expr = (
+            F.when(cond, F.lit(lab))
+            if expr is None
+            else expr.when(cond, F.lit(lab))
+        )
+    last = F.lit(labels[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

@@ -1186,3 +1186,49 @@ def test_prepare_corpus_optional_stages(spark):
     # still packed with consistent bookkeeping
     for _, grp in out.groupby("pack_id"):
         assert (grp.pack_fill == grp.n_tokens.sum()).all()
+
+
+def test_assign_splits_fractions_and_append_stability(spark):
+    from sensomics_data_pipeline_spark.operators.sampling import (
+        assign_splits,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    out = assign_splits(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    ).toPandas()
+    frac = out.split.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["val"] - 0.1) < 0.03
+    assert abs(frac["test"] - 0.1) < 0.03
+    # append stability: adding rows never moves an existing assignment
+    bigger = spark.createDataFrame(
+        [(i,) for i in range(4000)], "doc_id long"
+    )
+    out2 = assign_splits(
+        bigger, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    ).toPandas()
+    merged = out.merge(out2, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged.split_a == merged.split_b).all()
+    # fractions must sum to 1
+    with pytest.raises(ValueError):
+        assign_splits(df, {"train": 0.5, "val": 0.1})
+
+
+def test_dedup_paragraphs_hot_boilerplate(spark):
+    """A paragraph shared by ALL docs (worst-case posting list) must be
+    removed without blowing an aggregation buffer — the two-scan plan
+    never materializes the hot paragraph's posting list."""
+    boiler = "all rights reserved contact us"
+    rows = [
+        (i, f"unique{i} words{i} here{i} {boiler}") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_ops.dedup_paragraphs(
+        df, sep=None, words_per_para=3, min_docs=2
+    ).toPandas()
+    assert len(out) == 500
+    assert not out.clean_text.str.contains("reserved").any()
+    assert (out.n_removed >= 1).all()
