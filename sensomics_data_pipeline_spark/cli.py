@@ -97,12 +97,21 @@ def cmd_corpus(args) -> int:
     spark = _spark()
     docs = spark.read.parquet(args.input)
     eval_df = spark.read.parquet(args.eval) if args.eval else None
+    mix = None
+    if args.mix:
+        mix = {
+            k: float(v)
+            for k, v in (kv.split("=", 1) for kv in args.mix.split(","))
+        }
     out = prepare_corpus(
         docs,
         eval_df=eval_df,
         quality_keep_frac=args.keep_frac,
         dedup_method=args.dedup,
         pack_budget=args.budget,
+        paragraph_min_docs=args.paragraph_min_docs,
+        paragraph_sep=args.paragraph_sep,
+        mix_weights=mix,
     )
     out.write.mode("overwrite").parquet(args.out)
     print(f"wrote {args.out}")
@@ -153,6 +162,12 @@ def main(argv=None) -> int:
     k.add_argument("--dedup", default="minhash",
                    choices=["exact", "minhash", "jaccard", "simhash"])
     k.add_argument("--budget", type=int, default=2048, help="pack token budget")
+    k.add_argument("--paragraph-min-docs", type=int, default=None,
+                   help="strip paragraphs appearing in >= N distinct docs")
+    k.add_argument("--paragraph-sep", default=None,
+                   help="paragraph boundary regex (default: 10-word windows)")
+    k.add_argument("--mix", default=None,
+                   help="target domain mix, e.g. 'web=3,books=1'")
     k.set_defaults(fn=cmd_corpus)
 
     args = p.parse_args(argv)

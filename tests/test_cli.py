@@ -99,3 +99,29 @@ def test_cli_corpus(spark, tmp_path):
     )
     ids = {r["doc_id"] for r in got.select("doc_id").collect()}
     assert 99 not in ids and ids <= {r[0] for r in rows}
+
+
+def test_cli_corpus_with_paragraph_and_mix(spark, tmp_path):
+    docs_path = str(tmp_path / "docs_pm")
+    out = str(tmp_path / "corpus_pm_out")
+    boiler = "subscribe to the newsletter now"
+    rows = [
+        (
+            i,
+            f"s{i % 2}",
+            f"doc {i} " + "text body words here " * (3 + i % 5) + boiler,
+        )
+        for i in range(12)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(docs_path)
+
+    assert cli.main(
+        ["corpus", "-i", docs_path, "-o", out, "--dedup", "exact",
+         "--keep-frac", "1.0", "--budget", "256",
+         "--paragraph-min-docs", "2", "--mix", "s0=1,s1=1"]
+    ) == 0
+    got = spark.read.parquet(out).toPandas()
+    assert not got.text.str.contains("subscribe").any()
+    assert set(got.source) <= {"s0", "s1"}

@@ -1232,3 +1232,58 @@ def test_dedup_paragraphs_hot_boilerplate(spark):
     assert len(out) == 500
     assert not out.clean_text.str.contains("reserved").any()
     assert (out.n_removed >= 1).all()
+
+
+# ---------------------------------------------------------------------------
+# Driver data-revision robustness
+# ---------------------------------------------------------------------------
+
+def test_load_table_normalizes_all_ts_encodings(spark, tmp_path):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) (rounds
+    1-2) and TIMESTAMP(MICROS)/isAdjustedToUTC=false (round 3). Both
+    — plus a plain UTC-adjusted timestamp — must load as identical
+    TIMESTAMP values, batch AND stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sensomics_data_pipeline_spark.sources.readers import load_table
+    from sensomics_data_pipeline_spark.streaming.demo import (
+        read_events_stream,
+        run_bounded,
+    )
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in µs
+    us = [base_us + i * 1_000_000 for i in range(5)]
+    variants = {
+        "nanos": pa.array([u * 1000 for u in us], pa.timestamp("ns")),
+        "micros_ntz": pa.array(us, pa.timestamp("us")),
+        "micros_utc": pa.array(us, pa.timestamp("us", tz="UTC")),
+    }
+    for name, arr in variants.items():
+        d = tmp_path / name
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(5), pa.int64()),
+                "ts": arr,
+                "user_id": pa.array([1] * 5, pa.int64()),
+                "event_type": pa.array(["x"] * 5),
+                "value": pa.array([1.0] * 5),
+                "props": pa.array(["{}"] * 5),
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+
+        batch = load_table(spark, str(d), "events")
+        assert batch.schema["ts"].dataType.simpleString() == "timestamp", name
+        got = sorted(r[0] for r in batch.select("ts").collect())
+        assert [t.isoformat() for t in got] == [
+            f"2024-01-01T00:00:{s:02d}" for s in range(5)
+        ], name
+
+        stream = read_events_stream(spark, str(d))
+        assert stream.schema["ts"].dataType.simpleString() == "timestamp", name
+        srows = run_bounded(
+            stream.groupBy("ts").count(), "complete"
+        ).toPandas()
+        assert len(srows) == 5, name
