@@ -686,6 +686,14 @@ def simhash_pairs(
     shuffle-heavy signature computation (two aggregations) runs ONCE
     and nothing needs a persist. Raises if ``max_hamming`` cannot be
     guaranteed lossless for the chosen band count.
+
+    Sizing at scale: bucket cardinality is ``n_bands · 2^(bits/n_bands)``
+    — fixed, so in-bucket candidates grow quadratically with corpus
+    size once occupancy passes ~1 (measured: slope 10x at 10x docs
+    with the default 4 x 8-bit bands, docs/SCALE_r03.md). For 10⁸+
+    corpora use ``bits=60, n_bands=4`` (15-bit bands, 4·32768
+    buckets — 60 is the portable-hash width, the ceiling for ``bits``):
+    same plan, same losslessness bound, 128x the bucket space.
     """
     if max_hamming > n_bands - 1:
         raise ValueError(

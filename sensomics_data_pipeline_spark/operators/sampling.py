@@ -84,6 +84,13 @@ def rebalance_sources(
     Plan: tiny per-source count agg → scalar min → broadcast quota map
     joined onto one rank window per source. One data-sized shuffle (the
     window); unknown sources (absent from ``weights``) are dropped.
+
+    A source named in ``weights`` but ABSENT from the data contributes
+    no scale constraint (its count is not zero-filled): the mix is
+    computed over available sources only. Callers needing a strict
+    guarantee that every weighted source is represented should check
+    counts first — a zero-filled constraint would force m=0 and drop
+    the whole corpus, which is never what a pipeline wants.
     """
     spark = df.sparkSession
     wdf = spark.createDataFrame(

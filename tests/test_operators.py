@@ -1287,3 +1287,19 @@ def test_load_table_normalizes_all_ts_encodings(spark, tmp_path):
             stream.groupBy("ts").count(), "complete"
         ).toPandas()
         assert len(srows) == 5, name
+
+
+def test_simhash_pairs_60bit_scale_setting(spark):
+    """The documented 10^8-corpus setting (bits=60 = portable-hash
+    width, 15-bit bands) must find the same planted near-dup pair as
+    the 32-bit default."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("kappa", "lambda", 1)
+    far = "one two three four five six seven eight nine ten " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    out = dedup_ops.simhash_pairs(
+        df, bits=60, n_bands=4, max_hamming=3
+    ).toPandas()
+    assert set(zip(out.doc_a, out.doc_b)) == {(1, 2)}
