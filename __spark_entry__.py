@@ -2021,6 +2021,36 @@ FROM r JOIN q USING (source) WHERE r.rn <= q.quota
 )
 
 
+def q_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour RANGE-frame aggregates per (user, event row) —
+    the hypertable continuous-rollup shape on the raw grain. Outputs
+    are order-insensitive exact aggregates (count/min/max), so the
+    cross-engine hash is stable where a windowed double SUM would not
+    be."""
+    from sensomics_data_pipeline_spark.operators.windows import (
+        rolling_range_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return rolling_range_agg(
+        ev, ["user_id"], "ts", "value", range_us=3_600_000_000
+    ).orderBy("user_id", "ts")
+
+
+_SQL_ROLLING_1H = """
+SELECT user_id, ts, value,
+       count(*)   OVER w AS n_trailing,
+       min(value) OVER w AS min_trailing,
+       max(value) OVER w AS max_trailing
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+)
+ORDER BY user_id, ts
+"""
+
+
 #: Holdout fractions for q_holdout_split. The cumulative cut points are
 #: computed ONCE here in python float arithmetic and injected verbatim
 #: into both engines (0.1 + 0.8 is 0.9000000000000001 in IEEE — each
@@ -2585,12 +2615,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         # ---- positions 51+: not driver-checked this round (green in
         # CORRECTNESS_r02 with an in-set twin; see comment above).
-        # paragraph_dedup / domain_mix are new THIS round (local
-        # bit-exact sweep only) — rotate them into the first 50 next
-        # round. ----
+        # paragraph_dedup / domain_mix / holdout_split / rolling_1h
+        # are new THIS round (local bit-exact sweep only) — rotate
+        # them into the first 50 next round. ----
         "paragraph_dedup": q_paragraph_dedup,
         "domain_mix": q_domain_mix,
         "holdout_split": q_holdout_split,
+        "rolling_1h": q_rolling_1h,
         "lag_dedup": q_lag_dedup,
         "sessionization": q_sessionization,
         "cube_agg": q_cube_agg,
@@ -2681,5 +2712,6 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _SQL_PARAGRAPH_DEDUP,
         "domain_mix": _SQL_DOMAIN_MIX,
         "holdout_split": _SQL_HOLDOUT_SPLIT,
+        "rolling_1h": _SQL_ROLLING_1H,
         # pack_sequences: iterative FFD — rows-only check by design
     }

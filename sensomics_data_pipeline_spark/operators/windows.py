@@ -216,3 +216,42 @@ def top_k_per_group(
     return df.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= k
     )
+
+
+def rolling_range_agg(
+    df,
+    partition_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    range_us: int = 3_600_000_000,
+):
+    """Trailing time-RANGE frame aggregates (the hypertable "last hour
+    per entity" shape): for every row, count/min/max of ``value_col``
+    over rows of the same partition whose timestamp lies within
+    ``range_us`` microseconds BEFORE this row's (inclusive both ends).
+
+    RANGE, not ROWS: the frame is defined by the time axis, so
+    irregular sampling and ties are handled by value, not position.
+    Spark's rangeBetween needs a numeric order key — ``unix_micros``
+    of the event time (same integer DuckDB's ``epoch_us`` yields, so
+    the frame boundaries are engine-identical). Outputs are
+    order-insensitive exact aggregates (count/min/max) on purpose:
+    a windowed SUM of doubles would expose summation-order drift
+    between engines.
+
+    One shuffle (the partition exchange); the running-frame evaluation
+    is linear per partition.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-int(range_us), 0)
+    )
+    return df.select(
+        *partition_cols,
+        ts_col,
+        value_col,
+        F.count("*").over(w).alias("n_trailing"),
+        F.min(value_col).over(w).alias("min_trailing"),
+        F.max(value_col).over(w).alias("max_trailing"),
+    )

@@ -1303,3 +1303,44 @@ def test_simhash_pairs_60bit_scale_setting(spark):
         df, bits=60, n_bands=4, max_hamming=3
     ).toPandas()
     assert set(zip(out.doc_a, out.doc_b)) == {(1, 2)}
+
+
+def test_rolling_range_agg_vs_brute_force(spark):
+    """RANGE-frame trailing aggregates vs a brute-force python double
+    loop, including timestamp ties (peers must be in each other's
+    frames) and irregular gaps."""
+    import datetime as dt
+
+    from sensomics_data_pipeline_spark.operators.windows import (
+        rolling_range_agg,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1: irregular offsets in seconds, with a tie at 100
+    offs = [0, 30, 100, 100, 3600, 3700, 7300]
+    rows = [
+        (1, t0 + dt.timedelta(seconds=s), float(i))
+        for i, s in enumerate(offs)
+    ]
+    rows += [(2, t0, 99.0)]  # lone row in its own partition
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = (
+        rolling_range_agg(df, ["user_id"], "ts", "value", range_us=60_000_000)
+        .orderBy("user_id", "ts", "value")
+        .toPandas()
+    )
+
+    expect = []
+    for uid, ts, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        peers = [
+            w
+            for u2, ts2, w in rows
+            if u2 == uid and ts - dt.timedelta(seconds=60) <= ts2 <= ts
+        ]
+        expect.append((uid, ts, v, len(peers), min(peers), max(peers)))
+    got = list(
+        out[
+            ["user_id", "ts", "value", "n_trailing", "min_trailing", "max_trailing"]
+        ].itertuples(index=False, name=None)
+    )
+    assert [(u, t.to_pydatetime(), v, n, lo, hi) for u, t, v, n, lo, hi in got] == expect
