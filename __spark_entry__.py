@@ -2223,6 +2223,90 @@ GROUP BY 1, 2
 """
 
 
+_SEEN_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: screen the 'new' sources against the
+    'seen' corpus (src0-src4) — exact hash left-semi + two-sided
+    MinHash band probe (new x seen, never seen x seen). Deterministic
+    report: smallest qualifying seen key + that pair's estimate."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("source").isin(*_SEEN_SOURCES))
+    new = docs.filter(~F.col("source").isin(*_SEEN_SOURCES))
+    return (
+        dedup_ops.dedup_incremental(
+            new, seen, n=3, num_hashes=16, band_size=4, threshold=0.5
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_DEDUP_INCREMENTAL = f"""
+WITH seen AS (
+  SELECT * FROM documents WHERE source IN {_SEEN_SOURCES!r}
+), new AS (
+  SELECT * FROM documents WHERE source NOT IN {_SEEN_SOURCES!r}
+), exact AS (
+  SELECT DISTINCT n.doc_id FROM new n
+  WHERE EXISTS (SELECT 1 FROM seen s WHERE s.text = n.text)
+), toks AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+         ELSE [] END AS shingles
+  FROM toks
+), base AS (
+  SELECT doc_id,
+         list_transform(list_distinct(shingles),
+                        s -> {_d_hash('s')} % 2147483647) AS hs
+  FROM sh
+), sig AS (
+  SELECT doc_id, s.seed,
+         list_min(list_transform(hs,
+           h -> ((2 * s.seed + 1) * h + (104729 * s.seed + 12345)) % 2147483647))
+           AS minhash
+  FROM base, (SELECT unnest(range(16)) AS seed) s
+  WHERE len(hs) > 0
+), band AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
+  FROM sig GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS seen_id
+  FROM band a
+  JOIN band b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id IN (SELECT doc_id FROM new)
+    AND b.doc_id IN (SELECT doc_id FROM seen)
+), est AS (
+  SELECT c.new_id, c.seen_id,
+         round(avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 6)
+           AS est_j
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.new_id
+  JOIN sig sb ON sb.doc_id = c.seen_id AND sb.seed = sa.seed
+  GROUP BY 1, 2
+), near AS (
+  SELECT new_id,
+         min(seen_id) AS near_dup_of,
+         arg_min(est_j, seen_id) AS est_jaccard
+  FROM est WHERE est_j >= 0.5
+  GROUP BY new_id
+)
+SELECT n.doc_id,
+       (e.doc_id IS NOT NULL) AS is_exact_dup,
+       nr.near_dup_of,
+       nr.est_jaccard
+FROM new n
+LEFT JOIN exact e ON e.doc_id = n.doc_id
+LEFT JOIN near nr ON nr.new_id = n.doc_id
+ORDER BY n.doc_id
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (df-capped inverted index)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2615,13 +2699,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         # ---- positions 51+: not driver-checked this round (green in
         # CORRECTNESS_r02 with an in-set twin; see comment above).
-        # paragraph_dedup / domain_mix / holdout_split / rolling_1h
-        # are new THIS round (local bit-exact sweep only) — rotate
-        # them into the first 50 next round. ----
+        # paragraph_dedup / domain_mix / holdout_split / rolling_1h /
+        # dedup_incremental are new THIS round (local bit-exact sweep
+        # only) — rotate them into the first 50 next round. ----
         "paragraph_dedup": q_paragraph_dedup,
         "domain_mix": q_domain_mix,
         "holdout_split": q_holdout_split,
         "rolling_1h": q_rolling_1h,
+        "dedup_incremental": q_dedup_incremental,
         "lag_dedup": q_lag_dedup,
         "sessionization": q_sessionization,
         "cube_agg": q_cube_agg,
@@ -2713,5 +2798,6 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix": _SQL_DOMAIN_MIX,
         "holdout_split": _SQL_HOLDOUT_SPLIT,
         "rolling_1h": _SQL_ROLLING_1H,
+        "dedup_incremental": _SQL_DEDUP_INCREMENTAL,
         # pack_sequences: iterative FFD — rows-only check by design
     }

@@ -849,3 +849,90 @@ def dedup_paragraphs(
             F.count("_boiler").alias("n_removed"),
         )
     )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental-ingest dedup: screen a NEW batch against an existing
+    SEEN corpus (the daily-crawl shape — batch-internal duplicates are
+    ``dedup_corpus``'s job, this operator's job is "have we already got
+    this document?").
+
+    Returns one row per new document:
+    ``(key, is_exact_dup, near_dup_of, est_jaccard)`` where
+    ``is_exact_dup`` marks a byte-identical text already in the seen
+    corpus (portable-hash anti-join), and ``near_dup_of`` is the
+    smallest seen key whose MinHash estimate reaches ``threshold``
+    (NULL if none) with that pair's estimate — smallest-key choice
+    makes the report deterministic under any execution order.
+
+    Plan: exact pass is a distinct-hash left-semi join (15-byte keys);
+    near pass is the banded equi-join of ``minhash_lsh_dedup`` but
+    TWO-SIDED (new × seen, never seen × seen) — at steady state the
+    new batch is a sliver of the corpus, so the join's build side
+    stays small while the seen side streams; signatures are computed
+    once per side inside a codegen'd projection (zero shuffle), and
+    candidates dedupe on (new, seen) before scoring.
+    """
+    t = F.col(text_col)
+    new_h = new_df.select(
+        F.col(key_col).alias("new_id"), _hex_hash_expr(t).alias("_h")
+    )
+    seen_h = seen_df.select(_hex_hash_expr(t).alias("_h")).distinct()
+    exact = (
+        new_h.join(seen_h, "_h", "left_semi")
+        .select("new_id")
+        .withColumn("_exact", F.lit(True))
+    )
+
+    sig_new = minhash_wide(new_df, key_col, text_col, n, num_hashes)
+    sig_seen = minhash_wide(seen_df, key_col, text_col, n, num_hashes)
+    bn = _band_explode(sig_new, band_size, num_hashes, ["mhs"])
+    bs = _band_explode(sig_seen, band_size, num_hashes, ["mhs"])
+    cand = (
+        bn.alias("a")
+        .join(bs.alias("b"), ["band", "band_sig"])
+        .select(
+            F.col("a.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("seen_id"),
+            F.col("a.mhs").alias("_ma"),
+            F.col("b.mhs").alias("_mb"),
+        )
+        .groupBy("new_id", "seen_id")
+        .agg(F.first("_ma").alias("_ma"), F.first("_mb").alias("_mb"))
+    )
+    matches = F.size(
+        F.filter(F.zip_with("_ma", "_mb", lambda x, y: x == y), lambda v: v)
+    )
+    near = (
+        cand.withColumn(
+            "_est", F.round(matches / F.lit(num_hashes), 6)
+        )
+        .filter(F.col("_est") >= float(threshold))
+        .groupBy("new_id")
+        .agg(F.min(F.struct("seen_id", "_est")).alias("_s"))
+        .select(
+            "new_id",
+            F.col("_s.seen_id").alias("near_dup_of"),
+            F.col("_s._est").alias("est_jaccard"),
+        )
+    )
+    return (
+        new_df.select(F.col(key_col).alias("new_id"))
+        .join(exact, "new_id", "left")
+        .join(near, "new_id", "left")
+        .select(
+            F.col("new_id").alias(key_col),
+            F.coalesce(F.col("_exact"), F.lit(False)).alias("is_exact_dup"),
+            "near_dup_of",
+            "est_jaccard",
+        )
+    )

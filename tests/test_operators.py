@@ -1344,3 +1344,33 @@ def test_rolling_range_agg_vs_brute_force(spark):
         ].itertuples(index=False, name=None)
     )
     assert [(u, t.to_pydatetime(), v, n, lo, hi) for u, t, v, n, lo, hi in got] == expect
+
+
+def test_dedup_incremental_verdicts(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("kappa", "lambda", 1)
+    seen = spark.createDataFrame(
+        [(1, base), (2, "totally different content here now " * 8)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),                       # exact dup of seen 1
+            (11, near),                       # near dup of seen 1
+            (12, "novel words nobody saw before " * 8),
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        dedup_ops.dedup_incremental(new, seen, threshold=0.5)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert bool(out.loc[10, "is_exact_dup"])
+    assert out.loc[10, "near_dup_of"] == 1       # exact implies near
+    assert not bool(out.loc[11, "is_exact_dup"])
+    assert out.loc[11, "near_dup_of"] == 1
+    assert out.loc[11, "est_jaccard"] > 0.5
+    assert not bool(out.loc[12, "is_exact_dup"])
+    assert pd.isna(out.loc[12, "near_dup_of"])
