@@ -2223,6 +2223,49 @@ GROUP BY 1, 2
 """
 
 
+def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-collision diversity signal (Rényi-2 entropy in probability
+    form): integer-exact Σc² numerator, zero-shuffle sorted-fold plan;
+    the oracle recomputes via unnest + GROUP BY."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text_ops.char_diversity(docs)
+        .select(
+            "doc_id",
+            "n_chars_exact",
+            "n_distinct_chars",
+            "char_coll",
+            "collision_prob",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_CHAR_DIVERSITY = """
+WITH cnt AS (
+  SELECT doc_id, c, count(*) AS n
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+  GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id,
+         count(*) AS n_distinct_chars,
+         CAST(sum(n * n) AS BIGINT) AS char_coll
+  FROM cnt GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(len(d.text) AS BIGINT) AS n_chars_exact,
+       a.n_distinct_chars,
+       a.char_coll,
+       CASE WHEN len(d.text) > 0 THEN
+         round(CAST(a.char_coll AS DOUBLE)
+               / CAST(CAST(len(d.text) AS BIGINT) * len(d.text) AS DOUBLE), 6)
+         + 0.0
+       END AS collision_prob
+FROM documents d JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 _SEEN_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 
 
@@ -2700,13 +2743,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- positions 51+: not driver-checked this round (green in
         # CORRECTNESS_r02 with an in-set twin; see comment above).
         # paragraph_dedup / domain_mix / holdout_split / rolling_1h /
-        # dedup_incremental are new THIS round (local bit-exact sweep
-        # only) — rotate them into the first 50 next round. ----
+        # dedup_incremental / char_diversity are new THIS round (local
+        # bit-exact sweep only) — rotate into the first 50 next round. ----
         "paragraph_dedup": q_paragraph_dedup,
         "domain_mix": q_domain_mix,
         "holdout_split": q_holdout_split,
         "rolling_1h": q_rolling_1h,
         "dedup_incremental": q_dedup_incremental,
+        "char_diversity": q_char_diversity,
         "lag_dedup": q_lag_dedup,
         "sessionization": q_sessionization,
         "cube_agg": q_cube_agg,
@@ -2799,5 +2843,6 @@ def oracle_sql() -> dict[str, str]:
         "holdout_split": _SQL_HOLDOUT_SPLIT,
         "rolling_1h": _SQL_ROLLING_1H,
         "dedup_incremental": _SQL_DEDUP_INCREMENTAL,
+        "char_diversity": _SQL_CHAR_DIVERSITY,
         # pack_sequences: iterative FFD — rows-only check by design
     }

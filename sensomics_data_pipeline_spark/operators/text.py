@@ -540,3 +540,70 @@ def scrub_pii(
         )
         scrubbed = F.regexp_replace(scrubbed, pat, replacement)
     return out.withColumn("scrubbed_text", scrubbed)
+
+
+def char_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-diversity quality signal (gibberish / low-entropy
+    detection): per document, the collision probability of two random
+    character draws — ``Σ c_i² / n²`` over character multiplicities
+    ``c_i`` — which is the Rényi-2 (collision) entropy in probability
+    form: ``H₂ = -log₂(collision_prob)``. Flat repeated filler
+    (``"aaaa…"``) scores → 1, diverse prose scores → 1/alphabet. The
+    numerator ``Σ c_i²`` is emitted as an exact BIGINT so the signal
+    is integer-exact and engine-reproducible; only the final ratio is
+    a rounded double (sign-normalized with ``+ 0.0``).
+
+    Zero shuffle, like ``repetition_signals``: characters are folded
+    per row with one ``array_sort`` + ``aggregate`` pass (run length r
+    extends ⇒ Σc² grows by (r+1)²−r² = 2r+1; new run ⇒ +1), instead of
+    an explode → groupBy(doc, char) plan that would shuffle the entire
+    character stream at 100 TB.
+    """
+    chars = F.split(F.col(text_col), "")
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("sq"),
+        F.lit(0).cast("long").alias("n_distinct"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = x.eqNullSafe(acc["prev"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        sq = acc["sq"] + F.when(same, 2 * acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            sq.alias("sq"),
+            (
+                acc["n_distinct"]
+                + F.when(same, F.lit(0)).otherwise(F.lit(1)).cast("long")
+            ).alias("n_distinct"),
+        )
+
+    folded = F.aggregate(
+        F.array_sort(chars),
+        zero,
+        step,
+        lambda acc: F.struct(
+            acc["sq"].alias("sq"), acc["n_distinct"].alias("n_distinct")
+        ),
+    )
+    n = F.length(text_col).cast("long")
+    return df.select(
+        "*",
+        n.alias("n_chars_exact"),
+        folded["n_distinct"].alias("n_distinct_chars"),
+        folded["sq"].alias("char_coll"),
+        (
+            F.when(
+                n > 0,
+                F.round(
+                    folded["sq"].cast("double") / (n * n).cast("double"), 6
+                )
+                + F.lit(0.0),
+            )
+        ).alias("collision_prob"),
+    )

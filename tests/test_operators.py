@@ -1374,3 +1374,32 @@ def test_dedup_incremental_verdicts(spark):
     assert out.loc[11, "est_jaccard"] > 0.5
     assert not bool(out.loc[12, "is_exact_dup"])
     assert pd.isna(out.loc[12, "near_dup_of"])
+
+
+def test_char_diversity_vs_counter(spark):
+    from collections import Counter
+
+    from sensomics_data_pipeline_spark.operators import text as text_ops
+
+    rows = [
+        (1, "aaaaaaaa"),                  # flat filler -> prob 1.0
+        (2, "abcdefgh"),                  # all distinct -> prob 1/8
+        (3, "the quick brown fox"),
+        (4, "ababababab"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        text_ops.char_diversity(df)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for i, t in rows:
+        c = Counter(t)
+        sq = sum(v * v for v in c.values())
+        assert out.loc[i, "n_chars_exact"] == len(t)
+        assert out.loc[i, "n_distinct_chars"] == len(c)
+        assert out.loc[i, "char_coll"] == sq
+        assert out.loc[i, "collision_prob"] == round(sq / len(t) ** 2, 6)
+    assert out.loc[1, "collision_prob"] == 1.0
+    assert out.loc[2, "collision_prob"] == round(1 / 8, 6)
