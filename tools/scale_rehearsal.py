@@ -52,6 +52,8 @@ QUERIES = [
     "holdout_split",
     "stratified_sample",
     "pack_sequences",
+    "char_diversity",
+    "dedup_incremental",
     "corpus_pipeline",
 ]
 
