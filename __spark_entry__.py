@@ -2252,16 +2252,21 @@ WITH cnt AS (
          CAST(sum(n * n) AS BIGINT) AS char_coll
   FROM cnt GROUP BY 1
 )
+-- Empty/NULL text pinned to (0, 0, 0, NULL) on BOTH engines: the LEFT
+-- JOIN keeps NULL-text docs (unnest(NULL) emits no rows) and the len>0
+-- guards zero out the ['']-sentinel row string_split('', '') produces.
 SELECT d.doc_id,
-       CAST(len(d.text) AS BIGINT) AS n_chars_exact,
-       a.n_distinct_chars,
-       a.char_coll,
-       CASE WHEN len(d.text) > 0 THEN
+       CAST(coalesce(len(d.text), 0) AS BIGINT) AS n_chars_exact,
+       CASE WHEN coalesce(len(d.text), 0) > 0 THEN a.n_distinct_chars
+            ELSE CAST(0 AS BIGINT) END AS n_distinct_chars,
+       CASE WHEN coalesce(len(d.text), 0) > 0 THEN a.char_coll
+            ELSE CAST(0 AS BIGINT) END AS char_coll,
+       CASE WHEN coalesce(len(d.text), 0) > 0 THEN
          round(CAST(a.char_coll AS DOUBLE)
                / CAST(CAST(len(d.text) AS BIGINT) * len(d.text) AS DOUBLE), 6)
          + 0.0
        END AS collision_prob
-FROM documents d JOIN agg a USING (doc_id)
+FROM documents d LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id
 """
 
@@ -2654,6 +2659,227 @@ FROM documents
 """
 
 
+def _pack_invariant_aggs(packed: DataFrame, budget: int) -> DataFrame:
+    """One-row conservation-law aggregate over a ``pack_sequences``
+    output: doc-level conservation (every doc packed exactly once,
+    token total preserved, id-sum signature) plus pack-level violation
+    counters that a correct packing must hold at ZERO — the oracle
+    states the laws as constants while Spark counts actual violations,
+    so any FFD bug (dropped doc, over-budget pack, inconsistent fill,
+    non-isolated oversize doc) breaks the hash."""
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("tok_sum"),
+        F.min("pack_fill").alias("fill_min"),
+        F.max("pack_fill").alias("fill_max"),
+        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+        F.count("*").alias("n_members"),
+    )
+    doc_agg = packed.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_distinct_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("oversize").cast("long")).alias("n_oversize"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    pack_agg = per_pack.agg(
+        F.sum(
+            F.when(
+                (F.col("has_oversize") == 0) & (F.col("fill_max") > budget),
+                one,
+            ).otherwise(zero)
+        ).alias("n_fill_violations"),
+        F.sum(
+            F.when(
+                (F.col("fill_min") != F.col("fill_max"))
+                | (F.col("fill_max") != F.col("tok_sum")),
+                one,
+            ).otherwise(zero)
+        ).alias("n_fill_mismatch"),
+        F.sum(
+            F.when(
+                (F.col("has_oversize") == 1) & (F.col("n_members") > 1), one
+            ).otherwise(zero)
+        ).alias("n_oversize_shared"),
+    )
+    return doc_agg.crossJoin(pack_agg)
+
+
+def q_pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-hash certification of ``pack_sequences`` (whose row-level
+    output is rows-only-checkable — FFD is iterative): conservation
+    laws that ARE SQL-expressible. The oracle derives doc count /
+    distinct count / token total / oversize count / id-sum straight
+    from ``documents`` and pins every violation counter at 0."""
+    from sensomics_data_pipeline_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs.select("doc_id", F.col("n_chars").alias("n_tokens")),
+        key_col="doc_id",
+        tokens_col="n_tokens",
+        budget=2048,
+        n_groups=16,
+    )
+    return _pack_invariant_aggs(packed, budget=2048)
+
+
+_SQL_PACK_INVARIANTS = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT doc_id) AS n_distinct_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN n_chars > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oversize,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(0 AS BIGINT) AS n_fill_violations,
+       CAST(0 AS BIGINT) AS n_fill_mismatch,
+       CAST(0 AS BIGINT) AS n_oversize_shared
+FROM documents
+"""
+
+
+def q_corpus_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-hash certification of the composed corpus pipeline (whose
+    packed row-level output is rows-only-checkable): the SURVIVOR SET
+    of scrub → repetition filter → 60% quality gate → decontaminate
+    (vs raw src0) → exact dedup is SQL-expressible, so the oracle
+    re-derives it stage-by-stage in DuckDB and aggregates the same
+    one-row signature (count / distinct / token total / oversize /
+    id-sum) plus the packing violation counters pinned at 0. Same
+    parameters as ``corpus_pipeline``."""
+    from sensomics_data_pipeline_spark.operators.corpus import prepare_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = prepare_corpus(
+        docs,
+        eval_df=docs.filter(F.col("source") == "src0"),
+        quality_keep_frac=0.6,
+        dedup_method="exact",
+        pack_budget=512,
+        pack_groups=16,
+    ).select("doc_id", "n_tokens", "pack_id", "pack_fill", "oversize")
+    return _pack_invariant_aggs(out, budget=512)
+
+
+def _sql_corpus_invariants() -> str:
+    """DuckDB replica of the prepare_corpus survivor set. Mirrors the
+    stage order and semantics of ``operators/corpus.py:prepare_corpus``
+    exactly: the repetition flag and quality features are computed on
+    the SCRUBBED text (streaming_corpus already validated the scrubbed
+    repetition flag engine-agrees), the eval gram set on the RAW src0
+    text (prepare_corpus receives eval_df unscrubbed), the quality
+    percent_rank only over non-repetitious docs, and exact dedup keeps
+    the smallest doc_id per scrubbed-text group."""
+    from sensomics_data_pipeline_spark.operators.text import PII_PATTERNS
+
+    stext = "text"
+    for _, pat in PII_PATTERNS:
+        stext = f"regexp_replace({stext}, '{pat}', '[PII]', 'g')"
+
+    def toks(expr: str) -> str:
+        return (
+            f"list_filter(string_split_regex(trim({expr}), '\\s+'),"
+            " x -> x != '')"
+        )
+
+    return f"""
+WITH scrub AS (
+  SELECT doc_id, source, {stext} AS text FROM documents
+), st AS (
+  SELECT doc_id, source, text, {toks('text')} AS l FROM scrub
+), pos AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM st
+), wc AS (
+  SELECT doc_id, l[i] AS w, count(*) AS c FROM pos GROUP BY 1, 2
+), wagg AS (
+  SELECT doc_id, max(c) AS top_w, sum(c) AS n_tok FROM wc GROUP BY 1
+), bgc AS (
+  SELECT doc_id, l[i] || ' ' || l[i + 1] AS bg, count(*) AS c
+  FROM pos WHERE i <= len(l) - 1 GROUP BY 1, 2
+), bgagg AS (
+  SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM bgc GROUP BY 1
+), tgc AS (
+  SELECT doc_id, l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS tg,
+         count(*) AS c
+  FROM pos WHERE i <= len(l) - 2 GROUP BY 1, 2
+), tgagg AS (
+  SELECT doc_id, count(*) AS n_dist_tg, sum(c) AS n_tg FROM tgc GROUP BY 1
+), nonrep AS (
+  SELECT s.doc_id, s.source, s.text, len(s.l) AS n_tokens
+  FROM st s
+  LEFT JOIN wagg USING (doc_id)
+  LEFT JOIN bgagg USING (doc_id)
+  LEFT JOIN tgagg USING (doc_id)
+  WHERE NOT (
+    coalesce(CASE WHEN wagg.n_tok > 0
+             THEN round(wagg.top_w * 1.0 / wagg.n_tok, 6) + 0.0 END, 0.0)
+      > 0.20
+    OR coalesce(CASE WHEN bgagg.n_bg > 0
+             THEN round(bgagg.top_bg * 1.0 / bgagg.n_bg, 6) + 0.0 END, 0.0)
+      > 0.18
+    OR coalesce(CASE WHEN tgagg.n_tg > 0
+             THEN round(1.0 - tgagg.n_dist_tg * 1.0 / tgagg.n_tg, 6) + 0.0
+             END, 0.0) > 0.30)
+), feats AS (
+  SELECT doc_id, source, text, n_tokens,
+         round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+         round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               * 1.0 / greatest(length(text), 1), 6) AS digit_ratio,
+         round(len(list_filter({toks('text')},
+                 x -> lower(x) IN ('the','and','of','to','is')))
+               * 1.0 / greatest(n_tokens, 1), 6) AS stopword_ratio
+  FROM nonrep
+), scored AS (
+  SELECT doc_id, source, text, n_tokens,
+         round((least(n_tokens / 100.0, 1.0) * 0.4
+               + (1 - least(punct_ratio * 4, 1.0)) * 0.3
+               + (1 - least(digit_ratio * 4, 1.0)) * 0.2
+               + least(stopword_ratio * 5, 1.0) * 0.1) * 1000000.0)
+           / 1000000.0 AS quality_score
+  FROM feats
+), gated AS (
+  SELECT doc_id, source, text, n_tokens FROM (
+    SELECT *, percent_rank() OVER (
+      PARTITION BY source ORDER BY quality_score DESC, doc_id
+    ) AS pr FROM scored
+  ) WHERE pr <= 0.6
+), evt AS (
+  SELECT {toks('text')} AS l FROM documents WHERE source = 'src0'
+), evpos AS (
+  SELECT l, unnest(generate_series(1, len(l))) AS i FROM evt
+), ev AS (
+  SELECT DISTINCT substr(md5(array_to_string(l[i:i+7], ' ')), 1, 15) AS g
+  FROM evpos WHERE i + 7 <= len(l)
+), ct AS (
+  SELECT doc_id, {toks('text')} AS l FROM gated
+), cpos AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM ct
+), cg AS (
+  SELECT DISTINCT doc_id,
+         substr(md5(array_to_string(l[i:i+7], ' ')), 1, 15) AS g
+  FROM cpos WHERE i + 7 <= len(l)
+), contaminated AS (
+  SELECT DISTINCT cg.doc_id FROM cg JOIN ev USING (g)
+), survivors AS (
+  SELECT * FROM gated
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+)
+SELECT count(*) AS n_docs,
+       count(DISTINCT doc_id) AS n_distinct_docs,
+       CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total_tokens,
+       CAST(coalesce(sum(CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_oversize,
+       CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum,
+       CAST(0 AS BIGINT) AS n_fill_violations,
+       CAST(0 AS BIGINT) AS n_fill_mismatch,
+       CAST(0 AS BIGINT) AS n_oversize_shared
+FROM survivors
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2668,26 +2894,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in rounds 1-2: CORRECTNESS rows exist for exactly positions 1-50).
     # Rotation policy: every query that has NEVER had a driver
     # CORRECTNESS row sits inside the first 50 this round; the tail
-    # holds queries that were fully green in CORRECTNESS_r02 AND have
-    # an in-set family twin exercising the same operator path —
-    # lag_dedup (twin streaming_stateful_dedup, identical result),
-    # sessionization (twin streaming_sessions, identical result),
-    # cube_agg (grouping-sets family with rollup_revenue),
-    # top_orders_limit (ordering covered by topk_per_group),
-    # stack_split (unpivot family with unpivot_wide +
-    # posexplode_resample), merge_upsert, interval_merge (interval
-    # family with interval_subtract/interval_semijoin/merge_windows +
-    # hypothesis property tests), map_functions (JSON family with
-    # json_extract), window_analytics (window family with
-    # topk_per_group/counter_reset_delta), resample_ffill (resample
-    # family with interpolate_linear/posexplode_resample),
+    # holds queries that were fully green in a PRIOR round's driver
+    # check AND have an in-set family twin exercising the same operator
+    # path. Round-4 rotation: the 6 queries new in r3 (paragraph_dedup,
+    # domain_mix, holdout_split, rolling_1h, dedup_incremental,
+    # char_diversity) plus the 2 new invariant queries (pack_invariants,
+    # corpus_invariants — full-hash conservation-law certification of
+    # the two formerly rows-only entries) move INTO the first 50;
+    # moving out, all r3 hash-green with in-set twins:
+    # pack_sequences + corpus_pipeline (superseded by their invariant
+    # twins, which hash-check what rows-only could not),
+    # streaming_stateful_dedup + streaming_sessions (streaming family
+    # covered by streaming_tumbling + streaming_corpus; batch twins
+    # lag_dedup/sessionization r2-green), histogram (agg family:
+    # agg_suite/quantiles), embedding_centroids (embedding family:
+    # embedding_topk/embedding_lsh/embedding_near_dup), decontaminate
+    # (the corpus_invariants oracle re-derives the full decontamination
+    # stage in-set), multimodal_frames (r3-green; md5/byte family with
+    # doc_fingerprint). Tail rationale for older demotions: lag_dedup,
+    # sessionization, cube_agg (grouping-sets family with
+    # rollup_revenue), top_orders_limit (ordering via topk_per_group),
+    # stack_split (unpivot family), merge_upsert, interval_merge
+    # (interval family + hypothesis property tests), map_functions
+    # (JSON family with json_extract), window_analytics, resample_ffill
+    # (resample family with interpolate_linear/posexplode_resample),
     # scalar_functions, top1_per_group (subsumed by topk_per_group),
-    # embedding_near_dup_exact (ground-truth twin of
-    # embedding_near_dup), embedding_ivf (rows-only by design —
-    # iterative k-means has no SQL oracle), simhash (signatures fully
-    # exercised by simhash_pairs), profile_table (summary stats covered
-    # by agg_suite + stats_suite), and set_ops (DISTINCT covered by
-    # exact_dedup). ALL 67 are still value-checked bit-exact locally by
+    # embedding_near_dup_exact (ground-truth twin), embedding_ivf
+    # (rows-only by design — iterative k-means has no SQL oracle),
+    # simhash (signatures exercised by simhash_pairs), profile_table
+    # (agg_suite + stats_suite), set_ops (DISTINCT via exact_dedup).
+    # ALL entries are still value-checked bit-exact locally by
     # tools/check_oracle.py at sf0.01 (results committed per round).
     return {
         "pricing_summary": q_pricing_summary,
@@ -2703,8 +2939,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_windows": q_merge_windows,
         "interval_subtract": q_interval_subtract,
         "streaming_tumbling": q_streaming_tumbling,
-        "streaming_sessions": q_streaming_sessions,
-        "streaming_stateful_dedup": q_streaming_stateful_dedup,
         "topk_per_group": q_topk_per_group,
         "asof_join": q_asof_join,
         "threshold_rules": q_threshold_rules,
@@ -2713,10 +2947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posexplode_resample": q_posexplode_resample,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "semi_anti_join": q_semi_anti_join,
-        "decontaminate": q_decontaminate,
         "json_extract": q_json_extract,
         "pivot_wide": q_pivot_wide,
-        "multimodal_frames": q_multimodal_frames,
         "embedding_near_dup": q_embedding_near_dup,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
@@ -2735,22 +2967,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "tfidf_top_terms": q_tfidf_top_terms,
         "streaming_corpus": q_streaming_corpus,
-        "histogram": q_histogram,
-        "embedding_centroids": q_embedding_centroids,
-        "corpus_pipeline": q_corpus_pipeline,
         "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        # ---- positions 51+: not driver-checked this round (green in
-        # CORRECTNESS_r02 with an in-set twin; see comment above).
-        # paragraph_dedup / domain_mix / holdout_split / rolling_1h /
-        # dedup_incremental / char_diversity are new THIS round (local
-        # bit-exact sweep only) — rotate into the first 50 next round. ----
         "paragraph_dedup": q_paragraph_dedup,
         "domain_mix": q_domain_mix,
         "holdout_split": q_holdout_split,
         "rolling_1h": q_rolling_1h,
         "dedup_incremental": q_dedup_incremental,
         "char_diversity": q_char_diversity,
+        "pack_invariants": q_pack_invariants,
+        "corpus_invariants": q_corpus_invariants,
+        # ---- positions 51+: every entry below was hash-green in a
+        # prior round's driver CORRECTNESS check (r2 or r3) and keeps
+        # an in-set family twin; see rotation rationale above. ----
+        "streaming_sessions": q_streaming_sessions,
+        "streaming_stateful_dedup": q_streaming_stateful_dedup,
+        "decontaminate": q_decontaminate,
+        "multimodal_frames": q_multimodal_frames,
+        "histogram": q_histogram,
+        "embedding_centroids": q_embedding_centroids,
+        "corpus_pipeline": q_corpus_pipeline,
+        "pack_sequences": q_pack_sequences,
         "lag_dedup": q_lag_dedup,
         "sessionization": q_sessionization,
         "cube_agg": q_cube_agg,
@@ -2844,5 +3080,9 @@ def oracle_sql() -> dict[str, str]:
         "rolling_1h": _SQL_ROLLING_1H,
         "dedup_incremental": _SQL_DEDUP_INCREMENTAL,
         "char_diversity": _SQL_CHAR_DIVERSITY,
-        # pack_sequences: iterative FFD — rows-only check by design
+        "pack_invariants": _SQL_PACK_INVARIANTS,
+        "corpus_invariants": _sql_corpus_invariants(),
+        # pack_sequences / corpus_pipeline: iterative FFD — row-level
+        # output is rows-only by design; their conservation laws are
+        # full-hash certified via pack_invariants / corpus_invariants.
     }

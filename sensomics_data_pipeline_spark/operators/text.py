@@ -591,12 +591,21 @@ def char_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
             acc["sq"].alias("sq"), acc["n_distinct"].alias("n_distinct")
         ),
     )
-    n = F.length(text_col).cast("long")
+    # Empty/NULL text is pinned EXPLICITLY to (0, 0, 0, NULL): Spark's
+    # split("", "") yields [""] (one sentinel element, folding to 1/1)
+    # and split(NULL, ...) yields NULL (folding to NULL), while SQL
+    # engines differ on whether unnest(string_split(...)) emits a row
+    # for either — so both degenerate cases are overridden before the
+    # fold result is exposed, and the oracle SQL mirrors the same rule.
+    n = F.coalesce(F.length(text_col), F.lit(0)).cast("long")
+    zero_long = F.lit(0).cast("long")
     return df.select(
         "*",
         n.alias("n_chars_exact"),
-        folded["n_distinct"].alias("n_distinct_chars"),
-        folded["sq"].alias("char_coll"),
+        F.when(n > 0, folded["n_distinct"])
+        .otherwise(zero_long)
+        .alias("n_distinct_chars"),
+        F.when(n > 0, folded["sq"]).otherwise(zero_long).alias("char_coll"),
         (
             F.when(
                 n > 0,

@@ -1403,3 +1403,52 @@ def test_char_diversity_vs_counter(spark):
         assert out.loc[i, "collision_prob"] == round(sq / len(t) ** 2, 6)
     assert out.loc[1, "collision_prob"] == 1.0
     assert out.loc[2, "collision_prob"] == round(1 / 8, 6)
+
+
+def test_char_diversity_empty_and_null_pinned_both_engines(spark):
+    """Empty and NULL text are pinned to (0, 0, 0, NULL) — and the
+    driver-facing oracle SQL agrees bit-exactly, including keeping the
+    NULL-text row (Spark's split(NULL) folds to NULL; DuckDB's
+    unnest(NULL) emits no rows; both are overridden explicitly)."""
+    import duckdb
+    import pandas as pd
+
+    from sensomics_data_pipeline_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "abab")], "doc_id long, text string"
+    )
+    out = (
+        text_ops.char_diversity(df)
+        .select(
+            "doc_id",
+            "n_chars_exact",
+            "n_distinct_chars",
+            "char_coll",
+            "collision_prob",
+        )
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for i in (1, 2):
+        assert out.loc[i, "n_chars_exact"] == 0
+        assert out.loc[i, "n_distinct_chars"] == 0
+        assert out.loc[i, "char_coll"] == 0
+        assert pd.isna(out.loc[i, "collision_prob"])
+    assert out.loc[3, "char_coll"] == 8
+
+    import __spark_entry__ as entry_mod
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["", None, "abab"]}),
+    )
+    dd = (
+        con.execute(entry_mod._SQL_CHAR_DIVERSITY)
+        .df()
+        .set_index("doc_id")
+        .astype(out.dtypes.to_dict())
+    )
+    pd.testing.assert_frame_equal(out, dd)
