@@ -400,6 +400,71 @@ def lsh_candidate_pairs(
     )
 
 
+def _capped_bucket_pairs(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    payload_col: str,
+    max_bucket: int,
+) -> DataFrame:
+    """Skew-guarded pair generation over LSH-style buckets, bounded in
+    BOTH memory and fan-out (the unguarded ``collect_list`` per bucket
+    OOMs one executor when a degenerate bucket arrives — e.g. a giant
+    exact-duplicate class in crawl data, where every empty/boilerplate
+    doc shares one signature and lands on one aggregation key).
+
+    Shape: rank bucket members with one ``row_number`` window (a
+    SPILLABLE sort, unlike an aggregation buffer) carrying the bucket's
+    smallest-id member as ``hub``. The first ``max_bucket`` members
+    form exact in-bucket combinations (agg buffer ≤ max_bucket
+    payloads); every OVERFLOW member emits one (hub, member) pair as a
+    pure projection — no collect at all. Exact-duplicate classes (the
+    skew case that matters) therefore stay FULLY connected through the
+    hub with an exact similarity score; what is given up beyond the cap
+    is only member↔member pairs among docs that collide WITHOUT being
+    hub-similar — a documented approximation that only begins past
+    ``max_bucket`` occupancy. Deterministic: ordering is by doc_id.
+
+    Returns (doc_a, doc_b, _pa, _pb) with doc_a < doc_b and the two
+    payloads, deduplicated across buckets by the caller's groupBy."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols).orderBy("doc_id")
+    ranked = banded.select(
+        *bucket_cols,
+        "doc_id",
+        payload_col,
+        F.row_number().over(w).alias("_rn"),
+        F.first("doc_id").over(w).alias("_hub_id"),
+        F.first(payload_col).over(w).alias("_hub_p"),
+    )
+    head = (
+        ranked.filter(F.col("_rn") <= max_bucket)
+        .groupBy(*bucket_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", payload_col))
+            ).alias("ds")
+        )
+    )
+    head_pairs = (
+        head.filter(F.size("ds") > 1)
+        .select(F.explode(_pair_combos(F.col("ds"))).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col(f"p.a.{payload_col}").alias("_pa"),
+            F.col(f"p.b.{payload_col}").alias("_pb"),
+        )
+    )
+    tail_pairs = ranked.filter(F.col("_rn") > max_bucket).select(
+        F.col("_hub_id").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("_hub_p").alias("_pa"),
+        F.col(payload_col).alias("_pb"),
+    )
+    return head_pairs.unionByName(tail_pairs)
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -407,6 +472,7 @@ def minhash_lsh_dedup(
     n: int = 3,
     num_hashes: int = 16,
     band_size: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: wide signatures → banded
     candidate pairs → estimated Jaccard (fraction of equal minhash
@@ -423,24 +489,40 @@ def minhash_lsh_dedup(
     collection the signatures have exactly ONE consumer, so nothing is
     computed twice and nothing is pinned. LSH buckets are small by
     construction (that is the point of banding), so the per-bucket
-    combination fan-out is bounded; a degenerate band value would show
-    up as a hot aggregation key — the same skew surface the join had."""
+    combination fan-out is bounded in the typical case; a degenerate
+    bucket (a giant exact-duplicate class — every member shares the
+    full signature) is a hot aggregation key that would OOM the
+    unguarded collect. ``max_bucket`` is the guard: pass it (256 is a
+    sane production value) to switch to :func:`_capped_bucket_pairs` —
+    spillable ranked buckets, exact combos for the first ``max_bucket``
+    members, hub pairs for the overflow, so exact-dup classes stay
+    fully connected at est_jaccard 1.0 under bounded memory. Default
+    ``None`` keeps the exact all-combos semantics (the oracle-checked
+    path)."""
     sigs = minhash_wide(df, key_col, text_col, n, num_hashes)
     banded = _band_explode(sigs, band_size, num_hashes, ["mhs"])
-    buckets = banded.groupBy("band", "band_sig").agg(
-        F.array_sort(F.collect_list(F.struct("doc_id", "mhs"))).alias("ds")
-    )
-    pairs = (
-        buckets.filter(F.size("ds") > 1)
-        .select(F.explode(_pair_combos(F.col("ds"))).alias("p"))
-        .select(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
-            F.col("p.a.mhs").alias("_ma"),
-            F.col("p.b.mhs").alias("_mb"),
+    if max_bucket is None:
+        buckets = banded.groupBy("band", "band_sig").agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "mhs"))).alias(
+                "ds"
+            )
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.first("_ma").alias("_ma"), F.first("_mb").alias("_mb"))
+        pair_src = (
+            buckets.filter(F.size("ds") > 1)
+            .select(F.explode(_pair_combos(F.col("ds"))).alias("p"))
+            .select(
+                F.col("p.a.doc_id").alias("doc_a"),
+                F.col("p.b.doc_id").alias("doc_b"),
+                F.col("p.a.mhs").alias("_ma"),
+                F.col("p.b.mhs").alias("_mb"),
+            )
+        )
+    else:
+        pair_src = _capped_bucket_pairs(
+            banded, ["band", "band_sig"], "mhs", max_bucket
+        ).withColumnsRenamed({"_pa": "_ma", "_pb": "_mb"})
+    pairs = pair_src.groupBy("doc_a", "doc_b").agg(
+        F.first("_ma").alias("_ma"), F.first("_mb").alias("_mb")
     )
     matches = F.size(
         F.filter(
@@ -668,6 +750,7 @@ def simhash_pairs(
     bits: int = 32,
     n_bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs from SimHash signatures: the Hamming-distance join
     that makes ``simhash`` useful as a dedup operator.
@@ -694,6 +777,14 @@ def simhash_pairs(
     corpora use ``bits=60, n_bands=4`` (15-bit bands, 4·32768
     buckets — 60 is the portable-hash width, the ceiling for ``bits``):
     same plan, same losslessness bound, 128x the bucket space.
+
+    ``max_bucket`` (optional) is the degenerate-bucket skew guard —
+    identical semantics to :func:`minhash_lsh_dedup`'s: ranked
+    spillable buckets, exact combos up to the cap, hub pairs for
+    overflow members (exact-dup classes stay fully connected at
+    hamming 0 under bounded memory; only beyond-cap member↔member
+    pairs that are not hub-similar are approximated away). Default
+    ``None`` keeps exact all-combos semantics (the oracle path).
     """
     if max_hamming > n_bands - 1:
         raise ValueError(
@@ -717,20 +808,28 @@ def simhash_pairs(
     banded = sigs.select(
         "doc_id", "simhash", F.explode(bands).alias("b")
     ).select("doc_id", "simhash", "b.band", "b.bv")
-    buckets = banded.groupBy("band", "bv").agg(
-        F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds")
-    )
-    pairs = (
-        buckets.filter(F.size("ds") > 1)
-        .select(F.explode(_pair_combos(F.col("ds"))).alias("p"))
-        .groupBy(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
+    if max_bucket is None:
+        buckets = banded.groupBy("band", "bv").agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ds")
         )
-        .agg(
-            F.first("p.a.simhash").alias("_sa"),
-            F.first("p.b.simhash").alias("_sb"),
+        pair_src = (
+            buckets.filter(F.size("ds") > 1)
+            .select(F.explode(_pair_combos(F.col("ds"))).alias("p"))
+            .select(
+                F.col("p.a.doc_id").alias("doc_a"),
+                F.col("p.b.doc_id").alias("doc_b"),
+                F.col("p.a.simhash").alias("_sa"),
+                F.col("p.b.simhash").alias("_sb"),
+            )
         )
+    else:
+        pair_src = _capped_bucket_pairs(
+            banded, ["band", "bv"], "simhash", max_bucket
+        ).withColumnsRenamed({"_pa": "_sa", "_pb": "_sb"})
+    pairs = pair_src.groupBy("doc_a", "doc_b").agg(
+        F.first("_sa").alias("_sa"), F.first("_sb").alias("_sb")
     )
     return (
         pairs.withColumn(

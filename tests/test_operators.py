@@ -130,6 +130,84 @@ def test_minhash_lsh_finds_planted_near_dup(spark):
     assert (3 not in set(pairs.doc_a)) and (3 not in set(pairs.doc_b))
 
 
+def test_minhash_capped_degenerate_bucket_bounded_and_connected(spark):
+    """The skew guard for the giant-exact-duplicate-class bucket: 10k
+    identical docs all share every band signature (one degenerate LSH
+    bucket). With max_bucket=16 the pair fan-out is head-combos +
+    hub-overflow (10,104 pairs, vs ~50M unguarded combinations that
+    would OOM the per-bucket collect at real scale), every pair scores
+    an exact est_jaccard of 1.0, and connected components still
+    resolve ALL 10k docs into one cluster with the smallest id as
+    canonical — nothing is lost for the class that causes the skew."""
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit(text).alias("text")
+    )
+    pairs = dedup_ops.minhash_lsh_dedup(df, max_bucket=16)
+    pdf = pairs.toPandas()
+    # 16 head members -> C(16,2)=120 exact pairs; 9,984 overflow members
+    # each pair once with hub doc 0
+    assert len(pdf) == 120 + 9_984
+    assert (pdf.est_jaccard == 1.0).all()
+    assert (pdf.doc_a < pdf.doc_b).all()
+    clusters = dedup_ops.duplicate_clusters(
+        pairs.select("doc_a", "doc_b")
+    ).toPandas()
+    assert len(clusters) == 10_000
+    assert (clusters.canonical_id == 0).all()
+
+
+def test_capped_matches_uncapped_clusters_mixed_corpus(spark):
+    """On a corpus where only the exact-duplicate class overflows the
+    cap, the capped and uncapped modes resolve to IDENTICAL duplicate
+    clusters for both minhash and simhash pair generators (the hub
+    pairs preserve the overflowing component; every other bucket is
+    below the cap so its combos are untouched)."""
+    dup_class = [(i, "same boilerplate page text repeated verbatim here")
+                 for i in range(40)]
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("kappa", "lambda", 1)
+    uniques = [
+        (100, base),
+        (101, near),
+        (102, "one two three four five six seven eight nine ten " * 5),
+        (103, "completely different words about weather and sailing boats"),
+    ]
+    df = spark.createDataFrame(
+        dup_class + uniques, "doc_id long, text string"
+    )
+
+    def clusters_of(pairs):
+        return {
+            (r["doc_id"], r["canonical_id"])
+            for r in dedup_ops.duplicate_clusters(
+                pairs.select("doc_a", "doc_b")
+            ).collect()
+        }
+
+    mh_exact = clusters_of(dedup_ops.minhash_lsh_dedup(df))
+    mh_capped = clusters_of(dedup_ops.minhash_lsh_dedup(df, max_bucket=8))
+    assert mh_exact == mh_capped
+
+    sh_exact = clusters_of(dedup_ops.simhash_pairs(df))
+    sh_capped = clusters_of(dedup_ops.simhash_pairs(df, max_bucket=8))
+    assert sh_exact == sh_capped
+
+
+def test_simhash_capped_degenerate_bucket(spark):
+    """simhash_pairs under the same degenerate-bucket guard: identical
+    docs share the full signature, overflow members pair with the hub
+    at hamming 0, and the pair set stays bounded."""
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.range(2_000).select(
+        F.col("id").alias("doc_id"), F.lit(text).alias("text")
+    )
+    pdf = dedup_ops.simhash_pairs(df, max_bucket=16).toPandas()
+    assert len(pdf) == 120 + (2_000 - 16)
+    assert (pdf.hamming == 0).all()
+    assert (pdf.doc_a < pdf.doc_b).all()
+
+
 def test_simhash_near_dup_small_hamming(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     near = base.replace("kappa", "lambda", 1)
