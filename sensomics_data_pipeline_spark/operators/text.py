@@ -542,7 +542,85 @@ def scrub_pii(
     return out.withColumn("scrubbed_text", scrubbed)
 
 
-def char_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
+def _char_diversity_arrow(df: DataFrame, text_col: str) -> DataFrame:
+    """Arrow fast path for :func:`char_diversity`: numpy codepoint
+    count per document inside ``mapInPandas`` — ~2 orders of magnitude
+    less CPU than the interpreted higher-order fold (which walks an
+    ``array_sort`` of every character through an interpreted
+    ``aggregate``), with the SAME bit-exact results:
+
+    - the integer signals (``n_chars_exact``, ``n_distinct_chars``,
+      ``char_coll``) are exact integers in both algorithms;
+    - ``collision_prob`` replicates Spark's ``F.round(x, 6)`` exactly:
+      Spark rounds via ``BigDecimal.valueOf(double)`` — i.e. HALF_UP on
+      the SHORTEST decimal representation (``Double.toString``), not on
+      the exact binary expansion — and Python's ``repr(float)`` is the
+      same shortest round-trip decimal, so
+      ``Decimal(repr(x)).quantize(6, ROUND_HALF_UP)`` agrees bit-for-
+      bit (using ``Decimal(x)`` directly instead flips the last digit
+      on ~0.1% of docs whose quotient sits just below a 6-decimal tie;
+      caught by the full-table equivalence test);
+    - empty/NULL text pins to (0, 0, 0, NULL) like the exact path
+      (``Float64`` nullable dtype so NULL survives Arrow, not NaN).
+
+    Still zero-shuffle and embarrassingly parallel; the equivalence is
+    pinned by a full-table comparison test against the fold path."""
+    import numpy as np
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("n_chars_exact", LongType()),
+            StructField("n_distinct_chars", LongType()),
+            StructField("char_coll", LongType()),
+            StructField("collision_prob", DoubleType()),
+        ]
+    )
+    quantum = Decimal("0.000001")
+
+    def fold(batches):
+        for pdf in batches:
+            k = len(pdf)
+            n_chars = np.zeros(k, dtype=np.int64)
+            n_dist = np.zeros(k, dtype=np.int64)
+            coll = np.zeros(k, dtype=np.int64)
+            prob = np.full(k, pd.NA, dtype=object)
+            for i, t in enumerate(pdf[text_col].tolist()):
+                if not isinstance(t, str) or not t:
+                    continue
+                codes = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                )
+                counts = np.unique(codes, return_counts=True)[1].astype(
+                    np.int64
+                )
+                n = len(codes)
+                sq = int((counts * counts).sum())
+                n_chars[i] = n
+                n_dist[i] = len(counts)
+                coll[i] = sq
+                prob[i] = float(
+                    Decimal(repr(sq / (n * n))).quantize(
+                        quantum, rounding=ROUND_HALF_UP
+                    )
+                )
+            yield pdf.assign(
+                n_chars_exact=n_chars,
+                n_distinct_chars=n_dist,
+                char_coll=coll,
+                collision_prob=pd.array(prob, dtype="Float64"),
+            )
+
+    return df.mapInPandas(fold, out_schema)
+
+
+def char_diversity(
+    df: DataFrame, text_col: str = "text", engine_exact: bool = True
+) -> DataFrame:
     """Character-diversity quality signal (gibberish / low-entropy
     detection): per document, the collision probability of two random
     character draws — ``Σ c_i² / n²`` over character multiplicities
@@ -558,7 +636,17 @@ def char_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
     extends ⇒ Σc² grows by (r+1)²−r² = 2r+1; new run ⇒ +1), instead of
     an explode → groupBy(doc, char) plan that would shuffle the entire
     character stream at 100 TB.
+
+    Two engines, same bits: ``engine_exact=True`` (default) is the
+    pure-builtin fold above — the oracle-reference algorithm;
+    ``engine_exact=False`` routes to :func:`_char_diversity_arrow`,
+    a numpy ``mapInPandas`` fast path (the interpreted HOF fold is
+    ~100× the CPU of a vectorized character count — measured 2.8 s
+    for 5k docs at sf0.1) that reproduces every column bit-exactly
+    (equivalence pinned by a full-table test).
     """
+    if not engine_exact:
+        return _char_diversity_arrow(df, text_col)
     chars = F.split(F.col(text_col), "")
     zero = F.struct(
         F.lit(None).cast("string").alias("prev"),

@@ -1483,6 +1483,51 @@ def test_char_diversity_vs_counter(spark):
     assert out.loc[2, "collision_prob"] == round(1 / 8, 6)
 
 
+def test_char_diversity_arrow_matches_fold(spark, sf_dir):
+    """The Arrow fast path (numpy codepoint count + shortest-repr
+    HALF_UP rounding) is bit-identical to the reference fold on the
+    full driver documents table AND on adversarial edge cases (empty,
+    NULL, flat filler, non-ASCII/astral chars). Guards the rounding
+    replica: Spark's round() is HALF_UP on Double.toString's shortest
+    decimal, which Decimal(repr(x)) reproduces — Decimal(x) does NOT
+    (it flips the last digit on quotients just below a 6-decimal tie)."""
+    import pandas as pd
+
+    from sensomics_data_pipeline_spark.operators import text as text_ops
+
+    cols = [
+        "doc_id",
+        "n_chars_exact",
+        "n_distinct_chars",
+        "char_coll",
+        "collision_prob",
+    ]
+    edge = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, None),
+            (3, "abab"),
+            (4, "aaaa"),
+            (5, "the quick brown fox €漢字 emoji 😀😀"),
+            # 0.0784375-class tie: 8 distinct chars, counts 5,1,...,1
+            # over n=12 -> sq/n^2 just below a 6-decimal half boundary
+            (6, "aaaaabcdefgh"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (edge, docs):
+        a = (
+            text_ops.char_diversity(df)
+            .select(cols).orderBy("doc_id").toPandas()
+        )
+        b = (
+            text_ops.char_diversity(df, engine_exact=False)
+            .select(cols).orderBy("doc_id").toPandas()
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+
 def test_char_diversity_empty_and_null_pinned_both_engines(spark):
     """Empty and NULL text are pinned to (0, 0, 0, NULL) — and the
     driver-facing oracle SQL agrees bit-exactly, including keeping the
