@@ -52,10 +52,10 @@ def main() -> None:
             break
         try:
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            n_warmed += 1
         except Exception:
             pass
         finally:
-            n_warmed += 1
             spark.catalog.clearCache()
     print(
         f"warm pass: {n_warmed}/{len(qs)} queries in "

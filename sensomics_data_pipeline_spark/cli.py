@@ -111,6 +111,7 @@ def cmd_corpus(args) -> int:
         pack_budget=args.budget,
         paragraph_min_docs=args.paragraph_min_docs,
         paragraph_sep=args.paragraph_sep,
+        paragraph_join=args.paragraph_join,
         mix_weights=mix,
     )
     out.write.mode("overwrite").parquet(args.out)
@@ -166,6 +167,10 @@ def main(argv=None) -> int:
                    help="strip paragraphs appearing in >= N distinct docs")
     k.add_argument("--paragraph-sep", default=None,
                    help="paragraph boundary regex (default: 10-word windows)")
+    k.add_argument("--paragraph-join", default=None,
+                   help="literal string to rejoin kept paragraphs with "
+                        "(required when --paragraph-sep is a non-literal "
+                        "regex; default: the sep itself when literal)")
     k.add_argument("--mix", default=None,
                    help="target domain mix, e.g. 'web=3,books=1'")
     k.set_defaults(fn=cmd_corpus)

@@ -51,6 +51,7 @@ def prepare_corpus(
     pack_groups: int = 64,
     paragraph_min_docs: int | None = None,
     paragraph_sep: str | None = None,
+    paragraph_join: str | None = None,
     paragraph_words: int = 10,
     mix_weights: dict[str, float] | None = None,
     seed: int = 42,
@@ -90,6 +91,7 @@ def prepare_corpus(
             text_col=text_col,
             doc_col=key_col,
             sep=paragraph_sep,
+            join_sep=paragraph_join,
             words_per_para=paragraph_words,
             min_docs=paragraph_min_docs,
         ).select(key_col, F.col("clean_text").alias(text_col))

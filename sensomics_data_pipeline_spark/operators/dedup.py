@@ -884,6 +884,7 @@ def dedup_paragraphs(
     sep: str | None = None,
     words_per_para: int = 10,
     min_docs: int = 2,
+    join_sep: str | None = None,
 ) -> DataFrame:
     """Paragraph-level boilerplate removal (CCNet/RefinedWeb-style):
     drop every paragraph that appears verbatim in ≥ ``min_docs``
@@ -916,8 +917,26 @@ def dedup_paragraphs(
     ``ngram_jaccard_pairs(safe_df_cap=True)`` exists to avoid. A
     second columnar scan is linear, spill-free, and parallel at any
     scale; an over-cap buffer is an executor OOM.
+
+    ``sep`` is a REGEX for splitting (it feeds ``F.split``); kept
+    paragraphs are reassembled with ``join_sep``, a LITERAL. When
+    ``join_sep`` is omitted it defaults to ``sep`` only if ``sep``
+    contains no regex metacharacters (a literal like ``"\\n\\n"``);
+    a genuine pattern (``"\\n+"``) with no explicit ``join_sep``
+    raises rather than silently injecting the pattern text verbatim
+    into every document.
     """
-    joiner = " " if sep is None else sep
+    if join_sep is None:
+        # regex metacharacters (Java regex, which F.split uses); plain
+        # whitespace like "\n\n" is literal and safe to join with
+        if sep is not None and any(c in sep for c in "\\.^$|?*+()[]{}"):
+            raise ValueError(
+                f"dedup_paragraphs: sep {sep!r} is a regex pattern, not a "
+                "literal — pass join_sep to say what to reassemble with"
+            )
+        joiner = " " if sep is None else sep
+    else:
+        joiner = join_sep
     paras = split_paragraphs(df, text_col, doc_col, sep, words_per_para)
     paras = paras.withColumn("_ph", _hex_hash_expr(F.col("para")))
     boiler = (

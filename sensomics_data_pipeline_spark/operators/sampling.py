@@ -91,6 +91,12 @@ def rebalance_sources(
     guarantee that every weighted source is represented should check
     counts first — a zero-filled constraint would force m=0 and drop
     the whole corpus, which is never what a pipeline wants.
+
+    If NO weighted source exists in the data at all, the scale is
+    undefined and the job FAILS at execution time (``raise_error`` on
+    the NULL min) instead of silently returning an empty corpus — an
+    all-rows-vanish outcome always means mis-keyed weights, and lazy
+    in-plan raising costs no extra scan.
     """
     spark = df.sparkSession
     wdf = spark.createDataFrame(
@@ -101,6 +107,19 @@ def rebalance_sources(
     scale = (
         counts.join(wdf, source_col)
         .select(F.min(F.col("count") / F.col("_wt")).alias("_m"))
+        .select(
+            F.when(F.col("_m").isNotNull(), F.col("_m"))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "rebalance_sources: no source named in `weights` "
+                        "is present in the data — the whole corpus would "
+                        "be dropped (check the weight keys)"
+                    )
+                )
+            )
+            .alias("_m")
+        )
     )
     quotas = (
         wdf.crossJoin(scale)

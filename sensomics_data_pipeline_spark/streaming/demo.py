@@ -58,6 +58,29 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def _has_event_time_watermark(agg: DataFrame) -> bool:
+    """True iff the analyzed logical plan contains an
+    ``EventTimeWatermark`` node — walked as actual tree nodes (class
+    name match), not a substring probe over ``str(plan)``, which could
+    false-positive on a literal or column name containing the text.
+    Private-API access is fenced: any reflection failure (Spark version
+    drift, Connect-style sessions without ``_jdf``) falls back to the
+    CONSERVATIVE answer True, whose only cost is the bounded no-data-
+    batch wait — never a skipped flush."""
+    try:
+        stack = [agg._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() == "EventTimeWatermark":
+                return True
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+        return False
+    except Exception:
+        return True
+
+
 def run_bounded(agg: DataFrame, mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregate over the bounded source to completion
     via a memory sink; returns the result as a batch DataFrame.
@@ -73,9 +96,7 @@ def run_bounded(agg: DataFrame, mode: str = "complete") -> DataFrame:
     # Only watermarked queries can owe a no-data batch (it exists to
     # advance the watermark and flush closed state); for un-watermarked
     # append streams the wait would be pure dead time.
-    watermarked = "EventTimeWatermark" in str(
-        agg._jdf.queryExecution().analyzed()
-    )
+    watermarked = _has_event_time_watermark(agg)
     q = (
         agg.writeStream.outputMode(mode)
         .format("memory")

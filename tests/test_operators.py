@@ -1181,6 +1181,73 @@ def test_dedup_paragraphs_word_windows(spark):
     assert list(out.n_paras) == [2, 2, 1]
 
 
+def test_dedup_paragraphs_regex_sep_requires_literal_joiner(spark):
+    """A regex `sep` ("\\n+") must not be injected verbatim into the
+    reassembled text: without an explicit join_sep it raises; with one,
+    splitting happens on the pattern and joining on the literal."""
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha one\n\n\n{boiler}\nbeta two"),
+        (2, f"{boiler}\n\ngamma three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="regex pattern"):
+        dedup_ops.dedup_paragraphs(df, sep=r"\n+", min_docs=2)
+    out = (
+        dedup_ops.dedup_paragraphs(
+            df, sep=r"\n+", min_docs=2, join_sep="\n"
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(out.clean_text) == ["alpha one\nbeta two", "gamma three"]
+    # literal sep still works with no join_sep (backwards compatible)
+    lit = dedup_ops.dedup_paragraphs(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        sep="\n\n",
+        min_docs=2,
+    )
+    assert lit.count() == 2
+
+
+def test_rebalance_sources_raises_when_no_weighted_source_present(spark):
+    """Mis-keyed weights must fail loudly at execution, not silently
+    return an empty corpus."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from sensomics_data_pipeline_spark.operators.sampling import (
+        rebalance_sources,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "web"), (2, "books")], "doc_id long, source string"
+    )
+    bad = rebalance_sources(df, {"wweb": 1.0, "bookz": 1.0})
+    with pytest.raises(SparkRuntimeException, match="no source named"):
+        bad.count()
+
+
+def test_has_event_time_watermark_walks_plan_nodes(spark, sf_dir):
+    """The watermark probe matches actual EventTimeWatermark plan nodes:
+    a watermarked streaming agg is detected, and a stream whose plan
+    merely CONTAINS the text 'EventTimeWatermark' in a literal column
+    does not false-positive."""
+    from sensomics_data_pipeline_spark.streaming.demo import (
+        _has_event_time_watermark,
+        read_events_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    with_wm = ev.withWatermark("ts", "10 minutes").groupBy(
+        F.window("ts", "5 minutes")
+    ).count()
+    assert _has_event_time_watermark(with_wm) is True
+    decoy = ev.select(
+        "ts", F.lit("EventTimeWatermark").alias("EventTimeWatermark")
+    )
+    assert _has_event_time_watermark(decoy) is False
+
+
 def test_rebalance_sources_quota_and_determinism(spark):
     """Quota math: m = min(count/weight); keep floor(m*w) per source —
     the binding source keeps everything; selection is deterministic."""
