@@ -7,16 +7,19 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced with a noop-format write (full plan execution, no
 driver collect overhead, no result materialization skew).
 
-Per-query time is the MIN over $SPARK_GRAFT_BENCH_RUNS runs (default 2):
+Per-query time is the MIN over $SPARK_GRAFT_BENCH_RUNS runs (default 3):
 single-run numbers at small scale are dominated by first-execution JIT
 and GC noise (observed ±3× swings on identical plans), and min-of-N is
 the steady-state plan cost — the thing that actually scales with data.
+The per-query MEDIAN rides along under "queries_median" so round-over-
+round comparisons can separate plan cost from box-load noise.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -63,25 +66,31 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name, fn in qs.items():
-        best = None
+        runs: list[float] = []
+        failed = False
         for _ in range(n_runs):
             t0 = time.time()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                el = round(time.time() - t0, 3)
-                best = el if best is None else min(best, el)
+                runs.append(round(time.time() - t0, 3))
             except Exception as exc:  # pragma: no cover
-                best = -1.0
+                failed = True
                 print(f"bench error {name}: {exc}", file=sys.stderr)
                 break
             finally:
                 # operators may persist intermediates; drop them so queries
                 # are timed independently and memory doesn't accumulate
                 spark.catalog.clearCache()
-        timings[name] = best
+        if failed or not runs:
+            timings[name] = -1.0
+            medians[name] = -1.0
+        else:
+            timings[name] = min(runs)
+            medians[name] = round(statistics.median(runs), 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
@@ -91,6 +100,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "n_runs": n_runs,
                 "sf": sf,
             }
         )

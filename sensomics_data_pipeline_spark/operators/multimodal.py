@@ -55,12 +55,32 @@ def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFram
 
 
 def decode_image(payload: bytes) -> "object":
-    """Stub decode: the real implementation would be Pillow/libjpeg.
-    Deterministic fake: derives a pseudo 'pixel' array shape from the
-    payload hash so downstream shape plumbing is testable."""
+    """Decode an image payload to an ``ndarray`` of shape (H, W, C).
+
+    Tries Pillow first (optional dependency — not in this container,
+    but the production path when present: PIL handles JPEG/PNG/WebP/
+    GIF and converts to RGB); a PIL-less environment falls back to the
+    package's own pure-stdlib BMP decoder (``decode_bmp``) for the BMP
+    magic, and raises the documented ``NotImplementedError`` for
+    formats that genuinely need a codec library. Deterministic fakes
+    (``fake_decode_features``) remain the pipeline-testing stand-in."""
+    try:
+        from PIL import Image  # optional; absent in this container
+    except ImportError:
+        Image = None
+    if Image is not None:
+        import io
+
+        import numpy as np
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("RGB"))
+    if payload and payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image decode requires Pillow (not in this container); "
-        "use fake_decode_features for pipeline testing"
+        "image decode requires Pillow (not in this container); only the "
+        "stdlib BMP path is available — use fake_decode_features for "
+        "pipeline testing"
     )
 
 

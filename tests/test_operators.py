@@ -261,8 +261,51 @@ def test_sample_frames_shape(media_df):
 
 
 def test_decode_stub_raises():
+    """Without Pillow, non-BMP payloads still raise the documented
+    NotImplementedError (this container has no PIL; if one appears,
+    the Pillow branch takes over and this test is skipped)."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present: decode_image uses the real decoder")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"xx")
+
+
+def test_decode_image_bmp_fallback_matches_decode_bmp():
+    """decode_image routes BM-magic payloads through the stdlib BMP
+    decoder even without Pillow — a real decode path, not a stub."""
+    import struct
+
+    import numpy as np
+
+    # hand-build a 2x2 uncompressed 24-bit BMP (bottom-up, padded rows)
+    w = h = 2
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    pixels = [  # bottom row first: BGR triples
+        (255, 0, 0), (0, 255, 0),   # bottom: blue, green
+        (0, 0, 255), (255, 255, 255),  # top: red, white
+    ]
+    body = b""
+    for r in range(h):
+        for c in range(w):
+            body += bytes(pixels[r * w + c])
+        body += b"\x00" * pad
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    )
+    payload = header + body
+    out = mm.decode_image(payload)
+    np.testing.assert_array_equal(out, mm.decode_bmp(payload))
+    assert out.shape == (2, 2, 3)
+    # top-left pixel is red in RGB order after bottom-up + BGR flip
+    assert tuple(out[0, 0]) == (255, 0, 0)
 
 
 # ---------------------------------------------------------------------------
