@@ -4,18 +4,31 @@ scales from the driver's sf0.1 corpus (5k docs) to a synthetic 10x
 replica (50k docs), reporting the wall-time slope per query.
 
 The 10x corpus is built by replicating sf0.1 documents 10x with (a)
-offset doc_ids and (b) a per-replica cyclic vocabulary rotation, so
-replicas are NOT trivial exact duplicates of each other and posting
-lists / near-dup structure stay realistic (each replica reproduces the
-original corpus's internal duplicate structure in a disjoint token
-space). Embedding queries are out of scope (documents-family only).
+offset doc_ids and (b) a per-replica token-space suffix (word ->
+word~r for replica r > 0), so the VOCABULARY GROWS with the corpus:
+replicas live in disjoint token spaces, each reproducing the original
+corpus's internal duplicate structure, and cross-replica shingle /
+band collisions happen only at the hash-random rate. This is the
+realistic regime for the pair-generation family — the round-3
+rehearsal rotated a FIXED 31-word vocabulary instead, which made every
+replica collide with every other in the same shingle space and
+measured a degenerate quadratic-collision regime (slopes 8-12x) that
+says nothing about real growth, where vocabulary scales with data.
+Embedding queries are out of scope (documents-family only).
 
 A near-1.0x-per-10x slope means driver-JVM fixed costs dominate; the
 interesting signal is any query with slope >> 10 (super-linear = a
 plan that will not survive a real scale-up).
 
-Usage: python tools/scale_rehearsal.py [replicas] [out_md]
-Writes a markdown table to docs/SCALE_r03.md by default.
+Also runs the connected-components rehearsal (``cc`` mode): synthetic
+chain (diameter 100) + clique pair sets at 1x and 100x edge counts,
+reading back the executed round count via the ``stats`` hook to verify
+``duplicate_clusters``'s O(log diameter) pointer-jumping claim off the
+toy graph.
+
+Usage: python tools/scale_rehearsal.py [replicas] [out_md]   # queries
+       python tools/scale_rehearsal.py cc [out_md]           # CC only
+Writes a markdown table to docs/SCALE_r04.md by default.
 """
 
 from __future__ import annotations
@@ -61,39 +74,28 @@ QUERIES = [
 def build_replica(spark, replicas: int) -> str:
     from pyspark.sql import functions as F
 
-    out_dir = f"{WORK}/sf1x{replicas}"
+    out_dir = f"{WORK}/sf1x{replicas}_growvocab"
     marker = f"{out_dir}/documents.parquet"
     if os.path.exists(marker):
         return out_dir
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
-    vocab = [
-        r[0]
-        for r in docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .distinct()
-        .collect()
-    ]
     n_docs = docs.count()
-    parts = []
-    for r in range(replicas):
-        # cyclic vocabulary rotation: word i -> word (i + r) mod |V|;
-        # replica 0 is the original corpus
-        mapping = dict(zip(vocab, vocab[r:] + vocab[:r]))
-        rotated = F.array_join(
+    parts = [docs]  # replica 0: the original corpus, untouched
+    for r in range(1, replicas):
+        # disjoint token space per replica: word -> word~r, so total
+        # vocabulary grows linearly with the corpus (realistic regime)
+        # and replicas collide only at the hash-random rate
+        suffixed = F.array_join(
             F.transform(
                 F.split("text", " "),
-                lambda w: F.element_at(
-                    F.create_map(
-                        *[F.lit(x) for kv in mapping.items() for x in kv]
-                    ),
-                    w,
-                ),
+                lambda w: F.concat(w, F.lit(f"~{r}")),
             ),
             " ",
         )
         parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(r * n_docs)).alias("doc_id"),
-                rotated.alias("text"),
+                suffixed.alias("text"),
                 "lang",
                 "source",
                 "n_chars",
@@ -126,12 +128,96 @@ def time_query(spark, fn, sf_dir: str, n: int = 2) -> float:
     return best
 
 
-def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_md = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE_r03.md"
+def cc_rehearsal(spark) -> list[tuple]:
+    """100x rehearsal for duplicate_clusters: chains of diameter 100
+    (the adversarial case for label propagation — plain min-label needs
+    ~100 rounds) plus 5-cliques, at 1x (~10k edges) and 100x (~1M
+    edges). Returns (name, n_edges, rounds, seconds) rows; the
+    O(log d) claim holds if rounds stays ~7-8 at BOTH sizes (rounds is
+    a function of diameter, not edge count)."""
+    from pyspark.sql import functions as F
 
+    from sensomics_data_pipeline_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    def chain_clique_pairs(n_chains: int, n_cliques: int):
+        # chains: nodes [c*1000, c*1000+100) linked in a path
+        chains = (
+            spark.range(n_chains)
+            .select(F.explode(F.sequence(F.lit(0), F.lit(98))).alias("i"),
+                    F.col("id").alias("c"))
+            .select(
+                (F.col("c") * 1000 + F.col("i")).alias("doc_a"),
+                (F.col("c") * 1000 + F.col("i") + 1).alias("doc_b"),
+            )
+        )
+        # cliques: 5 nodes each, offset into a disjoint id space
+        base = 10_000_000
+        cliq = (
+            spark.range(n_cliques)
+            .select(F.col("id").alias("k"))
+            .crossJoin(
+                spark.range(5).select(F.col("id").alias("i"))
+            )
+            .crossJoin(spark.range(5).select(F.col("id").alias("j")))
+            .filter(F.col("i") < F.col("j"))
+            .select(
+                (base + F.col("k") * 10 + F.col("i")).alias("doc_a"),
+                (base + F.col("k") * 10 + F.col("j")).alias("doc_b"),
+            )
+        )
+        return chains.unionByName(cliq)
+
+    rows = []
+    for name, n_chains, n_cliques in (
+        ("cc_1x", 50, 500),      # ~5k chain edges + 5k clique edges
+        ("cc_100x", 5_000, 50_000),  # ~495k + 500k edges
+    ):
+        pairs = chain_clique_pairs(n_chains, n_cliques)
+        n_edges = pairs.count()
+        stats: dict = {}
+        t0 = time.time()
+        out = duplicate_clusters(pairs, stats=stats)
+        # correctness probe rides along: every chain collapses to its
+        # head, every clique to its smallest member
+        n_comp = out.select("canonical_id").distinct().count()
+        el = time.time() - t0
+        assert n_comp == n_chains + n_cliques, (n_comp, n_chains, n_cliques)
+        rows.append((name, n_edges, stats["rounds"], el))
+        print(
+            f"{name:10s} edges {n_edges:8d}  rounds {stats['rounds']:2d}  "
+            f"{el:6.2f}s",
+            flush=True,
+        )
+    return rows
+
+
+def main() -> None:
     import __spark_entry__ as entrymod
     from sensomics_data_pipeline_spark.session import get_spark
+
+    if len(sys.argv) > 1 and sys.argv[1] == "cc":
+        out_md = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE_r04.md"
+        spark = get_spark("scale_rehearsal")
+        cc_rows = cc_rehearsal(spark)
+        with open(out_md, "a") as f:
+            f.write(
+                "\n## Connected-components 100x rehearsal\n\n"
+                "Synthetic chains (diameter 100) + 5-cliques; `rounds` "
+                "is read from the duplicate_clusters stats hook. The "
+                "pointer-jumping O(log d) claim holds iff rounds is a "
+                "function of DIAMETER, not edge count — i.e. identical "
+                "at 1x and 100x.\n\n"
+                "| graph | edges | rounds | seconds |\n|---|---|---|---|\n"
+            )
+            for name, n_edges, rounds, el in cc_rows:
+                f.write(f"| {name} | {n_edges} | {rounds} | {el:.2f} |\n")
+        print(f"appended CC table to {out_md}")
+        return
+
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_md = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE_r04.md"
 
     spark = get_spark("scale_rehearsal")
     big_dir = build_replica(spark, replicas)
@@ -159,11 +245,15 @@ def main() -> None:
 
     with open(out_md, "w") as f:
         f.write(
-            f"# Scale rehearsal — round 3\n\n"
+            f"# Scale rehearsal — round 4 (growing vocabulary)\n\n"
             f"sf0.1 documents (5k docs) vs a {replicas}x replica "
-            f"(50k docs, cyclic-vocabulary-rotated so replicas are not "
-            f"exact duplicates), local[32], min-of-2 after a JIT warm "
-            f"pass. `slope` = t({replicas}x)/t(1x); linear scaling at "
+            f"(50k docs) built with per-replica token-space suffixes, "
+            f"so the VOCABULARY grows {replicas}x with the corpus — "
+            f"the realistic regime for the pair-generation family "
+            f"(the round-3 rehearsal held a 31-word vocabulary fixed, "
+            f"which measured a degenerate cross-replica collision "
+            f"regime). local[32], min-of-2 after a JIT warm pass. "
+            f"`slope` = t({replicas}x)/t(1x); linear scaling at "
             f"{replicas}x data means slope <= {replicas} (fixed "
             f"per-job costs push it below; a slope well above "
             f"{replicas} would flag a plan that cannot survive a real "
