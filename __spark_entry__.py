@@ -2678,13 +2678,19 @@ def _pack_invariant_aggs(packed: DataFrame, budget: int) -> DataFrame:
         F.max(F.col("oversize").cast("int")).alias("has_oversize"),
         F.count("*").alias("n_members"),
     )
+    # the two one-row aggregate grains (doc-level, pack-level) are
+    # combined on a literal key: Catalyst constant-folds it into a
+    # BroadcastNestedLoopJoin with a single-row build side — the
+    # whitelisted "attach computed scalars" shape (SCALAR_BROADCAST_OK
+    # in tests/test_plans.py), unlike a bare crossJoin which plans the
+    # banned CartesianProduct operator
     doc_agg = packed.agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("doc_id").alias("n_distinct_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.sum(F.col("oversize").cast("long")).alias("n_oversize"),
         F.sum("doc_id").alias("id_sum"),
-    )
+    ).withColumn("_k", F.lit(0))
     zero = F.lit(0).cast("long")
     one = F.lit(1).cast("long")
     pack_agg = per_pack.agg(
@@ -2706,8 +2712,8 @@ def _pack_invariant_aggs(packed: DataFrame, budget: int) -> DataFrame:
                 (F.col("has_oversize") == 1) & (F.col("n_members") > 1), one
             ).otherwise(zero)
         ).alias("n_oversize_shared"),
-    )
-    return doc_agg.crossJoin(pack_agg)
+    ).withColumn("_k", F.lit(0))
+    return doc_agg.join(F.broadcast(pack_agg), "_k").drop("_k")
 
 
 def q_pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -539,6 +539,7 @@ def duplicate_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
     components by iterative min-label propagation, returning
@@ -563,7 +564,9 @@ def duplicate_clusters(
     changed-label count; every round ends in an EAGER
     ``localCheckpoint`` that truncates lineage (without it the plan
     doubles per round and the driver re-plans O(2^rounds) nodes) and
-    lets the previous round's blocks be released."""
+    lets the previous round's blocks be released. Pass ``stats={}`` to
+    read back the executed round count (``stats["rounds"]``) — the
+    scale rehearsal uses it to verify the O(log diameter) claim."""
     # Symmetrize via a single explode, NOT union of two selects: union
     # branches are separate plan subtrees, so an expensive `pairs`
     # (e.g. a banding join + Arrow rescore) would execute once PER
@@ -642,6 +645,8 @@ def duplicate_clusters(
         # scheduling rounds instead of one.
         changed = new_labels.agg(F.max("_chg")).first()[0]
         labels = new_labels.select("doc_id", "label")
+        if stats is not None:  # rehearsal/diagnostic hook: rounds executed
+            stats["rounds"] = stats.get("rounds", 0) + 1
         if not changed:
             break
     else:

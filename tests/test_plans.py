@@ -111,6 +111,10 @@ SCALAR_BROADCAST_OK = {
     # 1-row global scale m = min(count/weight) crossed onto the
     # |weights|-row quota table — both sides tiny by construction
     "domain_mix",
+    # 1-row doc-level aggregate joined with the 1-row pack-level
+    # violation counters (conservation-law signature queries)
+    "pack_invariants",
+    "corpus_invariants",
 }
 
 
