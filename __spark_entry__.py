@@ -2231,7 +2231,10 @@ def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference algorithm (``engine_exact=True``), pinned bit-identical
     to this path by ``test_char_diversity_arrow_matches_fold``, and
     the oracle recomputes independently via unnest + GROUP BY."""
-    docs = _t(spark, sf_dir, "documents")
+    # project BEFORE the Arrow stage: mapInPandas passes every input
+    # column through Arrow, so the narrow (doc_id, text) input halves
+    # the batch transfer vs feeding the full documents schema
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return (
         text_ops.char_diversity(docs, engine_exact=False)
         .select(

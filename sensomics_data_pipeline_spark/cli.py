@@ -103,11 +103,20 @@ def cmd_corpus(args) -> int:
             k: float(v)
             for k, v in (kv.split("=", 1) for kv in args.mix.split(","))
         }
+    dedup_kwargs = {}
+    if args.dedup_max_bucket is not None:
+        if args.dedup not in ("minhash", "simhash"):
+            raise SystemExit(
+                "--dedup-max-bucket applies to minhash/simhash only "
+                "(jaccard bounds fan-out with its document-frequency cap)"
+            )
+        dedup_kwargs["max_bucket"] = args.dedup_max_bucket
     out = prepare_corpus(
         docs,
         eval_df=eval_df,
         quality_keep_frac=args.keep_frac,
         dedup_method=args.dedup,
+        dedup_kwargs=dedup_kwargs or None,
         pack_budget=args.budget,
         paragraph_min_docs=args.paragraph_min_docs,
         paragraph_sep=args.paragraph_sep,
@@ -162,6 +171,9 @@ def main(argv=None) -> int:
     k.add_argument("--keep-frac", type=float, default=0.5)
     k.add_argument("--dedup", default="minhash",
                    choices=["exact", "minhash", "jaccard", "simhash"])
+    k.add_argument("--dedup-max-bucket", type=int, default=None,
+                   help="LSH bucket occupancy cap (degenerate-bucket "
+                        "skew guard; 256 is a sane production value)")
     k.add_argument("--budget", type=int, default=2048, help="pack token budget")
     k.add_argument("--paragraph-min-docs", type=int, default=None,
                    help="strip paragraphs appearing in >= N distinct docs")

@@ -7,6 +7,7 @@ import json
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from sensomics_data_pipeline_spark import cli
 
@@ -99,6 +100,42 @@ def test_cli_corpus(spark, tmp_path):
     )
     ids = {r["doc_id"] for r in got.select("doc_id").collect()}
     assert 99 not in ids and ids <= {r[0] for r in rows}
+
+
+def test_cli_corpus_dedup_max_bucket(spark, tmp_path):
+    """--dedup-max-bucket reaches the minhash skew guard; rejecting it
+    for dedup methods without a bucket cap."""
+    docs_path = str(tmp_path / "docs_mb")
+    out = str(tmp_path / "corpus_mb_out")
+    # texts must clear the repetition gate (>=10 distinct words, no
+    # dominant bigram) so the drop below is attributable to DEDUP
+    boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, "s0", boiler) for i in range(30)] + [
+        (
+            100 + i,
+            "s1",
+            f"unique document number {i} with varied prose about "
+            f"weather sailing mountains rivers forests meadow",
+        )
+        for i in range(6)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(docs_path)
+    assert cli.main(
+        ["corpus", "-i", docs_path, "-o", out, "--dedup", "minhash",
+         "--keep-frac", "1.0", "--budget", "256",
+         "--dedup-max-bucket", "4"]
+    ) == 0
+    got = spark.read.parquet(out)
+    # the 30-identical class collapses to one canonical doc even though
+    # its bucket overflows the cap (hub pairs keep it connected)
+    assert got.filter(F.col("doc_id") < 100).count() == 1
+    with pytest.raises(SystemExit, match="max-bucket"):
+        cli.main(
+            ["corpus", "-i", docs_path, "-o", out, "--dedup", "jaccard",
+             "--dedup-max-bucket", "4"]
+        )
 
 
 def test_cli_corpus_with_paragraph_and_mix(spark, tmp_path):
