@@ -44,6 +44,7 @@ def prepare_corpus(
     source_col: str = "source",
     eval_df: DataFrame | None = None,
     quality_keep_frac: float = 0.5,
+    gate_two_pass: bool = False,
     contamination_ngram: int = 8,
     dedup_method: str = "minhash",
     dedup_kwargs: dict | None = None,
@@ -65,7 +66,10 @@ def prepare_corpus(
     ``eval_df`` (optional) is the benchmark set for decontamination;
     when omitted that stage is skipped. ``dedup_method`` passes through
     to :func:`dedup_corpus` (``minhash``/``jaccard``/``simhash``/
-    ``exact``).
+    ``exact``). ``gate_two_pass=True`` swaps the quality gate's
+    per-source window for the broadcast-threshold two-pass form (the
+    few-huge-groups 100-TB shape; see
+    :func:`~.text.quality_percentile_gate`).
 
     Two optional stages (both off by default, preserving the r3 query
     contract): ``paragraph_min_docs`` inserts paragraph-level
@@ -109,6 +113,7 @@ def prepare_corpus(
         partition_col=source_col,
         key_col=key_col,
         text_col=text_col,
+        two_pass=gate_two_pass,
     ).select(key_col, source_col, text_col, "n_tokens", "quality_score")
     if eval_df is not None:
         clean_ids = ngram_contamination(

@@ -426,6 +426,8 @@ def quality_percentile_gate(
     partition_col: str = "source",
     key_col: str = "doc_id",
     text_col: str = "text",
+    two_pass: bool = False,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """Per-group quality gate: keep the top ``keep_frac`` fraction of
     documents by composite quality score WITHIN each group (source /
@@ -433,15 +435,35 @@ def quality_percentile_gate(
     training-data pipeline, which must be per-group so one
     high-quality source cannot crowd out every other source.
 
-    Ranking is ``percent_rank`` over (score desc, key) — the key
-    tiebreak makes the kept set deterministic and engine-reproducible.
-    Scale note: the window shuffles one partition per group; with few
-    huge groups, swap to a two-pass form (per-group
-    ``percentile_approx`` threshold, broadcast back) which this module
-    keeps expressible via ``quality_score`` + a grouped agg."""
+    Default (``two_pass=False``): ``percent_rank`` over (score desc,
+    key) — the key tiebreak makes the kept set deterministic and
+    engine-reproducible; this is the oracle-checked path. Scale note:
+    the window shuffles ONE partition per group, so with few huge
+    groups (5 sources × 100 TB) a single task sorts a whole source.
+
+    ``two_pass=True`` is the few-huge-groups form: pass 1 computes the
+    per-group score threshold with ``percentile_approx`` (a grouped
+    aggregate — partial aggregation on every input partition, nothing
+    serializes per group), pass 2 broadcasts the tiny per-group
+    threshold table back and filters ``score >= threshold``. No window
+    anywhere; both passes are embarrassingly parallel. The kept set is
+    approximate at the boundary (quantile sketch error + score ties
+    all kept, no key tiebreak) — emitted as ``gate_threshold`` instead
+    of ``pct_rank`` so callers cannot confuse the two contracts.
+    ``approx_accuracy`` is the sketch knob (higher = tighter boundary,
+    more memory; 10k ≈ 1/10000 rank error)."""
     from pyspark.sql import Window
 
     scored = quality_score(df, text_col)
+    if two_pass:
+        thresholds = scored.groupBy(partition_col).agg(
+            F.percentile_approx(
+                "quality_score", 1.0 - keep_frac, approx_accuracy
+            ).alias("gate_threshold")
+        )
+        return scored.join(F.broadcast(thresholds), partition_col).filter(
+            F.col("quality_score") >= F.col("gate_threshold")
+        )
     w = Window.partitionBy(partition_col).orderBy(
         F.desc("quality_score"), F.col(key_col)
     )

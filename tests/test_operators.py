@@ -1593,6 +1593,53 @@ def test_char_diversity_vs_counter(spark):
     assert out.loc[2, "collision_prob"] == round(1 / 8, 6)
 
 
+def test_quality_gate_two_pass_matches_window_form(spark, sf_dir):
+    """The few-huge-groups two-pass gate (percentile_approx threshold
+    broadcast back, no window) keeps ~the same top segment as the
+    exact percent_rank form: per source, the kept count is within the
+    boundary-tie slack, every kept doc's score >= every dropped doc's
+    score, and the window form's kept set is contained in it up to
+    boundary ties. The physical plan must contain NO Window node."""
+    from sensomics_data_pipeline_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = text_ops.quality_percentile_gate(docs, keep_frac=0.4)
+    twop = text_ops.quality_percentile_gate(
+        docs, keep_frac=0.4, two_pass=True
+    )
+    plan = twop._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    e = exact.select("doc_id", "source", "quality_score").toPandas()
+    t = twop.select("doc_id", "source", "quality_score").toPandas()
+    for src, eg in e.groupby("source"):
+        tg = t[t.source == src]
+        n_src = docs.filter(F.col("source") == src).count()
+        # kept counts agree within the tie/boundary slack
+        assert abs(len(tg) - len(eg)) <= max(3, int(0.02 * n_src)), src
+        # two-pass keeps a clean top segment: min kept > max dropped
+        dropped = set(
+            r.doc_id
+            for r in docs.filter(F.col("source") == src)
+            .select("doc_id")
+            .collect()
+        ) - set(tg.doc_id)
+        if dropped and len(tg):
+            scored_all = (
+                text_ops.quality_score(
+                    docs.filter(F.col("source") == src)
+                )
+                .select("doc_id", "quality_score")
+                .toPandas()
+                .set_index("doc_id")
+            )
+            assert (
+                tg.quality_score.min()
+                >= scored_all.loc[sorted(dropped)].quality_score.max()
+            ), src
+
+
 def test_char_diversity_arrow_matches_fold(spark, sf_dir):
     """The Arrow fast path (numpy codepoint count + shortest-repr
     HALF_UP rounding) is bit-identical to the reference fold on the
