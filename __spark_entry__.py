@@ -1859,9 +1859,15 @@ WITH t AS (
                 ELSE (len(l) - 64 + 47) // 48 END)) AS chunk_id
   FROM t
 )
+-- coalesce: DuckDB's array_to_string([]) is NULL while Spark's
+-- array_join([]) is '' — a zero-token doc still emits its one (empty)
+-- chunk with chunk_text '' on BOTH engines. (NULL-text docs emit no
+-- chunks on either engine: Spark's posexplode of a NULL sequence and
+-- DuckDB's unnest of a NULL series both drop the row.)
 SELECT doc_id, chunk_id::INT AS chunk_id,
-       array_to_string(l[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
-         AS chunk_text,
+       coalesce(
+         array_to_string(l[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' '),
+         '') AS chunk_text,
        len(l[chunk_id * 48 + 1 : chunk_id * 48 + 64])::BIGINT
          AS chunk_n_tokens
 FROM c
@@ -2657,8 +2663,12 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_MULTIMODAL = """
+-- encode(), not CAST(text AS BLOB): the cast REJECTS non-ASCII
+-- strings ("must be escaped with hex codes") while encode() yields
+-- the UTF-8 bytes — which is what Spark's cast(text AS binary)
+-- produces, so byte lengths agree on any corpus.
 SELECT doc_id,
-       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       octet_length(encode(text)) AS n_bytes,
        CAST(ceil(length(text) / 16.0) AS BIGINT) AS n_frames,
        md5(text) AS payload_md5,
        md5(substr(text, 1, 16)) AS frame1_md5

@@ -254,12 +254,15 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     pre = materialize(fan_out(df), _toks=tokens(F.col(text_col)))
     t = F.col("_toks")
+    # coalesce pins NULL text to n_tokens=0 (size(NULL) is NULL, which
+    # pandas would widen to float64 and the driver's schema gate would
+    # reject against the oracle's LEFT JOIN + coalesce-to-0 shape)
     pre = materialize(
         pre,
         _w=_run_stats(t),
         _b=_run_stats(shingles_of(t, 2)),
         _t=_run_stats(shingles_of(t, 3)),
-        _n=F.size(t).cast("bigint"),
+        _n=F.coalesce(F.size(t), F.lit(0)).cast("bigint"),
     )
     n = F.col("_n")
     n_bg = F.greatest(n - 1, F.lit(0).cast("bigint"))

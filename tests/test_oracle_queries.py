@@ -59,3 +59,88 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     duck_pdf = duck.execute(oracle).df()
     problems = compare(name, spark_pdf, duck_pdf)
     assert not problems, f"{name}: {problems}"
+
+
+#: documents-family queries — every entry whose input is the documents
+#: table and whose oracle must therefore survive degenerate text
+_DOC_FAMILY = [
+    "repetition_signals", "exact_dedup", "token_stats", "text_quality",
+    "lang_id", "doc_fingerprint", "minhash_lsh", "ngram_jaccard",
+    "dedup_clusters", "simhash_pairs", "quality_gate", "vocab_topk",
+    "chunk_documents", "tfidf_top_terms", "stratified_sample",
+    "paragraph_dedup", "domain_mix", "holdout_split",
+    "dedup_incremental", "char_diversity", "pack_invariants",
+    "corpus_invariants", "decontaminate", "multimodal_frames",
+    "simhash", "streaming_corpus",
+]
+
+#: the degenerate documents rows a future driver testdata revision
+#: could legally contain (the r3 revision already changed a column
+#: encoding once): empty text, NULL text, whitespace-only, single
+#: char, non-ASCII/astral, minimal repeated token
+_DEGENERATE_DOCS = [
+    (900001, "", "en", "src0", 0),
+    (900002, None, "en", "src1", 0),
+    (900003, "   ", "en", "src2", 3),
+    (900004, "a", "de", "src3", 1),
+    (900005, "😀😀 漢字 test €uro", "fr", "src4", 14),
+    (900006, "word word word", "en", "src9", 14),
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_sf(sf_dir, tmp_path_factory):
+    """An sf0.001 clone whose documents table is salted with the
+    degenerate rows — built as a SINGLE parquet file (the driver's
+    layout, and what the DuckDB oracle reads)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("degenerate_sf")
+    base = pq.read_table(f"{sf_dir}/documents.parquet")
+    ids, texts, langs, srcs, ncs = zip(*_DEGENERATE_DOCS)
+    edge = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs),
+            "source": pa.array(srcs),
+            "n_chars": pa.array(ncs, pa.int64()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([base.select(edge.column_names), edge]),
+        str(out / "documents.parquet"),
+    )
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", _DOC_FAMILY)
+def test_doc_family_oracle_survives_degenerate_text(
+    spark, degenerate_sf, name
+):
+    """Regen-proofing: the driver has revised /root/testdata once
+    already (ts encoding); a revision that adds empty/NULL/unicode
+    text must not flip any driver-checked hash. This sweep caught
+    three real divergences when introduced: repetition_signals widened
+    n_tokens to float on NULL text, chunk_documents disagreed on
+    ''-vs-NULL for zero-token chunks, and the multimodal oracle's
+    BLOB cast rejected non-ASCII outright."""
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{degenerate_sf}/{t}.parquet')"
+            )
+        spark_pdf = entrymod.queries()[name](spark, degenerate_sf).toPandas()
+        duck_pdf = con.execute(entrymod.oracle_sql()[name]).df()
+        problems = compare(name, spark_pdf, duck_pdf)
+        assert not problems, f"{name}: {problems}"
+    finally:
+        con.close()
