@@ -992,11 +992,32 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_MAP_FUNCS = """
+-- the ok guard replicates Spark's from_json-to-MAP<STRING,LONG>
+-- semantics on degenerate props: malformed / empty / NULL /
+-- non-object JSON, AND any object whose values are not all integral
+-- (or JSON null), parse to a NULL map — Spark's permissive mode nulls
+-- the WHOLE map on one bad value, while DuckDB's json_* functions
+-- would happily extract from it (and ERROR on malformed input).
+-- Everything derives from j = TRY_CAST(props AS JSON) so no branch
+-- can error regardless of evaluation order.
+WITH g AS (
+  SELECT event_id, TRY_CAST(props AS JSON) AS j FROM events
+), v AS (
+  SELECT event_id, j,
+         json_type(j) = 'OBJECT'
+         AND len(list_filter(json_keys(j),
+               k -> json_type(j, '$."' || k || '"')
+                    NOT IN ('BIGINT', 'UBIGINT', 'NULL'))) = 0 AS ok
+  FROM g
+)
 SELECT event_id,
-       json_keys(props)[1] AS first_key,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-       CAST(len(json_keys(props)) AS BIGINT) AS n_keys
-FROM events
+       CASE WHEN ok THEN json_keys(j)[1] END AS first_key,
+       CASE WHEN ok
+            THEN TRY_CAST(json_extract_string(j, '$.k') AS BIGINT)
+       END AS k_val,
+       CASE WHEN ok THEN CAST(len(json_keys(j)) AS BIGINT)
+       END AS n_keys
+FROM v
 """
 
 
@@ -1129,11 +1150,20 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_JSON = """
+-- TRY_CAST guard replicates Spark's permissive from_json on
+-- degenerate props (malformed/empty/non-object -> NULL k, row kept)
+WITH g AS (
+  SELECT event_type,
+         CASE WHEN json_type(TRY_CAST(props AS JSON)) = 'OBJECT'
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+         END AS k
+  FROM events
+)
 SELECT event_type,
-       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
-       max(CAST(json_extract_string(props, '$.k') AS INT))           AS max_k,
+       round(avg(k), 6) AS avg_k,
+       max(k)           AS max_k,
        count(*) AS n
-FROM events GROUP BY event_type
+FROM g GROUP BY event_type
 """
 
 

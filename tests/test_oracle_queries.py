@@ -120,6 +120,90 @@ def degenerate_sf(sf_dir, tmp_path_factory):
     return str(out)
 
 
+#: events-family queries whose oracle must survive degenerate rows
+_EVENT_FAMILY = [
+    "counter_reset_delta", "flatline_runs", "tumbling_categorize",
+    "merge_windows", "interval_subtract", "sessionization", "lag_dedup",
+    "rolling_1h", "interpolate_linear", "asof_join", "interval_semijoin",
+    "resample_ffill", "window_analytics", "merge_upsert", "json_extract",
+    "map_functions", "scalar_functions", "agg_suite", "quantiles",
+    "threshold_rules", "posexplode_resample", "topk_per_group",
+]
+
+#: degenerate events a data revision could contain: NULL value, NULL /
+#: empty / malformed / non-object-value JSON props, NULL / '' event
+#: type, zero and negative values (ts stays valid — the generator
+#: always emits timestamps)
+def _degenerate_events(base_ts):
+    import datetime
+
+    t = lambda s: base_ts + datetime.timedelta(seconds=s)
+    return [
+        (990001, t(0), 990, "click", None, '{"a": 1}'),
+        (990002, t(1), 990, None, 1.5, None),
+        (990003, t(2), 991, "", None, "not json"),
+        (990004, t(3), 991, "click", 0.0, ""),
+        (990005, t(4), 992, "purchase", -3.25, '{"nested": {"b": [1,2]}}'),
+    ]
+
+
+@pytest.fixture(scope="module")
+def degenerate_events_sf(sf_dir, tmp_path_factory):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("degenerate_events_sf")
+    base = pq.read_table(f"{sf_dir}/events.parquet")
+    rows = _degenerate_events(base.column("ts")[0].as_py())
+    ids, tss, uids, types, vals, props = zip(*rows)
+    edge = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(list(tss), base.schema.field("ts").type),
+            "user_id": pa.array(uids, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(props, pa.string()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([base.select(edge.column_names), edge]),
+        str(out / "events.parquet"),
+    )
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"{sf_dir}/{t}.parquet", str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", _EVENT_FAMILY)
+def test_event_family_oracle_survives_degenerate_rows(
+    spark, degenerate_events_sf, name
+):
+    """Events-side regen-proofing (see the documents twin below): this
+    sweep caught the two JSON oracles ERRORING on malformed props
+    (DuckDB json_* raises where Spark's from_json yields NULL) and the
+    map oracle extracting from objects Spark's MAP<STRING,LONG> parse
+    nulls out wholesale (one non-integral value nulls the whole map)."""
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{degenerate_events_sf}/{t}.parquet')"
+            )
+        spark_pdf = (
+            entrymod.queries()[name](spark, degenerate_events_sf).toPandas()
+        )
+        duck_pdf = con.execute(entrymod.oracle_sql()[name]).df()
+        problems = compare(name, spark_pdf, duck_pdf)
+        assert not problems, f"{name}: {problems}"
+    finally:
+        con.close()
+
+
 @pytest.mark.parametrize("name", _DOC_FAMILY)
 def test_doc_family_oracle_survives_degenerate_text(
     spark, degenerate_sf, name
