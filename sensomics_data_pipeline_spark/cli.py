@@ -115,6 +115,7 @@ def cmd_corpus(args) -> int:
         docs,
         eval_df=eval_df,
         quality_keep_frac=args.keep_frac,
+        gate_two_pass=args.gate_two_pass,
         dedup_method=args.dedup,
         dedup_kwargs=dedup_kwargs or None,
         pack_budget=args.budget,
@@ -169,6 +170,10 @@ def main(argv=None) -> int:
     k.add_argument("-o", "--out", required=True)
     k.add_argument("--eval", default=None, help="benchmark parquet for decontamination")
     k.add_argument("--keep-frac", type=float, default=0.5)
+    k.add_argument("--gate-two-pass", action="store_true",
+                   help="quality gate via broadcast percentile_approx "
+                        "thresholds instead of a per-source window "
+                        "(the few-huge-groups 100-TB shape)")
     k.add_argument("--dedup", default="minhash",
                    choices=["exact", "minhash", "jaccard", "simhash"])
     k.add_argument("--dedup-max-bucket", type=int, default=None,
