@@ -128,6 +128,7 @@ _EVENT_FAMILY = [
     "resample_ffill", "window_analytics", "merge_upsert", "json_extract",
     "map_functions", "scalar_functions", "agg_suite", "quantiles",
     "threshold_rules", "posexplode_resample", "topk_per_group",
+    "streaming_tumbling", "streaming_sessions", "streaming_stateful_dedup",
 ]
 
 #: degenerate events a data revision could contain: NULL value, NULL /
