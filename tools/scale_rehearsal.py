@@ -26,7 +26,14 @@ reading back the executed round count via the ``stats`` hook to verify
 ``duplicate_clusters``'s O(log diameter) pointer-jumping claim off the
 toy graph.
 
-Usage: python tools/scale_rehearsal.py [replicas] [out_md]   # queries
+The ``events`` mode replicates the events table with per-replica
+user_id / event_id offsets (MORE users at 10x data — the realistic
+growth axis for per-user windowed operators: partition count grows,
+per-partition size stays constant) and measures the events-family
+slopes the documents rehearsal cannot see.
+
+Usage: python tools/scale_rehearsal.py [replicas] [out_md]   # documents
+       python tools/scale_rehearsal.py events [out_md]       # events
        python tools/scale_rehearsal.py cc [out_md]           # CC only
 Writes a markdown table to docs/SCALE_r04.md by default.
 """
@@ -128,6 +135,93 @@ def time_query(spark, fn, sf_dir: str, n: int = 2) -> float:
     return best
 
 
+#: events-family queries to rehearse (windowed / interval / resample
+#: shapes that scale with the events table, not documents)
+EVENT_QUERIES = [
+    "counter_reset_delta",
+    "flatline_runs",
+    "tumbling_categorize",
+    "merge_windows",
+    "interval_subtract",
+    "sessionization",
+    "lag_dedup",
+    "rolling_1h",
+    "interpolate_linear",
+    "asof_join",
+    "interval_semijoin",
+    "resample_ffill",
+    "posexplode_resample",
+    "quantiles",
+    "threshold_rules",
+]
+
+
+def build_events_replica(spark, replicas: int) -> str:
+    from pyspark.sql import functions as F
+
+    out_dir = f"{WORK}/ev1x{replicas}"
+    marker = f"{out_dir}/events.parquet"
+    if os.path.exists(marker):
+        return out_dir
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    n = ev.count()
+    max_user = ev.agg(F.max("user_id")).first()[0] + 1
+    parts = [ev]
+    for r in range(1, replicas):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(r * n)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(r * max_user)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    os.makedirs(out_dir, exist_ok=True)
+    big.repartition(32).write.mode("overwrite").parquet(marker)
+    for t in (
+        "region nation customer supplier part orders lineitem documents "
+        "embeddings".split()
+    ):
+        dst = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+    return out_dir
+
+
+def run_queries(spark, entrymod, names, big_dir, replicas, out_md, title):
+    qs = entrymod.queries()
+    rows = []
+    for name in names:
+        fn = qs[name]
+        try:
+            fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+        t1 = time_query(spark, fn, BASE)
+        t10 = time_query(spark, fn, big_dir)
+        slope = t10 / t1 if t1 > 0 else float("nan")
+        rows.append((name, t1, t10, slope))
+        print(
+            f"{name:24s} 1x {t1:6.2f}s  {replicas}x {t10:7.2f}s  "
+            f"slope {slope:5.2f}",
+            flush=True,
+        )
+    with open(out_md, "a") as f:
+        f.write(f"\n## {title}\n\n")
+        f.write("| query | 1x (s) | " f"{replicas}x (s) | slope |\n")
+        f.write("|---|---|---|---|\n")
+        for name, t1, t10, slope in rows:
+            f.write(f"| {name} | {t1:.2f} | {t10:.2f} | {slope:.2f} |\n")
+    print(f"appended {title} to {out_md}")
+
+
 def cc_rehearsal(spark) -> list[tuple]:
     """100x rehearsal for duplicate_clusters: chains of diameter 100
     (the adversarial case for label propagation — plain min-label needs
@@ -196,6 +290,18 @@ def cc_rehearsal(spark) -> list[tuple]:
 def main() -> None:
     import __spark_entry__ as entrymod
     from sensomics_data_pipeline_spark.session import get_spark
+
+    if len(sys.argv) > 1 and sys.argv[1] == "events":
+        out_md = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE_r04.md"
+        replicas = 10
+        spark = get_spark("scale_rehearsal")
+        big_dir = build_events_replica(spark, replicas)
+        run_queries(
+            spark, entrymod, EVENT_QUERIES, big_dir, replicas, out_md,
+            "Events-family 10x rehearsal (10x users, per-user volume "
+            "constant)",
+        )
+        return
 
     if len(sys.argv) > 1 and sys.argv[1] == "cc":
         out_md = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE_r04.md"
