@@ -2815,26 +2815,26 @@ def q_corpus_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack_invariant_aggs(out, budget=512)
 
 
-def _sql_corpus_invariants() -> str:
-    """DuckDB replica of the prepare_corpus survivor set. Mirrors the
-    stage order and semantics of ``operators/corpus.py:prepare_corpus``
-    exactly: the repetition flag and quality features are computed on
-    the SCRUBBED text (streaming_corpus already validated the scrubbed
-    repetition flag engine-agrees), the eval gram set on the RAW src0
-    text (prepare_corpus receives eval_df unscrubbed), the quality
-    percent_rank only over non-repetitious docs, and exact dedup keeps
-    the smallest doc_id per scrubbed-text group."""
+def _sql_toks(expr: str) -> str:
+    """DuckDB replica of ``operators.text.tokens`` on an expression."""
+    return (
+        f"list_filter(string_split_regex(trim({expr}), '\\s+'),"
+        " x -> x != '')"
+    )
+
+
+def _sql_scrubbed_scored_prefix() -> str:
+    """Shared oracle prefix: scrub -> repetition filter -> quality
+    features -> composite score over the SCRUBBED text, mirroring
+    prepare_corpus stages 1-3 (also the first stages of the streaming
+    ingest). Emits CTEs ``scrub``..``scored``; callers append their own
+    continuation starting with '', <cte> AS (...)''."""
     from sensomics_data_pipeline_spark.operators.text import PII_PATTERNS
 
     stext = "text"
     for _, pat in PII_PATTERNS:
         stext = f"regexp_replace({stext}, '{pat}', '[PII]', 'g')"
-
-    def toks(expr: str) -> str:
-        return (
-            f"list_filter(string_split_regex(trim({expr}), '\\s+'),"
-            " x -> x != '')"
-        )
+    toks = _sql_toks
 
     return f"""
 WITH scrub AS (
@@ -2892,21 +2892,25 @@ WITH scrub AS (
                + least(stopword_ratio * 5, 1.0) * 0.1) * 1000000.0)
            / 1000000.0 AS quality_score
   FROM feats
-), gated AS (
-  SELECT doc_id, source, text, n_tokens FROM (
-    SELECT *, percent_rank() OVER (
-      PARTITION BY source ORDER BY quality_score DESC, doc_id
-    ) AS pr FROM scored
-  ) WHERE pr <= 0.6
-), evt AS (
-  SELECT {toks('text')} AS l FROM documents WHERE source = 'src0'
+)"""
+
+
+def _sql_contamination_ctes(corpus_cte: str, eval_source: str = "src0") -> str:
+    """Shared oracle block: distinct 8-gram 60-bit hashes of the RAW
+    ``eval_source`` text probed against the grams of ``corpus_cte``
+    (which must expose doc_id + text). Emits CTEs ``evt``..
+    ``contaminated``; callers prepend '', '' and append their final
+    SELECT."""
+    toks = _sql_toks
+    return f"""evt AS (
+  SELECT {toks('text')} AS l FROM documents WHERE source = '{eval_source}'
 ), evpos AS (
   SELECT l, unnest(generate_series(1, len(l))) AS i FROM evt
 ), ev AS (
   SELECT DISTINCT substr(md5(array_to_string(l[i:i+7], ' ')), 1, 15) AS g
   FROM evpos WHERE i + 7 <= len(l)
 ), ct AS (
-  SELECT doc_id, {toks('text')} AS l FROM gated
+  SELECT doc_id, {toks('text')} AS l FROM {corpus_cte}
 ), cpos AS (
   SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM ct
 ), cg AS (
@@ -2915,7 +2919,25 @@ WITH scrub AS (
   FROM cpos WHERE i + 7 <= len(l)
 ), contaminated AS (
   SELECT DISTINCT cg.doc_id FROM cg JOIN ev USING (g)
-), survivors AS (
+)"""
+
+
+def _sql_corpus_invariants() -> str:
+    """DuckDB replica of the prepare_corpus survivor set. Mirrors the
+    stage order and semantics of ``operators/corpus.py:prepare_corpus``
+    exactly: the repetition flag and quality features are computed on
+    the SCRUBBED text (streaming_corpus already validated the scrubbed
+    repetition flag engine-agrees), the eval gram set on the RAW src0
+    text (prepare_corpus receives eval_df unscrubbed), the quality
+    percent_rank only over non-repetitious docs, and exact dedup keeps
+    the smallest doc_id per scrubbed-text group."""
+    return f"""{_sql_scrubbed_scored_prefix()}, gated AS (
+  SELECT doc_id, source, text, n_tokens FROM (
+    SELECT *, percent_rank() OVER (
+      PARTITION BY source ORDER BY quality_score DESC, doc_id
+    ) AS pr FROM scored
+  ) WHERE pr <= 0.6
+), {_sql_contamination_ctes('gated')}, survivors AS (
   SELECT * FROM gated
   WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
   QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
@@ -2930,6 +2952,48 @@ SELECT count(*) AS n_docs,
        CAST(0 AS BIGINT) AS n_fill_mismatch,
        CAST(0 AS BIGINT) AS n_oversize_shared
 FROM survivors
+"""
+
+
+def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion: prepare_corpus stages 1-4 (scrub ->
+    repetition filter -> quality gate -> decontamination) as ONE
+    Structured Streaming flow in append mode. Corpus-global state
+    enters only through the two batch prepasses — per-source gate
+    thresholds (stream-static broadcast join) and the eval gram set
+    (broadcast set probe) — so the stream itself is shuffle-free.
+    The gate is BY-VALUE (``score >= threshold``; a stream cannot rank
+    against unseen documents), which the oracle mirrors exactly."""
+    from sensomics_data_pipeline_spark.streaming.ingest import (
+        corpus_ingest_stream,
+    )
+
+    return corpus_ingest_stream(
+        spark, sf_dir, keep_frac=0.6, eval_source="src0"
+    )
+
+
+def _sql_streaming_ingest() -> str:
+    """Batch replica of the streaming ingest survivor rows: same
+    scrub/repetition/score prefix as corpus_invariants, then the
+    BY-VALUE threshold gate (min kept score per source under the
+    percent_rank gate — boundary ties all admitted, exactly the
+    stream's predicate) and the contamination anti-probe; per-row
+    output (no dedup/packing — those are batch-only stages)."""
+    return f"""{_sql_scrubbed_scored_prefix()}, thr AS (
+  SELECT source, min(quality_score) AS gate_threshold FROM (
+    SELECT *, percent_rank() OVER (
+      PARTITION BY source ORDER BY quality_score DESC, doc_id
+    ) AS pr FROM scored
+  ) WHERE pr <= 0.6 GROUP BY source
+), gated AS (
+  SELECT s.doc_id, s.source, s.text, s.n_tokens, s.quality_score
+  FROM scored s JOIN thr USING (source)
+  WHERE s.quality_score >= thr.gate_threshold
+), {_sql_contamination_ctes('gated')}
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score
+FROM gated
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 """
 
 
@@ -3018,7 +3082,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate": q_quality_gate,
         "vocab_topk": q_vocab_topk,
         "chunk_documents": q_chunk_documents,
-        "tfidf_top_terms": q_tfidf_top_terms,
+        # streaming_ingest is new in r4 (never driver-checked) -> first
+        # 50 per the rotation policy; tfidf_top_terms (r3 hash-green,
+        # text family twins vocab_topk/token_stats in-set) moves out.
+        "streaming_ingest": q_streaming_ingest,
         "streaming_corpus": q_streaming_corpus,
         "stratified_sample": q_stratified_sample,
         "paragraph_dedup": q_paragraph_dedup,
@@ -3032,6 +3099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- positions 51+: every entry below was hash-green in a
         # prior round's driver CORRECTNESS check (r2 or r3) and keeps
         # an in-set family twin; see rotation rationale above. ----
+        "tfidf_top_terms": q_tfidf_top_terms,
         "streaming_sessions": q_streaming_sessions,
         "streaming_stateful_dedup": q_streaming_stateful_dedup,
         "decontaminate": q_decontaminate,
@@ -3125,6 +3193,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": _SQL_EMB_CENTROIDS,
         "tfidf_top_terms": _SQL_TFIDF,
         "streaming_corpus": _sql_streaming_corpus(),
+        "streaming_ingest": _sql_streaming_ingest(),
         "histogram": _SQL_HISTOGRAM,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "paragraph_dedup": _SQL_PARAGRAPH_DEDUP,

@@ -1,0 +1,203 @@
+"""Streaming corpus ingestion: the per-document stages of
+``operators.corpus.prepare_corpus`` run as ONE Structured Streaming
+flow — the shape a training-data pipeline uses to score, gate and
+decontaminate documents AT ARRIVAL TIME instead of in nightly batches.
+
+Which stages stream and which stay batch is a semantic split, not a
+convenience one:
+
+- **streamable** (pure per-row projections / stream-static joins):
+  PII scrub, repetition signals + filter, quality scoring, the quality
+  GATE (against pre-computed per-source thresholds), and benchmark
+  decontamination (against a pre-computed eval gram set);
+- **batch-only** (corpus-global state): computing the gate thresholds
+  themselves (a percentile over the whole corpus), near-dup dedup
+  (pairs across the full doc set), and sequence packing (bin packing
+  over survivors). These run periodically over the accumulated store;
+  their OUTPUTS (a per-source threshold row, a gram-hash set) are tiny
+  and feed the stream as static sides.
+
+Scale shape: the stream side never shuffles — scrub/signals/score are
+projections, the threshold join is stream-static broadcast (a handful
+of rows), and the contamination probe is an Arrow-batched set probe
+against a broadcast variable (eval sets are benchmark-sized by
+definition — the same assumption ``ngram_contamination`` already makes
+with ``broadcast_eval=True``). On a cluster the same plan runs against
+Kafka with a checkpointed exactly-once sink; thresholds/gram sets are
+refreshed by re-running the batch prepass and restarting the query
+(the standard static-side-refresh pattern).
+
+Reference: composition contract of ``operators/corpus.py`` stages 1-4
+(scrub -> repetition -> gate -> decontaminate); dedup/packing
+deliberately excluded (stateful across documents).
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level: pandas_udf resolves the pd.Series
+# type hints against module globals (PEP 563 string annotations)
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def gate_thresholds(
+    docs: DataFrame,
+    keep_frac: float = 0.6,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch prepass: per-source quality-score admission thresholds.
+
+    The threshold is the MINIMUM score of the kept set under the
+    deterministic percent_rank gate (score desc, key tiebreak) over the
+    non-repetitious scrubbed corpus — i.e. exactly the boundary score
+    the batch pipeline admits. The streaming gate then filters
+    ``quality_score >= gate_threshold``: a deterministic, engine-
+    reproducible predicate (ties AT the boundary are all admitted —
+    a stream cannot rank against documents it has not seen yet, so the
+    gate is by-value, not by-rank; the oracle mirrors by-value).
+
+    Output is one row per source — broadcast-sized at any corpus scale.
+    """
+    from sensomics_data_pipeline_spark.operators.text import (
+        quality_score,
+        repetition_signals,
+        scrub_pii,
+    )
+
+    scrubbed = scrub_pii(docs, text_col).select(
+        key_col, source_col, F.col("scrubbed_text").alias(text_col)
+    )
+    nonrep = (
+        repetition_signals(scrubbed, text_col)
+        .filter(~F.col("repetitious"))
+        .select(key_col, source_col, text_col)
+    )
+    scored = quality_score(nonrep, text_col)
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc("quality_score"), F.col(key_col)
+    )
+    return (
+        scored.withColumn("pct_rank", F.percent_rank().over(w))
+        .filter(F.col("pct_rank") <= keep_frac)
+        .groupBy(source_col)
+        .agg(F.min("quality_score").alias("gate_threshold"))
+    )
+
+
+def eval_gram_hashes(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+) -> list[str]:
+    """Batch prepass: the distinct portable 60-bit (15-hex-char) gram
+    hashes of the evaluation set, as a driver-side list.
+
+    Eval sets are benchmark-sized (thousands of documents), so their
+    distinct gram set is MBs, not GBs — the identical smallness
+    assumption under ``ngram_contamination(broadcast_eval=True)``; this
+    materializes the same set once so the stream can probe it per-row
+    with no per-batch join. For a corpus-scale eval set, decontaminate
+    in batch instead.
+    """
+    from sensomics_data_pipeline_spark.operators.text import (
+        shingles_of,
+        tokens,
+    )
+    from sensomics_data_pipeline_spark.util import fan_out, materialize
+
+    sh = shingles_of(tokens(F.col(text_col)), n)
+    grams = (
+        materialize(
+            fan_out(eval_df),
+            _g=F.array_distinct(
+                F.transform(sh, lambda s: F.substring(F.md5(s), 1, 15))
+            ),
+        )
+        .select(F.explode("_g").alias("g"))
+        .distinct()
+    )
+    return [r.g for r in grams.collect()]
+
+
+def corpus_ingest_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    keep_frac: float = 0.6,
+    eval_source: str = "src0",
+    contamination_ngram: int = 8,
+) -> DataFrame:
+    """End-to-end streaming ingest over the bounded ``documents``
+    parquet stream: scrub -> repetition filter -> quality score ->
+    threshold gate (stream-static broadcast join) -> decontamination
+    probe (broadcast gram set) -> append-mode survivors
+    ``(doc_id, source, n_tokens, quality_score)``.
+
+    The batch prepasses (:func:`gate_thresholds` over the same corpus,
+    :func:`eval_gram_hashes` over raw ``eval_source`` text) model the
+    periodic jobs that refresh the stream's static sides.
+    """
+    from sensomics_data_pipeline_spark.operators.text import (
+        quality_score,
+        repetition_signals,
+        scrub_pii,
+        shingles_of,
+        tokens,
+    )
+    from sensomics_data_pipeline_spark.sources.readers import (
+        ensure_session_confs,
+    )
+    from sensomics_data_pipeline_spark.streaming.demo import run_bounded
+    from sensomics_data_pipeline_spark.util import materialize
+
+    ensure_session_confs(spark)
+    docs = (
+        spark.read.option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    thresholds = gate_thresholds(docs, keep_frac=keep_frac)
+    ev = eval_gram_hashes(
+        docs.filter(F.col("source") == eval_source), n=contamination_ngram
+    )
+    bc = spark.sparkContext.broadcast(frozenset(ev))
+
+    @F.pandas_udf("boolean")
+    def _contaminated(grams: pd.Series) -> pd.Series:
+        evset = bc.value
+        return grams.apply(
+            lambda a: any(g in evset for g in a) if a is not None else False
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    scrubbed = scrub_pii(stream).select(
+        "doc_id", "source", F.col("scrubbed_text").alias("text")
+    )
+    nonrep = (
+        repetition_signals(scrubbed, "text")
+        .filter(~F.col("repetitious"))
+        .select("doc_id", "source", "text")
+    )
+    scored = quality_score(nonrep, "text")
+    gated = scored.join(F.broadcast(thresholds), "source").filter(
+        F.col("quality_score") >= F.col("gate_threshold")
+    )
+    sh = shingles_of(tokens(F.col("text")), contamination_ngram)
+    grams = F.array_distinct(
+        F.transform(sh, lambda s: F.substring(F.md5(s), 1, 15))
+    )
+    clean = (
+        materialize(gated, _g=grams)
+        .filter(~_contaminated(F.col("_g")))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "quality_score",
+        )
+    )
+    return run_bounded(clean, "append")

@@ -46,6 +46,10 @@ def test_every_query_has_oracle_or_is_flagged():
         "pack_sequences",
         "embedding_ivf",
     }
+    # the driver hashes the FIRST 50 entries; every never-driver-checked
+    # query must sit inside that window (rotation policy, see queries())
+    first50 = list(qs)[:50]
+    assert "streaming_ingest" in first50
 
 
 @pytest.mark.parametrize("name", list(entrymod.queries()))
@@ -71,7 +75,7 @@ _DOC_FAMILY = [
     "paragraph_dedup", "domain_mix", "holdout_split",
     "dedup_incremental", "char_diversity", "pack_invariants",
     "corpus_invariants", "decontaminate", "multimodal_frames",
-    "simhash", "streaming_corpus",
+    "simhash", "streaming_corpus", "streaming_ingest",
 ]
 
 #: the degenerate documents rows a future driver testdata revision
