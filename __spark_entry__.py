@@ -2672,6 +2672,18 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-5: 16x32 codebooks, asymmetric-
+    distance LUT scan over the compressed codes (the >10^8-vector
+    memory-bandwidth path; composes under IVF as IVF-PQ). Iterative
+    k-means training is not SQL-expressible — rows-only check, same
+    contract as embedding_ivf; recall vs brute force is
+    pytest-verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim_ops.pq_topk(emb, k=5, m=16, n_codes=32)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing: text→binary payloads, metadata pass
     (byte length, md5, frame count) as pure column exprs. Frames are
@@ -3122,6 +3134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top1_per_group": q_top1_per_group,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "embedding_ivf": q_embedding_ivf,
+        "embedding_pq": q_embedding_pq,
         "simhash": q_simhash,
         "profile_table": q_profile_table,
         "set_ops": q_set_ops,

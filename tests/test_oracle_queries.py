@@ -45,6 +45,7 @@ def test_every_query_has_oracle_or_is_flagged():
         "corpus_pipeline",
         "pack_sequences",
         "embedding_ivf",
+        "embedding_pq",
     }
     # the driver hashes the FIRST 50 entries; every never-driver-checked
     # query must sit inside that window (rotation policy, see queries())
