@@ -1394,6 +1394,42 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: embedding-cosine near-dup pairs
+    (banded hyperplane LSH, same config as embedding_near_dup) resolved
+    into connected components, keep-lowest survivor per cluster — one
+    row per vector (vec_id, canonical_id, kept). The oracle re-derives
+    the pairs symbolically and the components with a recursive CTE."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.semantic_dedup(
+        emb, threshold=0.4, dim=64, n_planes=6, n_tables=3
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_sql_embedding_near_dup()}
+), edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+  WHERE e.dst != r.src
+), canon AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS canonical_id
+  FROM reach GROUP BY src
+)
+SELECT e.vec_id,
+       coalesce(c.canonical_id, e.vec_id) AS canonical_id,
+       coalesce(c.canonical_id, e.vec_id) = e.vec_id AS kept
+FROM embeddings e LEFT JOIN canon c USING (vec_id)
+"""
+
+
 def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (all pairs ≥ 0.4) via
     chunked block scoring: index hash-split into blocks, queries
@@ -3089,7 +3125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
-        "embedding_lsh": q_embedding_lsh,
+        # semantic_dedup is new in r4 (never driver-checked) -> first
+        # 50; embedding_lsh (r3 hash-green, embedding family twins
+        # embedding_topk/embedding_near_dup in-set) moves out.
+        "semantic_dedup": q_semantic_dedup,
         "interpolate_linear": q_interpolate_linear,
         "quality_gate": q_quality_gate,
         "vocab_topk": q_vocab_topk,
@@ -3112,6 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prior round's driver CORRECTNESS check (r2 or r3) and keeps
         # an in-set family twin; see rotation rationale above. ----
         "tfidf_top_terms": q_tfidf_top_terms,
+        "embedding_lsh": q_embedding_lsh,
         "streaming_sessions": q_streaming_sessions,
         "streaming_stateful_dedup": q_streaming_stateful_dedup,
         "decontaminate": q_decontaminate,
@@ -3194,6 +3234,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _SQL_SIMHASH_PAIRS,
         "embedding_topk": _SQL_EMB_TOPK,
         "embedding_lsh": _sql_embedding_lsh(),
+        "semantic_dedup": _sql_semantic_dedup(),
         # embedding_ivf: iterative k-means — rows-only check by design
         "multimodal_frames": _SQL_MULTIMODAL,
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,

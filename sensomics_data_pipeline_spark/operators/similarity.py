@@ -840,3 +840,56 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_sim", "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 3,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: drop all but one
+    representative of every cluster of embedding-space near-duplicates
+    — the embedding-side sibling of the text dedup family
+    (documents that SAY the same thing, not just share n-grams).
+
+    Composition of two independently certified primitives:
+    :func:`cosine_near_dup_pairs` (banded OR-amplified hyperplane LSH,
+    bucket equi-joins — never all-pairs) finds the near-dup edges, and
+    ``dedup.duplicate_clusters`` (distributed min-label propagation
+    with pointer jumping) resolves them into connected components.
+    Survivors keep the smallest key per component (the same
+    keep-lowest convention as every dedup operator here), so the kept
+    set is a pure deterministic function of the data.
+
+    Returns one row per input vector: ``(key, canonical_id, kept)`` —
+    callers filter ``kept`` for the survivor set or group by
+    ``canonical_id`` for cluster audits."""
+    from sensomics_data_pipeline_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    pairs = cosine_near_dup_pairs(
+        df,
+        key_col,
+        vec_col,
+        threshold=threshold,
+        method="lsh",
+        dim=dim,
+        n_planes=n_planes,
+        n_tables=n_tables,
+    )
+    clusters = duplicate_clusters(pairs, a_col="vec_a", b_col="vec_b")
+    out = df.select(F.col(key_col)).join(
+        clusters.withColumnRenamed("doc_id", key_col), key_col, "left"
+    )
+    return out.select(
+        key_col,
+        F.coalesce(F.col("canonical_id"), F.col(key_col)).alias("canonical_id"),
+        (
+            F.coalesce(F.col("canonical_id"), F.col(key_col)) == F.col(key_col)
+        ).alias("kept"),
+    )

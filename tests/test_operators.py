@@ -95,6 +95,33 @@ def test_pq_encode_shape_and_determinism(spark, sf_dir):
     assert enc1.codes.apply(max).max() < 8
 
 
+def test_semantic_dedup_clusters_and_survivors(spark):
+    """Two tight clusters + one isolate: every vector gets a row, each
+    cluster keeps exactly its lowest id, the isolate keeps itself."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),
+        (5, [0.998, 0.002, 0.0, 0.0]),
+        (7, [0.0, 1.0, 0.0, 0.0]),
+        (9, [0.0, 0.999, 0.001, 0.0]),
+        (11, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = (
+        sim_ops.semantic_dedup(df, threshold=0.95, dim=4, n_planes=4)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert len(out) == 6
+    assert out.loc[1, "canonical_id"] == 1 and out.loc[1, "kept"]
+    assert out.loc[2, "canonical_id"] == 1 and not out.loc[2, "kept"]
+    assert out.loc[5, "canonical_id"] == 1 and not out.loc[5, "kept"]
+    assert out.loc[7, "canonical_id"] == 7 and out.loc[7, "kept"]
+    assert out.loc[9, "canonical_id"] == 7 and not out.loc[9, "kept"]
+    assert out.loc[11, "canonical_id"] == 11 and out.loc[11, "kept"]
+
+
 def test_brute_force_topk_is_symmetric_exact(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),

@@ -51,6 +51,7 @@ def test_every_query_has_oracle_or_is_flagged():
     # query must sit inside that window (rotation policy, see queries())
     first50 = list(qs)[:50]
     assert "streaming_ingest" in first50
+    assert "semantic_dedup" in first50
 
 
 @pytest.mark.parametrize("name", list(entrymod.queries()))
