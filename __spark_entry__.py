@@ -1379,6 +1379,26 @@ SELECT t.* FROM target t WHERE NOT EXISTS (
 """
 
 
+#: DuckDB fragment: rows whose embedding is scorable — mirrors
+#: ``similarity.valid_vectors`` (NULL / empty vectors are dropped at
+#: every similarity operator's entry).
+def _d_valid_vec(alias: str = "") -> str:
+    p = f"{alias}." if alias else ""
+    return f"{p}embedding IS NOT NULL AND len({p}embedding) > 0"
+
+
+def _d_cos(a: str, b: str) -> str:
+    """Guarded DuckDB cosine mirroring ``similarity._norms_guarded``:
+    a zero vector scores exactly 0.0 (clamped denominator on the Spark
+    side; literal 0.0 here), never NaN — NaN ordering differs between
+    numpy lexsort and SQL window DESC, so the pin is the contract."""
+    return (
+        f"CASE WHEN list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]) = 0 "
+        f"OR list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]) = 0 THEN 0.0 "
+        f"ELSE round(list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[]), 6) END"
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (dedup family) via banded
     OR-amplified hyperplane LSH: candidate pairs collide in ≥1 of 3
@@ -1439,13 +1459,13 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.cosine_near_dup_pairs(emb, threshold=0.4, method="exact")
 
 
-_SQL_EMB_NEAR_DUP_EXACT = """
+_SQL_EMB_NEAR_DUP_EXACT = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
-         AS cos_sim
+       {_d_cos('a.embedding', 'b.embedding')} AS cos_sim
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
-  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+  AND {_d_valid_vec('a')} AND {_d_valid_vec('b')}
+  AND ({_d_cos('a.embedding', 'b.embedding')}) >= 0.4
 """
 
 
@@ -1469,8 +1489,10 @@ def _sql_embedding_near_dup() -> str:
         bucket = " + ".join(terms)
         table_sqls.append(
             f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b\n"
-            f"  FROM (SELECT vec_id, {bucket} AS bucket FROM embeddings) a\n"
-            f"  JOIN (SELECT vec_id, {bucket} AS bucket FROM embeddings) b\n"
+            f"  FROM (SELECT vec_id, {bucket} AS bucket FROM embeddings\n"
+            f"        WHERE {_d_valid_vec()}) a\n"
+            f"  JOIN (SELECT vec_id, {bucket} AS bucket FROM embeddings\n"
+            f"        WHERE {_d_valid_vec()}) b\n"
             f"    ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
         )
     cand = "\n  UNION\n".join(table_sqls)
@@ -1479,12 +1501,11 @@ WITH cand AS (
   {cand}
 )
 SELECT c.vec_a, c.vec_b,
-       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)
-         AS cos_sim
+       {_d_cos('ea.embedding', 'eb.embedding')} AS cos_sim
 FROM cand c
 JOIN embeddings ea ON ea.vec_id = c.vec_a
 JOIN embeddings eb ON eb.vec_id = c.vec_b
-WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.4
+WHERE ({_d_cos('ea.embedding', 'eb.embedding')}) >= 0.4
 """
 
 
@@ -2635,13 +2656,13 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-_SQL_EMB_TOPK = """
+_SQL_EMB_TOPK = f"""
 WITH pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
-           AS cos_sim
+         {_d_cos('a.embedding', 'b.embedding')} AS cos_sim
   FROM embeddings a, embeddings b
   WHERE a.vec_id != b.vec_id
+    AND {_d_valid_vec('a')} AND {_d_valid_vec('b')}
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, neighbor_id) AS rank
@@ -2677,6 +2698,7 @@ def _sql_embedding_lsh() -> str:
     return f"""
 WITH b AS (
   SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+  WHERE {_d_valid_vec()}
 ), probes AS (
   SELECT vec_id AS query_id, unnest({probe_list}) AS bucket FROM b
 ), pairs AS (
@@ -2685,8 +2707,7 @@ WITH b AS (
   WHERE p.query_id != n.vec_id
 ), scored AS (
   SELECT pr.query_id, qa.bucket, pr.neighbor_id,
-         round(list_cosine_similarity(qa.embedding::DOUBLE[], nb.embedding::DOUBLE[]), 6)
-           AS cos_sim
+         {_d_cos('qa.embedding', 'nb.embedding')} AS cos_sim
   FROM pairs pr
   JOIN b qa ON qa.vec_id = pr.query_id
   JOIN b nb ON nb.vec_id = pr.neighbor_id

@@ -40,6 +40,26 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _norms_guarded(mat):
+    """Row L2 norms clamped away from zero (1e-30): a zero vector then
+    scores cosine exactly 0.0 against everything instead of NaN. NaN
+    would be engine-DISAGREED — numpy's lexsort ranks NaN sims last
+    while a SQL window's DESC ranks NaN first — so the pin is part of
+    the oracle contract (mirrored as a CASE in every cosine oracle)."""
+    import numpy as np
+
+    return np.maximum(np.linalg.norm(mat, axis=1), 1e-30)
+
+
+def valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop rows whose vector is NULL or empty — unscorable by any
+    similarity op (numpy cannot even build the batch matrix). Applied
+    at every similarity operator's entry; the oracles mirror it with
+    ``embedding IS NOT NULL AND len(embedding) > 0``."""
+    c = F.col(vec_col)
+    return df.filter(c.isNotNull() & (F.size(c) > 0))
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y),
@@ -148,11 +168,11 @@ def brute_force_topk(
         mat = np.array(list(ipdf["nvec"]), dtype=np.float64)
         order = np.argsort(ids)
         ids, mat = ids[order], mat[order]
-        norms = np.linalg.norm(mat, axis=1)
+        norms = _norms_guarded(mat)
         q = np.array(list(qpdf["qvec"]), dtype=np.float64)
         qids = qpdf["query_id"].to_numpy(dtype=np.int64)
         sims = np.round(
-            (q @ mat.T) / (np.linalg.norm(q, axis=1)[:, None] * norms[None, :]), 6
+            (q @ mat.T) / (_norms_guarded(q)[:, None] * norms[None, :]), 6
         )
         res = []
         for row_i, qid in enumerate(qids):
@@ -167,9 +187,9 @@ def brute_force_topk(
         out["rank"] = 0  # overwritten by the global window
         return out
 
-    partial = _chunked_block_pairs(df, key_col, vec_col, n_chunks).applyInPandas(
-        score, out_schema
-    )
+    partial = _chunked_block_pairs(
+        valid_vectors(df, vec_col), key_col, vec_col, n_chunks
+    ).applyInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -225,7 +245,7 @@ def cosine_near_dup_pairs(
     # every scale than the two join-backs + second scan subtree the
     # join-back shape costs, and the pair-dedup (a pair can collide in
     # several tables) becomes a groupBy keeping the first vec copy.
-    df = fan_out(df)
+    df = fan_out(valid_vectors(df, vec_col))
     buckets = F.array(
         *[
             hyperplane_bucket(F.col(vec_col), dim, n_planes, seed_base=1 + t * n_planes)
@@ -264,7 +284,7 @@ def cosine_near_dup_pairs(
             bm = np.array(list(pdf["_vb"]), dtype=np.float64)
             sims = np.round(
                 np.einsum("ij,ij->i", a, bm)
-                / (np.linalg.norm(a, axis=1) * np.linalg.norm(bm, axis=1)),
+                / (_norms_guarded(a) * _norms_guarded(bm)),
                 6,
             )
             out = pd.DataFrame(
@@ -293,11 +313,11 @@ def _near_dup_exact(
             return pd.DataFrame(columns=out_cols)
         ids = ipdf["nid"].to_numpy(dtype=np.int64)
         mat = np.array(list(ipdf["nvec"]), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1)
+        norms = _norms_guarded(mat)
         q = np.array(list(qpdf["qvec"]), dtype=np.float64)
         qids = qpdf["query_id"].to_numpy(dtype=np.int64)
         sims = np.round(
-            (q @ mat.T) / (np.linalg.norm(q, axis=1)[:, None] * norms[None, :]), 6
+            (q @ mat.T) / (_norms_guarded(q)[:, None] * norms[None, :]), 6
         )
         res = []
         for row_i, qid in enumerate(qids):
@@ -308,9 +328,9 @@ def _near_dup_exact(
                 res.append((qid, ids[j], sims[row_i][j]))
         return pd.DataFrame(res, columns=out_cols)
 
-    return _chunked_block_pairs(df, key_col, vec_col, n_chunks).applyInPandas(
-        score, out_schema
-    )
+    return _chunked_block_pairs(
+        valid_vectors(df, vec_col), key_col, vec_col, n_chunks
+    ).applyInPandas(score, out_schema)
 
 
 def lsh_topk(
@@ -357,8 +377,12 @@ def lsh_topk(
     from sensomics_data_pipeline_spark.util import fan_out, materialize
 
     base = materialize(
-        fan_out(df).select(F.col(key_col).alias("vid"), F.col(vec_col)),
-        _norm=l2_norm(F.col(vec_col)),
+        fan_out(valid_vectors(df, vec_col)).select(
+            F.col(key_col).alias("vid"), F.col(vec_col)
+        ),
+        # clamped like _norms_guarded: zero vector -> all-zero unit vec
+        # -> cosine 0.0, not NaN
+        _norm=F.greatest(l2_norm(F.col(vec_col)), F.lit(1e-30)),
     )
     bucketed = materialize(
         base,
@@ -440,10 +464,14 @@ def ivf_train(
     import numpy as np
 
     sample = (
-        df.select(key_col, vec_col).orderBy(key_col).limit(train_sample).collect()
+        valid_vectors(df, vec_col)
+        .select(key_col, vec_col)
+        .orderBy(key_col)
+        .limit(train_sample)
+        .collect()
     )
     smat = np.array([r[1] for r in sample], dtype=np.float64)
-    smat_n = smat / np.linalg.norm(smat, axis=1)[:, None]
+    smat_n = smat / _norms_guarded(smat)[:, None]
 
     cent = smat_n[:n_lists].copy()
     for _ in range(n_iter):
@@ -511,7 +539,7 @@ def ivf_topk(
             if not len(pdf):
                 continue
             mat = np.array(list(pdf["nvec"]), dtype=np.float64)
-            mat_n = mat / np.linalg.norm(mat, axis=1)[:, None]
+            mat_n = mat / _norms_guarded(mat)[:, None]
             out = pd.DataFrame(
                 {
                     "nid": pdf["nid"].to_numpy(dtype=np.int64),
@@ -526,7 +554,7 @@ def ivf_topk(
             if not len(pdf):
                 continue
             q = np.array(list(pdf["qvec"]), dtype=np.float64)
-            qn = q / np.linalg.norm(q, axis=1)[:, None]
+            qn = q / _norms_guarded(q)[:, None]
             probes = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
             yield pd.DataFrame(
                 {
@@ -536,13 +564,14 @@ def ivf_topk(
                 }
             )
 
-    index = df.select(
+    vdf = valid_vectors(df, vec_col)
+    index = vdf.select(
         F.col(key_col).alias("nid"), F.col(vec_col).alias("nvec")
     ).mapInPandas(
         assign_lists, "nid long, nvec array<float>, list_id int"
     )
     queries = (
-        df.select(F.col(key_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        vdf.select(F.col(key_col).alias("query_id"), F.col(vec_col).alias("qvec"))
         .mapInPandas(
             probe_lists, "query_id long, qvec array<float>, probes array<int>"
         )
@@ -557,9 +586,9 @@ def ivf_topk(
             return pd.DataFrame(columns=out_cols)
         ids = ipdf["nid"].to_numpy(dtype=np.int64)
         mat = np.array(list(ipdf["nvec"]), dtype=np.float64)
-        mat_n = mat / np.linalg.norm(mat, axis=1)[:, None]
+        mat_n = mat / _norms_guarded(mat)[:, None]
         q = np.array(list(qpdf["qvec"]), dtype=np.float64)
-        qn = q / np.linalg.norm(q, axis=1)[:, None]
+        qn = q / _norms_guarded(q)[:, None]
         qids = qpdf["query_id"].to_numpy(dtype=np.int64)
         sims = np.round(qn @ mat_n.T, 6)
         res = []
@@ -660,14 +689,18 @@ def pq_train(
     import numpy as np
 
     sample = (
-        df.select(key_col, vec_col).orderBy(key_col).limit(train_sample).collect()
+        valid_vectors(df, vec_col)
+        .select(key_col, vec_col)
+        .orderBy(key_col)
+        .limit(train_sample)
+        .collect()
     )
     smat = np.array([r[1] for r in sample], dtype=np.float64)
     dim = smat.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    smat_n = smat / np.linalg.norm(smat, axis=1)[:, None]
+    smat_n = smat / _norms_guarded(smat)[:, None]
 
     books = np.empty((m, n_codes, dsub), dtype=np.float64)
     for j in range(m):
@@ -712,7 +745,7 @@ def pq_encode(
             if not len(pdf):
                 continue
             mat = np.array(list(pdf["_vec"]), dtype=np.float64)
-            mat_n = mat / np.linalg.norm(mat, axis=1)[:, None]
+            mat_n = mat / _norms_guarded(mat)[:, None]
             codes = np.empty((len(mat_n), m), dtype=np.int32)
             for j in range(m):
                 sub = mat_n[:, j * dsub : (j + 1) * dsub]
@@ -729,7 +762,7 @@ def pq_encode(
                 }
             )
 
-    return df.select(
+    return valid_vectors(df, vec_col).select(
         F.col(key_col).alias("nid"), F.col(vec_col).alias("_vec")
     ).mapInPandas(encode, "nid long, codes array<int>")
 
@@ -785,7 +818,7 @@ def pq_topk(
 
     encoded = pq_encode(df, books, key_col, vec_col)
     chunk_ids = F.array(*[F.lit(i) for i in range(n_chunks)])
-    queries = df.select(
+    queries = valid_vectors(df, vec_col).select(
         F.col(key_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.explode(chunk_ids).alias("chunk"),
@@ -805,7 +838,7 @@ def pq_topk(
         ids = ipdf["nid"].to_numpy(dtype=np.int64)
         codes = np.array(list(ipdf["codes"]), dtype=np.int64)
         q = np.array(list(qpdf["qvec"]), dtype=np.float64)
-        qn = q / np.linalg.norm(q, axis=1)[:, None]
+        qn = q / _norms_guarded(q)[:, None]
         qids = qpdf["query_id"].to_numpy(dtype=np.int64)
         sims = np.zeros((len(qn), len(ids)), dtype=np.float64)
         mloc = books.shape[0]

@@ -185,6 +185,98 @@ def degenerate_events_sf(sf_dir, tmp_path_factory):
     return str(out)
 
 
+#: embeddings-family queries whose oracle must survive degenerate
+#: vectors (rows-only embedding_ivf / embedding_pq are covered by the
+#: crash-only test below — no oracle to compare)
+_EMB_FAMILY = [
+    "embedding_topk", "embedding_lsh", "embedding_near_dup",
+    "embedding_near_dup_exact", "semantic_dedup", "embedding_centroids",
+]
+
+#: degenerate embedding rows a data revision could contain: the zero
+#: vector (cosine denominator 0 — pinned to sim 0.0 on both engines),
+#: a NULL vector and an empty vector (dropped at operator entry on
+#: both engines), an exact duplicate of another row (cos_sim 1.0), and
+#: a tiny-magnitude vector (normalization stress)
+def _degenerate_embeddings():
+    dup = [0.1 * ((i % 7) - 3) for i in range(64)]
+    return [
+        (900001, [0.0] * 64, 0),
+        (900002, None, 1),
+        (900003, [], 2),
+        (900004, dup, 3),
+        (900005, dup, 3),
+        (900006, [1e-20 * (i + 1) for i in range(64)], 4),
+    ]
+
+
+@pytest.fixture(scope="module")
+def degenerate_emb_sf(sf_dir, tmp_path_factory):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("degenerate_emb_sf")
+    base = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids, vecs, labels = zip(*_degenerate_embeddings())
+    edge = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, base.schema.field("embedding").type),
+            "label": pa.array(labels, base.schema.field("label").type),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([base.select(edge.column_names), edge]),
+        str(out / "embeddings.parquet"),
+    )
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(f"{sf_dir}/{t}.parquet", str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", _EMB_FAMILY)
+def test_emb_family_oracle_survives_degenerate_vectors(
+    spark, degenerate_emb_sf, name
+):
+    """Embeddings-side regen-proofing: a zero vector would make every
+    cosine NaN — and NaN ORDERING disagrees between engines (numpy
+    lexsort ranks NaN sims last, SQL window DESC ranks NaN first), so
+    the operators clamp the norm (sim exactly 0.0) and the oracles pin
+    the same via CASE; NULL/empty vectors are dropped at operator entry
+    on both engines."""
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{degenerate_emb_sf}/{t}.parquet')"
+            )
+        spark_pdf = (
+            entrymod.queries()[name](spark, degenerate_emb_sf).toPandas()
+        )
+        duck_pdf = con.execute(entrymod.oracle_sql()[name]).df()
+        problems = compare(name, spark_pdf, duck_pdf)
+        assert not problems, f"{name}: {problems}"
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("name", ["embedding_ivf", "embedding_pq"])
+def test_rows_only_emb_queries_survive_degenerate_vectors(
+    spark, degenerate_emb_sf, name
+):
+    """The iterative ANN paths have no SQL oracle; the degenerate sweep
+    still must not crash them (NULL vectors would break the numpy batch
+    matrix without the entry filter) and every scorable vector must
+    get k result rows."""
+    out = entrymod.queries()[name](spark, degenerate_emb_sf).toPandas()
+    assert len(out) > 0
+    assert not out["query_id"].isin([900002, 900003]).any()
+
+
 @pytest.mark.parametrize("name", _EVENT_FAMILY)
 def test_event_family_oracle_survives_degenerate_rows(
     spark, degenerate_events_sf, name
