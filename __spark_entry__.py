@@ -2741,6 +2741,19 @@ def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_embedding_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-5: IVF prunes which lists to scan (n_probe=2 of
+    16), PQ compresses how they're scored (16x32 ADC codes) — the
+    production composition at 10^8+ vectors. Rows-only (iterative
+    training); the n_probe=n_lists ≡ pq_topk equivalence and recall
+    are pytest-pinned."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim_ops.ivf_pq_topk(
+        emb, k=5, n_lists=16, n_probe=2, m=16, n_codes=32
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing: text→binary payloads, metadata pass
     (byte length, md5, frame count) as pure column exprs. Frames are
@@ -3196,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "embedding_ivf": q_embedding_ivf,
         "embedding_pq": q_embedding_pq,
+        "embedding_ivf_pq": q_embedding_ivf_pq,
         "simhash": q_simhash,
         "profile_table": q_profile_table,
         "set_ops": q_set_ops,

@@ -926,3 +926,142 @@ def semantic_dedup(
             F.coalesce(F.col("canonical_id"), F.col(key_col)) == F.col(key_col)
         ).alias("kept"),
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    m: int = 8,
+    n_codes: int = 32,
+    n_iter: int = 3,
+    train_sample: int = 4096,
+    centroids=None,
+    codebooks=None,
+) -> DataFrame:
+    """IVF-PQ: the production ANN shape at 10^8+ vectors — IVF prunes
+    WHICH vectors to score (probe ``n_probe`` of ``n_lists`` inverted
+    lists), PQ compresses HOW they are scored (ADC over m-code rows,
+    no index floats). Both quantizers train on the same bounded
+    deterministic driver sample and ship in task closures; the index
+    is one distributed pass emitting ``(id, list_id, codes)`` —
+    m ints + an int per vector, the entire index memory footprint.
+
+    This is the flat-PQ variant (codes quantize the unit vector
+    itself, not the per-list residual): one global LUT per query
+    serves every probed list, keeping the scoring cell a pure
+    gather-sum. With ``n_probe == n_lists`` the ranking is EXACTLY
+    ``pq_topk``'s (pytest-pinned), making the recall/cost trade purely
+    the probe count.
+
+    Iterative training — rows-only contract like ``embedding_ivf``/
+    ``embedding_pq``; recall vs brute force is pytest-verified.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None:
+        cent = ivf_train(df, key_col, vec_col, n_lists, n_iter, train_sample)
+    else:
+        cent = np.asarray(centroids, dtype=np.float64)
+    if codebooks is None:
+        books = pq_train(df, key_col, vec_col, m, n_codes, n_iter, train_sample)
+    else:
+        books = np.asarray(codebooks, dtype=np.float64)
+    dsub = books.shape[2]
+    mloc = books.shape[0]
+
+    def index_pass(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["_vec"]), dtype=np.float64)
+            mat_n = mat / _norms_guarded(mat)[:, None]
+            codes = np.empty((len(mat_n), mloc), dtype=np.int32)
+            for j in range(mloc):
+                sub = mat_n[:, j * dsub : (j + 1) * dsub]
+                d2 = (
+                    (sub**2).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ books[j].T)
+                    + (books[j] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "nid": pdf["nid"].to_numpy(dtype=np.int64),
+                    "list_id": np.argmax(mat_n @ cent.T, axis=1).astype(
+                        np.int32
+                    ),
+                    "codes": list(codes),
+                }
+            )
+
+    def probe_pass(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(list(pdf["qvec"]), dtype=np.float64)
+            qn = q / _norms_guarded(q)[:, None]
+            probes = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "qvec": pdf["qvec"],
+                    "probes": list(probes.astype(np.int32)),
+                }
+            )
+
+    vdf = valid_vectors(df, vec_col)
+    index = vdf.select(
+        F.col(key_col).alias("nid"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(index_pass, "nid long, list_id int, codes array<int>")
+    queries = (
+        vdf.select(F.col(key_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .mapInPandas(probe_pass, "query_id long, qvec array<float>, probes array<int>")
+        .select("query_id", "qvec", F.explode("probes").alias("list_id"))
+    )
+
+    out_cols = ["query_id", "neighbor_id", "adc_sim", "rank"]
+    out_schema = "query_id long, neighbor_id long, adc_sim double, rank int"
+
+    def score(qpdf: "pd.DataFrame", ipdf: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(qpdf) or not len(ipdf):
+            return pd.DataFrame(columns=out_cols)
+        ids = ipdf["nid"].to_numpy(dtype=np.int64)
+        codes = np.array(list(ipdf["codes"]), dtype=np.int64)
+        q = np.array(list(qpdf["qvec"]), dtype=np.float64)
+        qn = q / _norms_guarded(q)[:, None]
+        qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        sims = np.zeros((len(qn), len(ids)), dtype=np.float64)
+        for j in range(mloc):
+            lut = qn[:, j * dsub : (j + 1) * dsub] @ books[j].T
+            sims += lut[:, codes[:, j]]
+        sims = np.round(sims, 6)
+        res = []
+        for row_i, qid in enumerate(qids):
+            mask = ids != qid
+            cand_ids = ids[mask]
+            cand_s = sims[row_i][mask]
+            sel = np.lexsort((cand_ids, -cand_s))[:k]
+            for j in sel:
+                res.append((qid, cand_ids[j], cand_s[j]))
+        out = pd.DataFrame(res, columns=out_cols[:3])
+        out["rank"] = 0
+        return out
+
+    partial = (
+        queries.groupBy("list_id")
+        .cogroup(index.groupBy("list_id"))
+        .applyInPandas(score, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_sim", "rank")
+    )

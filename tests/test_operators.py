@@ -95,6 +95,37 @@ def test_pq_encode_shape_and_determinism(spark, sf_dir):
     assert enc1.codes.apply(max).max() < 8
 
 
+def test_ivf_pq_recall_and_full_probe_equals_pq(spark, sf_dir):
+    """IVF-PQ composition: (a) probing ALL lists must reproduce
+    pq_topk's ranking EXACTLY (same codebooks => same ADC sims; IVF
+    then only partitions the scan), (b) recall at n_probe=3 of 8 stays
+    a solid fraction of exact top-5."""
+    emb = readers.load_table(spark, sf_dir, "embeddings").limit(300)
+    books = sim_ops.pq_train(emb, m=16, n_codes=32, train_sample=300)
+    cent = sim_ops.ivf_train(emb, n_lists=8, train_sample=300)
+    full = sim_ops.ivf_pq_topk(
+        emb, k=5, n_lists=8, n_probe=8, m=16, n_codes=32,
+        centroids=cent, codebooks=books,
+    ).toPandas()
+    flat = sim_ops.pq_topk(
+        emb, k=5, m=16, n_codes=32, codebooks=books
+    ).toPandas()
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        full.sort_values(key).reset_index(drop=True),
+        flat.sort_values(key).reset_index(drop=True),
+    )
+
+    brute = sim_ops.brute_force_topk(emb, k=5).toPandas()
+    truth = set(zip(brute.query_id, brute.neighbor_id))
+    part = sim_ops.ivf_pq_topk(
+        emb, k=5, n_lists=8, n_probe=3, m=16, n_codes=32,
+        centroids=cent, codebooks=books,
+    ).toPandas()
+    recall = len(truth & set(zip(part.query_id, part.neighbor_id))) / len(truth)
+    assert recall > 0.2, f"IVF-PQ recall {recall:.2f}"
+
+
 def test_semantic_dedup_clusters_and_survivors(spark):
     """Two tight clusters + one isolate: every vector gets a row, each
     cluster keeps exactly its lowest id, the isolate keeps itself."""

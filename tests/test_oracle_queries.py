@@ -46,6 +46,7 @@ def test_every_query_has_oracle_or_is_flagged():
         "pack_sequences",
         "embedding_ivf",
         "embedding_pq",
+        "embedding_ivf_pq",
     }
     # the driver hashes the FIRST 50 entries; every never-driver-checked
     # query must sit inside that window (rotation policy, see queries())
