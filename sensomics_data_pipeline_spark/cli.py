@@ -125,6 +125,11 @@ def cmd_corpus(args) -> int:
         mix_weights=mix,
     )
     out.write.mode("overwrite").parquet(args.out)
+    from sensomics_data_pipeline_spark.operators.corpus import (
+        release_stage_cache,
+    )
+
+    release_stage_cache(out)
     print(f"wrote {args.out}")
     return 0
 

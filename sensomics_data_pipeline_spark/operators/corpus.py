@@ -99,6 +99,8 @@ def prepare_corpus(
     caller materializes once and manages its own caching).
     """
     from pyspark import StorageLevel
+
+    cached: list[DataFrame] = []
     scrubbed = scrub_pii(df, text_col).select(
         key_col, source_col, F.col("scrubbed_text").alias(text_col)
     )
@@ -131,6 +133,7 @@ def prepare_corpus(
     if eval_df is not None:
         if persist_stages:
             gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(gated)
         clean_ids = ngram_contamination(
             gated,
             eval_df,
@@ -150,6 +153,7 @@ def prepare_corpus(
         )
     if persist_stages:
         survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(survivors)
     packed = pack_sequences(
         survivors.select(key_col, "n_tokens"),
         key_col=key_col,
@@ -157,7 +161,7 @@ def prepare_corpus(
         budget=pack_budget,
         n_groups=pack_groups,
     )
-    return survivors.join(
+    out = survivors.join(
         packed.select(key_col, "pack_id", "pack_fill", "oversize"), key_col
     ).select(
         key_col,
@@ -169,3 +173,18 @@ def prepare_corpus(
         "pack_fill",
         "oversize",
     )
+    # release point for the pinned stage caches (see
+    # release_stage_cache): a lazy operator must not pin cache entries
+    # it cannot free — the caller materializes, then releases
+    out._prepare_corpus_cached = cached
+    return out
+
+
+def release_stage_cache(df: DataFrame) -> None:
+    """Unpersist the stage caches :func:`prepare_corpus` attached to
+    ``df`` (no-op for ``persist_stages=False`` results). Call after the
+    result has been materialized (written / counted); long-lived
+    sessions running many differently-parameterized pipelines would
+    otherwise accumulate one pinned cache entry pair per call."""
+    for c in getattr(df, "_prepare_corpus_cached", ()):
+        c.unpersist()

@@ -268,7 +268,19 @@ def emb_scaled_variants():
         emb = readers.load_table(spark, sf_dir, "embeddings")
         return sim_ops.ivf_topk(emb, k=5, n_lists=50, n_probe=2)
 
-    return [("lsh_topk(n_planes=9)", lsh9), ("ivf_topk(n_lists=50)", ivf50)]
+    def ivfpq50(spark, sf_dir):
+        # the mitigation for embedding_pq's full-scan cost law: IVF
+        # prunes the lists, PQ still compresses what remains
+        emb = readers.load_table(spark, sf_dir, "embeddings")
+        return sim_ops.ivf_pq_topk(
+            emb, k=5, n_lists=50, n_probe=2, m=16, n_codes=32
+        )
+
+    return [
+        ("lsh_topk(n_planes=9)", lsh9),
+        ("ivf_topk(n_lists=50)", ivf50),
+        ("ivf_pq_topk(n_lists=50)", ivfpq50),
+    ]
 
 
 def run_queries(spark, entrymod, names, big_dir, replicas, out_md, title):
