@@ -3083,6 +3083,226 @@ WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 # Registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Round-4 additions: general overlap join, weighted sampling, lexical
+# diversity, robust outliers
+# ---------------------------------------------------------------------------
+
+def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General interval-overlap join (beyond the reference's J2
+    containment semijoin): per-user activity sessions (gap 2 h) vs
+    GLOBAL error storms (≥3 errors within 120 s of each other) — which
+    user sessions ran during an error storm, with the overlap length.
+
+    Scale shape: the join is ``overlap_join``'s binned equi-join — both
+    interval sets explode into 1-h epoch bins and hash-join on the bin,
+    keeping each pair once via the first-common-bin predicate; NO
+    BroadcastNestedLoop / cartesian anywhere (plan-asserted in
+    tests/test_plans.py). The storm side sessionizes the FILTERED error
+    stream globally — bounded by error rate × time range, the same
+    bounded-cardinality argument as ``merge_adjacent_categorized``'s
+    global form; per-entity sessionization stays partitioned."""
+    ev = _t(spark, sf_dir, "events")
+    sess = window_ops.session_bounds(
+        window_ops.sessionize(
+            ev, ["user_id"], "ts", 7200.0, tiebreak_cols=["event_id"]
+        ),
+        ["user_id"],
+        "ts",
+    ).select(
+        "user_id",
+        F.col("session_start"),
+        F.col("session_end"),
+        F.col("n_rows").alias("n_events"),
+    )
+    storms = window_ops.session_bounds(
+        window_ops.sessionize(
+            ev.filter(F.col("event_type") == "error"),
+            [],
+            "ts",
+            120.0,
+            tiebreak_cols=["event_id"],
+        ),
+        [],
+        "ts",
+    ).filter(F.col("n_rows") >= 3).select(
+        F.col("session_start").alias("storm_start"),
+        F.col("session_end").alias("storm_end"),
+        F.col("n_rows").alias("n_errors"),
+    )
+    out = interval_ops.overlap_join(
+        sess,
+        storms,
+        partition_cols=[],
+        left_cols=("session_start", "session_end"),
+        right_cols=("storm_start", "storm_end"),
+        bin_width_s=3600,
+    )
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        "storm_start",
+        "storm_end",
+        "n_errors",
+        "overlap_seconds",
+    )
+
+
+_SQL_OVERLAP_JOIN = """
+WITH ue AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR date_diff('microsecond', lag(ts) OVER w, ts) / 1000000.0 > 7200.0
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), us AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ue
+), sess AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events
+  FROM us GROUP BY user_id, sid
+), ee AS (
+  SELECT ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR date_diff('microsecond', lag(ts) OVER w, ts) / 1000000.0 > 120.0
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (ORDER BY ts, event_id)
+), es AS (
+  SELECT ts, sum(is_new) OVER (ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ee
+), storms AS (
+  SELECT sid, min(ts) AS storm_start, max(ts) AS storm_end,
+         count(*) AS n_errors
+  FROM es GROUP BY sid HAVING count(*) >= 3
+)
+SELECT s.user_id, s.session_start, s.session_end, s.n_events,
+       t.storm_start, t.storm_end, t.n_errors,
+       date_diff('microsecond',
+                 greatest(s.session_start, t.storm_start),
+                 least(s.session_end, t.storm_end)) / 1000000.0
+         AS overlap_seconds
+FROM sess s JOIN storms t
+  ON s.session_start <= t.storm_end AND t.storm_start <= s.session_end
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling (priority sampling): keep
+    ``ceil(0.25·n)`` docs per source with probability growing in
+    ``n_chars`` — priority ``hash48(seed,doc_id)/weight``, smallest
+    first. The ordering key is one correctly-rounded IEEE division of
+    two exactly-representable integers, so an independent engine
+    reproduces the EXACT row set (no Bernoulli nondeterminism)."""
+    from sensomics_data_pipeline_spark.operators.sampling import (
+        weighted_sample_priority,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return weighted_sample_priority(
+        docs, ["source"], "doc_id", "n_chars", fraction=0.25, seed=11
+    )
+
+
+_SQL_WEIGHTED_SAMPLE = """
+WITH h AS (
+  SELECT doc_id, source, lang, n_chars,
+         ('0x' || substr(md5('11:' || doc_id::VARCHAR), 1, 12))::BIGINT::DOUBLE
+           / n_chars::DOUBLE AS pri
+  FROM documents WHERE n_chars > 0
+), r AS (
+  SELECT doc_id, source, lang, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM h
+)
+SELECT doc_id, source, lang, n_chars
+FROM r WHERE rn <= ceil(0.25::DOUBLE * cnt)
+"""
+
+
+def q_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level lexical diversity per doc (type-token ratio, top-word
+    fraction, word-collision probability) — exact BIGINT multiplicity
+    counters from one zero-shuffle sorted-fold per row; the word-grain
+    sibling of ``char_diversity``."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.lexical_stats(docs).select(
+        "doc_id",
+        "n_words",
+        "n_types",
+        "max_freq",
+        "ttr",
+        "top_frac",
+        "word_coll_prob",
+    )
+
+
+_SQL_LEXICAL_STATS = f"""
+WITH toks AS (
+  SELECT doc_id, {_D_TOKS} AS ws FROM documents
+), counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS tok FROM toks)
+  GROUP BY doc_id, tok
+), agg AS (
+  SELECT doc_id, count(*) AS n_types, sum(c) AS n_words,
+         max(c) AS max_freq, sum(c * c) AS sq
+  FROM counts GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.n_words, 0)::BIGINT AS n_words,
+       coalesce(a.n_types, 0)::BIGINT AS n_types,
+       coalesce(a.max_freq, 0)::BIGINT AS max_freq,
+       CASE WHEN a.n_words > 0
+            THEN round(a.n_types::DOUBLE / a.n_words::DOUBLE, 6) END AS ttr,
+       CASE WHEN a.n_words > 0
+            THEN round(a.max_freq::DOUBLE / a.n_words::DOUBLE, 6) END AS top_frac,
+       CASE WHEN a.n_words > 0
+            THEN round(a.sq::DOUBLE / (a.n_words * a.n_words)::DOUBLE, 6)
+            END AS word_coll_prob
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier flags per event_type — the
+    mean/stddev-immune anomaly rule; two broadcast-joined grouped exact
+    percentiles, the big table itself never shuffles."""
+    from sensomics_data_pipeline_spark.operators.profile import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return mad_outliers(ev, "value", ["event_type"], k=3.0)
+
+
+_SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), j AS (
+  SELECT e.event_id, e.event_type, e.value, m.med
+  FROM events e LEFT JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+  FROM j GROUP BY event_type
+)
+SELECT j.event_id, j.event_type, j.value,
+       round(j.med, 6) AS group_median,
+       round(m2.mad, 6) AS group_mad,
+       coalesce(abs(j.value - j.med) > 3.0 * m2.mad, false) AS is_outlier
+FROM j LEFT JOIN mad m2 USING (event_type)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF0001)
@@ -3143,17 +3363,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_rules": q_threshold_rules,
         "interval_semijoin": q_interval_semijoin,
         "unpivot_wide": q_unpivot_wide,
-        "posexplode_resample": q_posexplode_resample,
+        # overlap_join / mad_outliers / weighted_sample / lexical_stats
+        # are new in r4 (never driver-checked) -> first 50; moving out
+        # with in-set family twins, all r3 hash-green:
+        # posexplode_resample (resample family: interpolate_linear),
+        # pivot_wide (pivot/unpivot family: unpivot_wide),
+        # semi_anti_join (join family: join_revenue_by_nation +
+        # interval_semijoin), doc_fingerprint (hash/md5 family:
+        # minhash_lsh signatures + stratified_sample's md5 rank).
+        "overlap_join": q_overlap_join,
         "join_revenue_by_nation": q_join_revenue_by_nation,
-        "semi_anti_join": q_semi_anti_join,
+        "mad_outliers": q_mad_outliers,
         "json_extract": q_json_extract,
-        "pivot_wide": q_pivot_wide,
+        "weighted_sample": q_weighted_sample,
         "embedding_near_dup": q_embedding_near_dup,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
+        "lexical_stats": q_lexical_stats,
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -3184,6 +3412,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- positions 51+: every entry below was hash-green in a
         # prior round's driver CORRECTNESS check (r2 or r3) and keeps
         # an in-set family twin; see rotation rationale above. ----
+        "posexplode_resample": q_posexplode_resample,
+        "pivot_wide": q_pivot_wide,
+        "semi_anti_join": q_semi_anti_join,
+        "doc_fingerprint": q_doc_fingerprint,
         "tfidf_top_terms": q_tfidf_top_terms,
         "embedding_lsh": q_embedding_lsh,
         "streaming_sessions": q_streaming_sessions,
@@ -3293,6 +3525,10 @@ def oracle_sql() -> dict[str, str]:
         "char_diversity": _SQL_CHAR_DIVERSITY,
         "pack_invariants": _SQL_PACK_INVARIANTS,
         "corpus_invariants": _sql_corpus_invariants(),
+        "overlap_join": _SQL_OVERLAP_JOIN,
+        "weighted_sample": _SQL_WEIGHTED_SAMPLE,
+        "lexical_stats": _SQL_LEXICAL_STATS,
+        "mad_outliers": _SQL_MAD_OUTLIERS,
         # pack_sequences / corpus_pipeline: iterative FFD — row-level
         # output is rows-only by design; their conservation laws are
         # full-hash certified via pack_invariants / corpus_invariants.

@@ -157,6 +157,88 @@ def subtract_intervals(
     return left_pieces.unionByName(tail).drop("_bid")
 
 
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    partition_cols: list[str] | None = None,
+    left_cols: tuple[str, str] = ("start_time", "end_time"),
+    right_cols: tuple[str, str] = ("start_time", "end_time"),
+    bin_width_s: int = 3600,
+) -> DataFrame:
+    """General interval-overlap join (beyond the reference's containment
+    semijoin J2): every (left, right) pair whose closed intervals
+    intersect — ``l.start <= r.end AND r.start <= l.end`` (inclusive
+    bounds, the repo-wide convention; touching intervals match).
+
+    Scale plan — NO cross join, NO broadcast-nested-loop: both sides
+    explode their intervals into epoch bins of ``bin_width_s`` via
+    ``sequence()`` and equi-join on ``(partition_cols..., bin)``, which
+    shuffles on a bounded key instead of comparing all pairs. A pair
+    sharing k bins would match k times; instead of a dedup shuffle the
+    join keeps exactly the FIRST common bin — ``bin ==
+    floor(unix(greatest(l.start, r.start)) / W)`` — so each matching
+    pair survives once, for free. Cost scales with
+    Σ interval_length/W per side; pick ``bin_width_s`` near the typical
+    interval length (wider → fewer replicas but fuller bins).
+
+    Output: left columns as-is, right columns suffixed ``_r`` where
+    they collide, plus ``overlap_seconds`` (0.0 for touching/point
+    overlaps).
+    """
+    partition_cols = partition_cols or []
+    ls, le = left_cols
+    rs, re_ = right_cols
+    w = int(bin_width_s)
+
+    def binned(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(s)) / w),
+                    F.floor(F.unix_timestamp(F.col(e)) / w),
+                )
+            ),
+        )
+
+    l = binned(left, ls, le).alias("l")
+    r = binned(right, rs, re_).alias("r")
+    rename = {
+        c: f"{c}_r" for c in right.columns if c in set(left.columns)
+    }
+    cond = F.col("l._bin") == F.col("r._bin")
+    for c in partition_cols:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    # overlap predicate (closed intervals)
+    cond = (
+        cond
+        & (F.col(f"l.{ls}") <= F.col(f"r.{re_}"))
+        & (F.col(f"r.{rs}") <= F.col(f"l.{le}"))
+        # first-common-bin: dedups multi-bin pairs without a shuffle
+        & (
+            F.col("l._bin")
+            == F.floor(
+                F.unix_timestamp(
+                    F.greatest(F.col(f"l.{ls}"), F.col(f"r.{rs}"))
+                )
+                / w
+            )
+        )
+    )
+    out_cols = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}").alias(rename.get(c, c))
+        for c in right.columns
+        if c not in partition_cols
+    ]
+    overlap = (
+        F.unix_micros(F.least(F.col(f"l.{le}"), F.col(f"r.{re_}")))
+        - F.unix_micros(F.greatest(F.col(f"l.{ls}"), F.col(f"r.{rs}")))
+    ) / 1_000_000.0
+    return l.join(r, on=cond, how="inner").select(
+        *out_cols, overlap.alias("overlap_seconds")
+    )
+
+
 def interval_semijoin(
     df: DataFrame,
     intervals: DataFrame,

@@ -46,6 +46,63 @@ def profile_table(
     ).select("column", "n", "n_null", "approx_distinct", "min_value", "max_value")
 
 
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier detection per group: flag rows whose value
+    deviates from the group MEDIAN by more than ``k`` × MAD (median
+    absolute deviation) — the classic robust z-score, immune to the
+    outliers themselves inflating the threshold the way mean/stddev
+    rules are.
+
+    Plan: two grouped exact-percentile aggregates (median, then MAD of
+    the residuals) — the per-group tables are tiny (one row per group),
+    so both join back as BROADCASTs and the big table is scanned twice
+    but never shuffled on its own rows. Exact interpolated percentile
+    (same semantics both engines, pinned by the `quantiles` query).
+    ``is_outlier`` marks POSITIVELY identified outliers and is never
+    NULL: a row whose value is NULL, or whose group stats are NULL
+    (e.g. a NULL group key under standard join equality), flags
+    ``false`` — the column stays filter-safe and engine-reproducible
+    (NULL booleans round-trip differently across drivers). Degenerate
+    groups where MAD = 0 (a majority of identical values) flag any row
+    off the median, matching the textbook rule.
+    """
+    group_cols = group_cols or []
+    v = F.col(value_col)
+
+    def attach(base: DataFrame, one: DataFrame) -> DataFrame:
+        # global (no-group) case: the aggregate is a single row —
+        # crossJoin(broadcast) is the whitelisted attach-scalars shape
+        if group_cols:
+            return base.join(F.broadcast(one), on=group_cols, how="left")
+        return base.crossJoin(F.broadcast(one))
+
+    med_df = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    with_med = attach(df, med_df)
+    mad_df = (
+        with_med.groupBy(*group_cols)
+        .agg(
+            F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
+        )
+    )
+    out = attach(with_med, mad_df)
+    return out.select(
+        *df.columns,
+        F.round(F.col("_med"), 6).alias("group_median"),
+        F.round(F.col("_mad"), 6).alias("group_mad"),
+        F.coalesce(
+            F.abs(v - F.col("_med")) > F.lit(float(k)) * F.col("_mad"),
+            F.lit(False),
+        ).alias("is_outlier"),
+    )
+
+
 def numeric_histogram(
     df: DataFrame,
     value_col: str,

@@ -61,6 +61,61 @@ def stratified_sample_exact(
     )
 
 
+def weighted_sample_priority(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    weight_col: str,
+    fraction: float | None = None,
+    n_per_stratum: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement (priority
+    sampling, Duffield-Lund-Thorup style): inside each stratum keep the
+    ``k`` rows with the smallest priority ``q_i = h_i / w_i``, where
+    ``h_i`` is the portable 48-bit md5 hash of (seed, key) playing the
+    role of the uniform draw and ``w_i`` the row weight — heavier rows
+    get proportionally smaller priorities, so inclusion probability
+    grows with weight, yet the selection is a pure function of
+    (data, seed), byte-reproducible across cluster layouts AND engines.
+
+    Engine-exactness of the ordering key: ``h`` (< 2^48) and ``w``
+    (integer-valued weights) are both exactly representable doubles, so
+    ``h / w`` is ONE correctly-rounded IEEE-754 division — bit-identical
+    in any engine — and ties (possible only for equal (h, w)) break on
+    ``key_col``. No transcendental (``-ln(u)/w`` of classic A-Res) ever
+    enters the comparison, which is what makes a SQL oracle able to
+    reproduce the exact row set.
+
+    Rows with NULL, zero, or negative weight are excluded (a weight of
+    0 means "never sample"; negatives are undefined). Same single
+    window shuffle as :func:`stratified_sample_exact`.
+    """
+    if (fraction is None) == (n_per_stratum is None):
+        raise ValueError("pass exactly one of fraction / n_per_stratum")
+    h48 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key_col))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    pri = h48.cast("double") / F.col(weight_col).cast("double")
+    pos = df.filter(F.col(weight_col) > 0)
+    w = Window.partitionBy(*strata_cols).orderBy(pri.asc(), F.col(key_col))
+    ranked = pos.withColumn("_rn", F.row_number().over(w))
+    if n_per_stratum is not None:
+        quota = F.lit(n_per_stratum)
+    else:
+        cnt = F.count("*").over(Window.partitionBy(*strata_cols))
+        quota = F.ceil(F.lit(float(fraction)) * cnt)
+    return (
+        ranked.withColumn("_quota", quota)
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )
+
+
 def rebalance_sources(
     df: DataFrame,
     weights: dict[str, float],

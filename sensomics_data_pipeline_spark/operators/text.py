@@ -643,6 +643,83 @@ def _char_diversity_arrow(df: DataFrame, text_col: str) -> DataFrame:
     return df.mapInPandas(fold, out_schema)
 
 
+def lexical_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word-level lexical diversity signals (the token-grain sibling of
+    :func:`char_diversity`): per document the type count (distinct
+    words), the top-word multiplicity, and the word-collision
+    probability ``Σ c_w² / n²`` (Rényi-2 over the word distribution) —
+    plus the derived type-token ratio and top-word fraction that
+    quality filters like Gopher/RefinedWeb threshold on ("fraction of
+    the doc that is its most common word").
+
+    All multiplicities come from ONE sorted run-length fold per row
+    (``array_sort`` + ``aggregate``), so the plan is a pure zero-shuffle
+    projection — no explode → groupBy(doc, word) that would shuffle the
+    whole token stream at 100 TB. Counters are exact BIGINTs; only the
+    three ratios are rounded doubles (single IEEE divisions of exactly
+    representable integers — engine-reproducible).
+
+    Empty/NULL text is pinned to (0, 0, 0, NULL, NULL, NULL) on both
+    engines, per the repo's degenerate-text convention.
+    """
+    ws = tokens(text_col)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("sq"),
+        F.lit(0).cast("long").alias("types"),
+        F.lit(0).cast("long").alias("maxr"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = x.eqNullSafe(acc["prev"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            (
+                acc["sq"]
+                + F.when(same, 2 * acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .cast("long")
+            ).alias("sq"),
+            (
+                acc["types"]
+                + F.when(same, F.lit(0)).otherwise(F.lit(1)).cast("long")
+            ).alias("types"),
+            F.greatest(acc["maxr"], run).alias("maxr"),
+        )
+
+    folded = F.aggregate(
+        F.array_sort(ws),
+        zero,
+        step,
+        lambda acc: F.struct(
+            acc["sq"].alias("sq"),
+            acc["types"].alias("types"),
+            acc["maxr"].alias("maxr"),
+        ),
+    )
+    n = F.coalesce(F.size(ws), F.lit(0)).cast("long")
+    zl = F.lit(0).cast("long")
+    nd = n.cast("double")
+    return df.select(
+        "*",
+        n.alias("n_words"),
+        F.when(n > 0, folded["types"]).otherwise(zl).alias("n_types"),
+        F.when(n > 0, folded["maxr"]).otherwise(zl).alias("max_freq"),
+        F.when(n > 0, F.round(folded["types"].cast("double") / nd, 6)).alias(
+            "ttr"
+        ),
+        F.when(n > 0, F.round(folded["maxr"].cast("double") / nd, 6)).alias(
+            "top_frac"
+        ),
+        F.when(
+            n > 0, F.round(folded["sq"].cast("double") / (n * n).cast("double"), 6)
+        ).alias("word_coll_prob"),
+    )
+
+
 def char_diversity(
     df: DataFrame, text_col: str = "text", engine_exact: bool = True
 ) -> DataFrame:

@@ -1846,3 +1846,178 @@ def test_char_diversity_empty_and_null_pinned_both_engines(spark):
         .astype(out.dtypes.to_dict())
     )
     pd.testing.assert_frame_equal(out, dd)
+
+
+# ---------------------------------------------------------------------------
+# Round-4: overlap join, weighted sampling, lexical stats, MAD outliers
+# ---------------------------------------------------------------------------
+
+
+def test_overlap_join_hand_cases(spark):
+    """Closed-interval semantics (touching matches, overlap 0), exact
+    overlap lengths, and multi-bin pairs surviving exactly once."""
+    import datetime as dt
+
+    from sensomics_data_pipeline_spark.operators.intervals import overlap_join
+
+    B = dt.datetime(2024, 1, 1)
+    T = lambda s: B + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(1, T(0), T(100)), (2, T(200), T(300)), (3, T(500), T(500))],
+        "lid int, start_time timestamp, end_time timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, T(100), T(110)), (11, T(50), T(260)), (12, T(400), T(450))],
+        "rid int, r_start timestamp, r_end timestamp",
+    )
+    # bin width 10s: pair (1, 11) shares bins 5..10 — must appear ONCE
+    out = overlap_join(
+        left,
+        right,
+        partition_cols=[],
+        left_cols=("start_time", "end_time"),
+        right_cols=("r_start", "r_end"),
+        bin_width_s=10,
+    )
+    rows = {(r.lid, r.rid): r.overlap_seconds for r in out.collect()}
+    assert rows == {(1, 10): 0.0, (1, 11): 50.0, (2, 11): 60.0}
+    assert out.count() == 3  # no multi-bin duplicates
+
+
+def test_overlap_join_partition_keys_and_point_intervals(spark):
+    import datetime as dt
+
+    from sensomics_data_pipeline_spark.operators.intervals import overlap_join
+
+    B = dt.datetime(2024, 1, 1)
+    T = lambda s: B + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [("u1", T(0), T(50)), ("u2", T(0), T(50))],
+        "u string, start_time timestamp, end_time timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", T(25), T(25)), ("u2", T(60), T(70))],
+        "u string, r_start timestamp, r_end timestamp",
+    )
+    out = overlap_join(
+        left,
+        right,
+        partition_cols=["u"],
+        left_cols=("start_time", "end_time"),
+        right_cols=("r_start", "r_end"),
+        bin_width_s=3600,
+    ).collect()
+    # point interval inside u1's interval matches; u2's disjoint does not,
+    # and cross-key (u1 x u2) pairs never form
+    assert len(out) == 1
+    assert out[0].u == "u1" and out[0].overlap_seconds == 0.0
+
+
+def test_weighted_sample_priority_quota_and_determinism(spark):
+    from sensomics_data_pipeline_spark.operators.sampling import (
+        weighted_sample_priority,
+    )
+
+    rows = [(i, "a" if i % 2 else "b", (i % 7) + 1) for i in range(100)]
+    rows += [(1000, "a", 0), (1001, "a", -5), (1002, "b", None)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w long")
+    out = weighted_sample_priority(
+        df, ["g"], "doc_id", "w", n_per_stratum=5, seed=3
+    )
+    pdf = out.toPandas()
+    assert pdf.groupby("g").size().to_dict() == {"a": 5, "b": 5}
+    # zero / negative / NULL weights are never sampled
+    assert not set(pdf.doc_id) & {1000, 1001, 1002}
+    # selection is a pure function of (data, seed): layout-invariant
+    again = weighted_sample_priority(
+        df.repartition(7), ["g"], "doc_id", "w", n_per_stratum=5, seed=3
+    ).toPandas()
+    assert set(pdf.doc_id) == set(again.doc_id)
+    # a different seed re-rolls the hash draws
+    other = weighted_sample_priority(
+        df, ["g"], "doc_id", "w", n_per_stratum=5, seed=4
+    ).toPandas()
+    assert set(pdf.doc_id) != set(other.doc_id)
+
+
+def test_weighted_sample_priority_fraction_and_weight_bias(spark):
+    from sensomics_data_pipeline_spark.operators.sampling import (
+        weighted_sample_priority,
+    )
+
+    # one row with overwhelming weight: its priority h/w is ~1e9 times
+    # smaller than any unit-weight row's — always selected
+    rows = [(i, 1) for i in range(40)] + [(999, 10**12)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample_priority(
+        df, [], "doc_id", "w", fraction=0.1, seed=1
+    ).toPandas()
+    # ceil(0.1 * 41) = 5 rows, heavy row among them
+    assert len(out) == 5
+    assert 999 in set(out.doc_id)
+    with pytest.raises(ValueError):
+        weighted_sample_priority(df, [], "doc_id", "w", seed=1)
+
+
+def test_lexical_stats_hand_computed(spark):
+    from sensomics_data_pipeline_spark.operators.text import lexical_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a b"),
+            (2, ""),
+            (3, None),
+            (4, "  x  "),
+            (5, "w w w w"),
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        lexical_stats(df)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "n_words"] == 3
+    assert out.loc[1, "n_types"] == 2
+    assert out.loc[1, "max_freq"] == 2
+    assert out.loc[1, "ttr"] == pytest.approx(0.666667)
+    assert out.loc[1, "top_frac"] == pytest.approx(0.666667)
+    # counts (2,1): (4+1)/9
+    assert out.loc[1, "word_coll_prob"] == pytest.approx(0.555556)
+    for i in (2, 3):
+        assert out.loc[i, "n_words"] == 0
+        assert out.loc[i, "n_types"] == 0
+        assert out.loc[i, "max_freq"] == 0
+        assert pd.isna(out.loc[i, "ttr"])
+    assert out.loc[4, "n_words"] == 1 and out.loc[4, "ttr"] == 1.0
+    assert out.loc[5, "n_types"] == 1
+    assert out.loc[5, "word_coll_prob"] == 1.0
+
+
+def test_mad_outliers_hand_computed(spark):
+    from sensomics_data_pipeline_spark.operators.profile import mad_outliers
+
+    df = spark.createDataFrame(
+        [
+            ("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0), ("A", 100.0),
+            ("B", 5.0), ("B", 5.0), ("B", 5.0),
+            ("A", None),
+        ],
+        "g string, value double",
+    )
+    out = mad_outliers(df, "value", ["g"], k=3.0).toPandas()
+    a = out[out.g == "A"].set_index("value", drop=False)
+    # A: median 3, residuals [2,1,0,1,97] -> MAD 1 -> only 100 flags
+    assert bool(a.loc[100.0, "is_outlier"]) is True
+    assert not a.loc[[1.0, 2.0, 3.0, 4.0], "is_outlier"].any()
+    assert float(a.loc[100.0, "group_median"]) == 3.0
+    assert float(a.loc[100.0, "group_mad"]) == 1.0
+    # NULL value -> false (never-NULL flag)
+    assert (a[a.value.isna()].is_outlier == False).all()  # noqa: E712
+    # constant group: MAD 0, nothing flags
+    b = out[out.g == "B"]
+    assert not b.is_outlier.any() and (b.group_mad == 0).all()
+    # global (no-group) path: median 4.5, MAD 1.0 -> 1.0 and 100.0 flag
+    g = mad_outliers(df.select("value"), "value", [], k=3.0).toPandas()
+    assert set(g[g.is_outlier == True].value) == {1.0, 100.0}  # noqa: E712

@@ -51,8 +51,15 @@ def test_every_query_has_oracle_or_is_flagged():
     # the driver hashes the FIRST 50 entries; every never-driver-checked
     # query must sit inside that window (rotation policy, see queries())
     first50 = list(qs)[:50]
-    assert "streaming_ingest" in first50
-    assert "semantic_dedup" in first50
+    for never_checked in (
+        "streaming_ingest",
+        "semantic_dedup",
+        "overlap_join",
+        "weighted_sample",
+        "lexical_stats",
+        "mad_outliers",
+    ):
+        assert never_checked in first50, never_checked
 
 
 @pytest.mark.parametrize("name", list(entrymod.queries()))
@@ -79,6 +86,7 @@ _DOC_FAMILY = [
     "dedup_incremental", "char_diversity", "pack_invariants",
     "corpus_invariants", "decontaminate", "multimodal_frames",
     "simhash", "streaming_corpus", "streaming_ingest",
+    "lexical_stats", "weighted_sample",
 ]
 
 #: the degenerate documents rows a future driver testdata revision
@@ -136,6 +144,7 @@ _EVENT_FAMILY = [
     "map_functions", "scalar_functions", "agg_suite", "quantiles",
     "threshold_rules", "posexplode_resample", "topk_per_group",
     "streaming_tumbling", "streaming_sessions", "streaming_stateful_dedup",
+    "overlap_join", "mad_outliers",
 ]
 
 #: degenerate events a data revision could contain: NULL value, NULL /
