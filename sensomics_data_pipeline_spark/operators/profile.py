@@ -103,6 +103,47 @@ def mad_outliers(
     )
 
 
+def distinct_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-group HyperLogLog sketches (Apache DataSketches via Spark's
+    ``hll_sketch_agg``): returns ``(group_cols..., sketch, estimate)``
+    where ``sketch`` is the MERGEABLE binary state, not just the
+    number.
+
+    The mergeable sketch is the 100-TB point: compute per-partition
+    (e.g. per-day, per-source) sketches ONCE in the ingest pass, store
+    them (kilobytes each), then answer any coarser rollup — distinct
+    users per week / month / global — by :func:`rollup_sketches` over
+    the stored sketches, never rescanning the raw data. Error is
+    ~1.04/√2^lgk (≈1.6% at lgk=12).
+    """
+    out = df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("sketch")
+    )
+    return out.withColumn("estimate", F.hll_sketch_estimate("sketch"))
+
+
+def rollup_sketches(
+    sketches: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Merge stored HLL sketches up to a coarser grouping — the rollup
+    half of :func:`distinct_sketches`. Input rows are (finer keys...,
+    sketch); output is ``(group_cols..., sketch, estimate)`` at the
+    coarser grain. Cost scales with the NUMBER OF SKETCHES (tiny), not
+    the raw data they summarize."""
+    merged = F.hll_union_agg(sketch_col)
+    return sketches.groupBy(*group_cols).agg(
+        merged.alias("sketch"),
+        F.hll_sketch_estimate(merged).alias("estimate"),
+    )
+
+
 def numeric_histogram(
     df: DataFrame,
     value_col: str,

@@ -71,6 +71,95 @@ def write_three_way_split(
         cached.unpersist()
 
 
+#: formats with a first-class Spark datasource in this build (avro and
+#: delta/iceberg need jars absent from the runtime — gated, not listed)
+DATASET_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_cols: list[str] | None = None,
+    compression: str | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Generic format-parametric sink: parquet (default inter-stage),
+    ORC (columnar alternative, same pushdown/pruning story), JSON and
+    CSV (interchange). Arrays/structs are stringified for the flat
+    text formats, mirroring ``write_three_way_split``'s CSV rule, so
+    every engine-producible table round-trips through every format.
+
+    ``partition_cols`` → hive-style directory layout (partition
+    pruning on read); ``compression`` defaults to the format's Spark
+    default (snappy/zstd for columnar) when None."""
+    if fmt not in DATASET_FORMATS:
+        raise ValueError(f"fmt must be one of {DATASET_FORMATS}, got {fmt!r}")
+    if fmt == "csv":
+        for f_ in df.schema.fields:
+            kind = f_.dataType.simpleString()
+            if kind.startswith(("array", "struct", "map")):
+                df = df.withColumn(f_.name, F.to_json(f_.name))
+    writer = df.write.mode(mode).format(fmt)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(path)
+    return path
+
+
+def read_dataset(
+    spark,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+) -> DataFrame:
+    """Read back a :func:`write_dataset` output. For csv/json pass the
+    target schema to avoid inference scans (and to restore types the
+    text formats erase)."""
+    if fmt not in DATASET_FORMATS:
+        raise ValueError(f"fmt must be one of {DATASET_FORMATS}, got {fmt!r}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+        if schema is None:
+            reader = reader.option("inferSchema", "true")
+    return reader.load(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> str:
+    """Bucketed managed table (``bucketBy`` + ``saveAsTable``): rows are
+    hash-partitioned into ``n_buckets`` files per partition ON WRITE,
+    so later equi-joins and aggregations on ``bucket_cols`` read the
+    co-located buckets and skip the shuffle entirely — THE layout move
+    for a 100-TB fact table that is repeatedly joined on the same key
+    (pay the shuffle once at ingest, never again). ``sort_cols`` adds
+    in-bucket ordering, upgrading those joins to zero-sort sort-merge.
+
+    Plan contract (asserted in tests): joining two tables bucketed the
+    same way on the join key plans NO Exchange on either side.
+    """
+    writer = df.write.mode("overwrite").format(fmt).bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+    return table
+
+
 def write_scalar_sidecar(spark, value, path: str) -> None:
     """S8: persist a scalar artifact (clock-skew ``d_time``, thresholds)
     as a 1-row single-file dataset — readable by any engine, no

@@ -139,3 +139,98 @@ def test_acc_csv_list_revival(spark, tmp_path):
     row = back.first()
     assert row["kind"] == "acx"
     assert list(row["data"]) == [0.1, 0.2, 0.3, 0.4, 0.5]
+
+
+# ---------------------------------------------------------------------------
+# Round-4: generic dataset sink, bucketed tables, HLL sketch rollups
+# ---------------------------------------------------------------------------
+
+
+def test_write_dataset_roundtrip_all_formats(spark, tmp_path):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0]), (2, "b", [3.0])],
+        "id long, name string, vec array<double>",
+    )
+    for fmt in writers.DATASET_FORMATS:
+        path = writers.write_dataset(df, str(tmp_path / fmt), fmt=fmt)
+        back = writers.read_dataset(spark, path, fmt=fmt)
+        assert back.count() == 2
+        if fmt in ("parquet", "orc", "json"):
+            got = {
+                (r.id, r.name, tuple(r.vec))
+                for r in back.select("id", "name", "vec").collect()
+            }
+            assert got == {(1, "a", (1.0, 2.0)), (2, "b", (3.0,))}
+        else:  # csv stringifies arrays
+            assert back.filter("name = 'a'").first().vec == "[1.0,2.0]"
+    with pytest.raises(ValueError):
+        writers.write_dataset(df, str(tmp_path / "x"), fmt="avro")
+
+
+def test_write_dataset_partitioned_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(20)],
+        "id long, par string",
+    )
+    path = writers.write_dataset(
+        df, str(tmp_path / "p"), fmt="orc", partition_cols=["par"]
+    )
+    back = writers.read_dataset(spark, path, fmt="orc").filter(
+        F.col("par") == "even"
+    )
+    assert back.count() == 10
+    # partition pruning: the physical scan must carry the partition filter
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Two tables co-bucketed on the join key: the sort-merge join must
+    read buckets in place — NO Exchange on either side."""
+    import uuid
+
+    a = spark.range(0, 1000).withColumn("va", F.col("id") * 2)
+    b = spark.range(0, 1000).withColumn("vb", F.col("id") * 3)
+    ta, tb = (f"t{uuid.uuid4().hex[:8]}_{s}" for s in ("a", "b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at test size the planner would broadcast (which also skips the
+        # shuffle, but trivially); force the sort-merge path the layout
+        # is designed for, as a big-fact x big-fact join would plan
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        writers.write_bucketed_table(a, ta, ["id"], n_buckets=8, sort_cols=["id"])
+        writers.write_bucketed_table(b, tb, ["id"], n_buckets=8, sort_cols=["id"])
+        joined = spark.table(ta).join(spark.table(tb), "id")
+        assert joined.count() == 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_hll_sketch_rollup_matches_exact_within_error(spark):
+    from sensomics_data_pipeline_spark.operators.profile import (
+        distinct_sketches,
+        rollup_sketches,
+    )
+
+    df = spark.range(0, 20000).selectExpr(
+        "id % 10 AS day", "id % 4 AS src", "cast(id % 3777 AS string) AS user"
+    )
+    fine = distinct_sketches(df, ["day", "src"], "user", lgk=12)
+    assert fine.count() == 20  # (id%10, id%4) has lcm(10,4)=20 combos
+    # roll the 20 stored sketches up to per-src and global WITHOUT
+    # touching df again
+    per_src = rollup_sketches(fine, ["src"])
+    glob = rollup_sketches(fine, [])
+    exact = df.select("user").distinct().count()
+    est = glob.first().estimate
+    assert abs(est - exact) / exact < 0.05
+    for r in per_src.collect():
+        ex = df.filter(F.col("src") == r.src).select("user").distinct().count()
+        assert abs(r.estimate - ex) / ex < 0.05
