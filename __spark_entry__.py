@@ -3303,6 +3303,107 @@ FROM j LEFT JOIN mad m2 USING (event_type)
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-sequential conversion funnel view→click→purchase:
+    stage times as stacked window minima over ONE user partitioning
+    (single shuffle of the event table, no self-joins), collapsed to a
+    3-row stage summary."""
+    from sensomics_data_pipeline_spark.operators.analytics import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+_SQL_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= v.t0 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t1 GROUP BY e.user_id
+), n AS (
+  SELECT (SELECT count(*) FROM v) AS n0,
+         (SELECT count(*) FROM c) AS n1,
+         (SELECT count(*) FROM p) AS n2
+)
+SELECT 0 AS stage_index, 'view' AS stage, n0::BIGINT AS n_users,
+       CASE WHEN n0 > 0 THEN round(n0::DOUBLE / n0::DOUBLE, 6) END AS conversion
+FROM n
+UNION ALL
+SELECT 1, 'click', n1::BIGINT,
+       CASE WHEN n0 > 0 THEN round(n1::DOUBLE / n0::DOUBLE, 6) END FROM n
+UNION ALL
+SELECT 2, 'purchase', n2::BIGINT,
+       CASE WHEN n0 > 0 THEN round(n2::DOUBLE / n0::DOUBLE, 6) END FROM n
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: users cohorted by the week of
+    their first event; each (cohort, offset) cell counts distinct
+    members still active that many weeks later."""
+    from sensomics_data_pipeline_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, grain="week")
+
+
+_SQL_COHORT = """
+WITH f AS (
+  SELECT user_id, min(ts) AS fts FROM events GROUP BY user_id
+), cell AS (
+  SELECT e.user_id,
+         date_trunc('week', f.fts) AS cohort_start,
+         (date_diff('day', date_trunc('week', f.fts),
+                    date_trunc('week', e.ts)) // 7)::INT AS period_offset
+  FROM events e JOIN f USING (user_id)
+), cells AS (
+  SELECT cohort_start, period_offset, count(DISTINCT user_id) AS n_active
+  FROM cell GROUP BY cohort_start, period_offset
+), size0 AS (
+  SELECT cohort_start, n_active AS sz FROM cells WHERE period_offset = 0
+)
+SELECT c.cohort_start::TIMESTAMP AS cohort_start, c.period_offset, c.n_active,
+       round(c.n_active::DOUBLE / s.sz::DOUBLE, 6) AS retention
+FROM cells c JOIN size0 s USING (cohort_start)
+"""
+
+
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of value over time (regr_slope /
+    regr_intercept / correlation), x = hours since the user's first
+    event — single-pass mergeable regression aggregates, one shuffle."""
+    from sensomics_data_pipeline_spark.operators.analytics import trend_slope
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return trend_slope(ev, ["user_id"])
+
+
+_SQL_TREND = """
+WITH b AS (
+  SELECT user_id, value,
+         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))::DOUBLE
+           / 3600000000.0 AS x
+  FROM events
+)
+SELECT user_id, count(value) AS n_points,
+       round(regr_slope(value, x), 6) AS slope_per_hour,
+       round(regr_intercept(value, x), 6) AS intercept,
+       round(covar_pop(x, value)
+             / nullif(stddev_pop(CASE WHEN value IS NOT NULL THEN x END)
+                      * stddev_pop(CASE WHEN x IS NOT NULL THEN value END), 0),
+             6) AS corr_xy
+FROM b GROUP BY user_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF0001)
@@ -3377,8 +3478,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "weighted_sample": q_weighted_sample,
         "embedding_near_dup": q_embedding_near_dup,
-        "exact_dedup": q_exact_dedup,
-        "token_stats": q_token_stats,
+        # funnel / cohort_retention / trend_slope are new in r4 (never
+        # driver-checked) -> first 50; moving out with in-set family
+        # twins, all r3 hash-green: exact_dedup (dedup family:
+        # minhash_lsh/ngram_jaccard/dedup_clusters + set_ops r2),
+        # token_stats (text family: text_quality/lexical_stats/
+        # vocab_topk), embedding_topk (embedding family:
+        # embedding_near_dup + semantic_dedup in-set).
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "lexical_stats": q_lexical_stats,
@@ -3386,7 +3494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
-        "embedding_topk": q_embedding_topk,
+        "trend_slope": q_trend_slope,
         # semantic_dedup is new in r4 (never driver-checked) -> first
         # 50; embedding_lsh (r3 hash-green, embedding family twins
         # embedding_topk/embedding_near_dup in-set) moves out.
@@ -3416,6 +3524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_wide": q_pivot_wide,
         "semi_anti_join": q_semi_anti_join,
         "doc_fingerprint": q_doc_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "token_stats": q_token_stats,
+        "embedding_topk": q_embedding_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
         "embedding_lsh": q_embedding_lsh,
         "streaming_sessions": q_streaming_sessions,
@@ -3529,6 +3640,9 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "lexical_stats": _SQL_LEXICAL_STATS,
         "mad_outliers": _SQL_MAD_OUTLIERS,
+        "funnel": _SQL_FUNNEL,
+        "cohort_retention": _SQL_COHORT,
+        "trend_slope": _SQL_TREND,
         # pack_sequences / corpus_pipeline: iterative FFD — row-level
         # output is rows-only by design; their conservation laws are
         # full-hash certified via pack_invariants / corpus_invariants.

@@ -1,0 +1,193 @@
+"""Event analytics: funnel conversion, cohort retention, grouped
+linear trends (north-star ops, no reference analog — the product-
+analytics staples any event table this shape gets asked for).
+
+All three are pure DataFrame plans shuffling only on their natural
+keys (user / cohort), engine-reproducible so DuckDB oracles can
+certify them bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strictly-sequential funnel: a user reaches stage *i* at the
+    EARLIEST event of type ``stages[i]`` at-or-after their stage *i-1*
+    time (first-touch attribution; ties at the same timestamp count —
+    the closed-bound convention used repo-wide).
+
+    Returns one row per stage: ``(stage_index, stage, n_users,
+    conversion)`` where conversion is the fraction of stage-0 users
+    surviving to stage *i* (round 6).
+
+    Plan: the per-stage times are ``len(stages)`` stacked unbounded
+    window aggregates over the SAME user partitioning — one shuffle
+    total, each stage's condition referencing the previous stage's
+    window column; then a per-user collapse and one tiny 1-row
+    aggregate unpivoted with ``stack`` (zero extra shuffles of event
+    rows). No self-joins of the event table.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    w = Window.partitionBy(user_col)
+    cur = df.select(user_col, type_col, ts_col)
+    prev_t: str | None = None
+    for i, s in enumerate(stages):
+        cond = F.col(type_col) == s
+        if prev_t is not None:
+            cond = cond & (F.col(ts_col) >= F.col(prev_t))
+        cur = cur.withColumn(
+            f"_t{i}", F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev_t = f"_t{i}"
+    per_user = cur.groupBy(user_col).agg(
+        *[F.min(f"_t{i}").alias(f"_t{i}") for i in range(len(stages))]
+    )
+    one = per_user.agg(
+        *[F.count(f"_t{i}").alias(f"_n{i}") for i in range(len(stages))]
+    )
+    pairs = ", ".join(
+        f"{i}, '{s}', _n{i}" for i, s in enumerate(stages)
+    )
+    long = one.selectExpr(
+        "_n0",
+        f"stack({len(stages)}, {pairs}) AS (stage_index, stage, n_users)",
+    )
+    return long.select(
+        F.col("stage_index").cast("int"),
+        "stage",
+        F.col("n_users").cast("long"),
+        F.when(
+            F.col("_n0") > 0,
+            F.round(
+                F.col("n_users").cast("double") / F.col("_n0").cast("double"),
+                6,
+            ),
+        ).alias("conversion"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    grain: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: users are cohorted by the ``grain``
+    period of their FIRST event; each (cohort, offset) cell counts the
+    distinct cohort members active ``offset`` periods later.
+
+    Returns ``(cohort_start, period_offset, n_active, retention)``
+    with retention = n_active / cohort size (round 6; offset 0 is 1.0
+    by construction).
+
+    Plan: per-user first-event aggregate (shuffle on user), joined back
+    on the user key (co-partitioned — AQE reuses the hash layout), then
+    one groupBy on (cohort, offset) with a distinct-user count. Offsets
+    are exact integer day arithmetic on ``date_trunc`` boundaries, so
+    both engines derive identical cells.
+    """
+    days_per = {"week": 7, "day": 1}[grain]
+    first = df.groupBy(user_col).agg(F.min(ts_col).alias("_first_ts"))
+    cohorted = df.join(first, user_col)
+    cohort = F.date_trunc(grain, F.col("_first_ts"))
+    active = F.date_trunc(grain, F.col(ts_col))
+    # TIMESTAMP, not DATE: Spark DATE surfaces to pandas/Arrow as
+    # python date objects while other engines' DATE surfaces as
+    # datetime64 — midnight-aligned TIMESTAMP round-trips identically
+    # everywhere (the week boundary is midnight by construction)
+    celled = cohorted.select(
+        F.col(user_col),
+        cohort.alias("cohort_start"),
+        (F.datediff(active, cohort) / days_per).cast("int").alias(
+            "period_offset"
+        ),
+    )
+    cells = celled.groupBy("cohort_start", "period_offset").agg(
+        F.countDistinct(user_col).alias("n_active")
+    )
+    size = cells.filter(F.col("period_offset") == 0).select(
+        "cohort_start", F.col("n_active").alias("_cohort_size")
+    )
+    return (
+        cells.join(F.broadcast(size), "cohort_start")
+        .select(
+            "cohort_start",
+            "period_offset",
+            "n_active",
+            F.round(
+                F.col("n_active").cast("double")
+                / F.col("_cohort_size").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+    )
+
+
+def trend_slope(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group linear trend of ``value`` over time: OLS slope /
+    intercept / correlation via the built-in ``regr_*`` aggregates
+    (single-pass, map-side-combinable — no per-group collect).
+
+    The regressor is HOURS SINCE THE GROUP'S FIRST EVENT, not raw epoch
+    seconds: with epoch-scale x the slope magnitude lands below the
+    round-6 oracle precision and every group would flatten to 0.0. The
+    offset is derived with one extra window min over the same grouping
+    (no second shuffle) and is exact integer-µs arithmetic, so both
+    engines regress on identical x. Rows with NULL value are excluded
+    pairwise, as ``regr_*`` defines.
+
+    Output: ``(group_cols..., n_points, slope_per_hour, intercept,
+    corr_xy)`` — aggregates rounded to 6 (float sums are order-dependent
+    in the last bits; the repo-wide rounding convention).
+
+    Degenerate groups return NULL, matching SQL-standard ``regr_*``:
+    zero x-variance (or a single valid pair) nulls all three. The
+    correlation is covar_pop/(σx·σy) via ``try_divide`` rather than
+    ``corr()`` — under Spark 4's default ANSI mode ``corr`` RAISES
+    DIVIDE_BY_ZERO on a zero-variance group (measured), while the
+    manual form degrades to NULL exactly like other engines' corr.
+    """
+    w = Window.partitionBy(*group_cols)
+    x = (
+        (
+            F.unix_micros(F.col(ts_col))
+            - F.min(F.unix_micros(F.col(ts_col))).over(w)
+        ).cast("double")
+        / 3.6e9
+    )
+    based = df.withColumn("_x", x)
+    return based.groupBy(*group_cols).agg(
+        F.count(value_col).alias("n_points"),
+        F.round(F.expr(f"regr_slope({value_col}, _x)"), 6).alias(
+            "slope_per_hour"
+        ),
+        F.round(F.expr(f"regr_intercept({value_col}, _x)"), 6).alias(
+            "intercept"
+        ),
+        # pairwise-complete moments: each stddev only over rows where
+        # the OTHER column is also non-null, like corr() would
+        F.round(
+            F.expr(
+                "try_divide("
+                f"covar_pop(_x, {value_col}), "
+                f"stddev_pop(CASE WHEN {value_col} IS NOT NULL THEN _x END) * "
+                f"stddev_pop(CASE WHEN _x IS NOT NULL THEN {value_col} END))"
+            ),
+            6,
+        ).alias("corr_xy"),
+    )

@@ -2021,3 +2021,90 @@ def test_mad_outliers_hand_computed(spark):
     # global (no-group) path: median 4.5, MAD 1.0 -> 1.0 and 100.0 flag
     g = mad_outliers(df.select("value"), "value", [], k=3.0).toPandas()
     assert set(g[g.is_outlier == True].value) == {1.0, 100.0}  # noqa: E712
+
+
+def test_funnel_hand_computed(spark):
+    import datetime as dt
+
+    from sensomics_data_pipeline_spark.operators.analytics import funnel
+
+    B = dt.datetime(2024, 1, 1)
+    T = lambda s: B + dt.timedelta(seconds=s)
+    rows = [
+        # u1 completes in order
+        (1, "view", T(0)), (1, "click", T(10)), (1, "purchase", T(20)),
+        # u2 clicks BEFORE viewing -> stalls at view
+        (2, "click", T(0)), (2, "view", T(10)),
+        # u3 views only
+        (3, "view", T(0)),
+        # u4 same-timestamp view+click (ties count), no purchase
+        (4, "view", T(5)), (4, "click", T(5)),
+        # u5 never views (purchase alone does not count)
+        (5, "purchase", T(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r.stage: r for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert out["view"].n_users == 4
+    assert out["click"].n_users == 2        # u1, u4
+    assert out["purchase"].n_users == 1     # u1
+    assert out["view"].conversion == 1.0
+    assert out["click"].conversion == 0.5
+    assert out["purchase"].conversion == 0.25
+    with pytest.raises(ValueError):
+        funnel(df, [])
+
+
+def test_cohort_retention_hand_computed(spark):
+    import datetime as dt
+
+    from sensomics_data_pipeline_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    # Mondays: 2024-01-01 and 2024-01-08
+    rows = [
+        (1, dt.datetime(2024, 1, 2)),   # cohort w1
+        (1, dt.datetime(2024, 1, 10)),  # active w2 -> offset 1
+        (2, dt.datetime(2024, 1, 3)),   # cohort w1, never returns
+        (3, dt.datetime(2024, 1, 9)),   # cohort w2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort_start, r.period_offset): r
+        for r in cohort_retention(df, grain="week").collect()
+    }
+    w1 = dt.datetime(2024, 1, 1)
+    w2 = dt.datetime(2024, 1, 8)
+    assert out[(w1, 0)].n_active == 2 and out[(w1, 0)].retention == 1.0
+    assert out[(w1, 1)].n_active == 1 and out[(w1, 1)].retention == 0.5
+    assert out[(w2, 0)].n_active == 1
+    assert len(out) == 3
+
+
+def test_trend_slope_hand_computed(spark):
+    import datetime as dt
+
+    from sensomics_data_pipeline_spark.operators.analytics import trend_slope
+
+    B = dt.datetime(2024, 1, 1)
+    H = lambda h: B + dt.timedelta(hours=h)
+    rows = [
+        # g "up": y = 2x + 1 exactly
+        ("up", H(0), 1.0), ("up", H(1), 3.0), ("up", H(2), 5.0),
+        # g "one": single point -> NULL slope
+        ("one", H(0), 7.0),
+        # g "nulls": one valid pair after NULL exclusion -> NULL slope
+        ("nulls", H(0), None), ("nulls", H(1), 4.0),
+        # g "flat": zero y variance -> slope 0, corr NULL
+        ("flat", H(0), 2.0), ("flat", H(5), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    out = {r.g: r for r in trend_slope(df, ["g"]).collect()}
+    assert out["up"].slope_per_hour == 2.0
+    assert out["up"].intercept == 1.0
+    assert out["up"].corr_xy == 1.0
+    assert out["up"].n_points == 3
+    assert out["one"].slope_per_hour is None
+    assert out["nulls"].slope_per_hour is None
+    assert out["flat"].slope_per_hour == 0.0
+    assert out["flat"].corr_xy is None

@@ -58,6 +58,9 @@ def test_every_query_has_oracle_or_is_flagged():
         "weighted_sample",
         "lexical_stats",
         "mad_outliers",
+        "funnel",
+        "cohort_retention",
+        "trend_slope",
     ):
         assert never_checked in first50, never_checked
 
@@ -144,7 +147,8 @@ _EVENT_FAMILY = [
     "map_functions", "scalar_functions", "agg_suite", "quantiles",
     "threshold_rules", "posexplode_resample", "topk_per_group",
     "streaming_tumbling", "streaming_sessions", "streaming_stateful_dedup",
-    "overlap_join", "mad_outliers",
+    "overlap_join", "mad_outliers", "funnel", "cohort_retention",
+    "trend_slope",
 ]
 
 #: degenerate events a data revision could contain: NULL value, NULL /
