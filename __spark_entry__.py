@@ -3404,6 +3404,46 @@ FROM b GROUP BY user_id
 """
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM changepoint score: max |running sum of deviations
+    from the user's median|, with the timestamp localizing the drift.
+    Median (exact selection) as the reference level keeps the prefix
+    sequence engine-reproducible; one shuffle on the user key."""
+    from sensomics_data_pipeline_spark.operators.analytics import (
+        cusum_changepoint,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return cusum_changepoint(
+        ev, ["user_id"], tiebreak_cols=["event_id"]
+    )
+
+
+_SQL_CUSUM = """
+WITH data AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med FROM data GROUP BY user_id
+), scored AS (
+  SELECT d.user_id, d.ts, d.event_id,
+         sum(d.value - m.med) OVER (PARTITION BY d.user_id
+                                    ORDER BY d.ts, d.event_id
+                                    ROWS UNBOUNDED PRECEDING) AS cusum,
+         count(*) OVER (PARTITION BY d.user_id) AS n_points
+  FROM data d JOIN med m USING (user_id)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY abs(cusum) DESC, ts, event_id) AS rn
+  FROM scored
+)
+SELECT user_id, n_points::BIGINT AS n_points,
+       round(abs(cusum), 6) AS cusum_max, ts AS change_ts
+FROM ranked WHERE rn = 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF0001)
@@ -3487,7 +3527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding_near_dup + semantic_dedup in-set).
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
-        "text_quality": q_text_quality,
+        # cusum_changepoint new in r4 -> first 50; text_quality moves
+        # out (text family: lexical_stats/lang_id/vocab_topk in-set)
+        "cusum_changepoint": q_cusum_changepoint,
         "lang_id": q_lang_id,
         "lexical_stats": q_lexical_stats,
         "minhash_lsh": q_minhash_lsh,
@@ -3526,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
+        "text_quality": q_text_quality,
         "embedding_topk": q_embedding_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
         "embedding_lsh": q_embedding_lsh,
@@ -3643,6 +3686,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _SQL_FUNNEL,
         "cohort_retention": _SQL_COHORT,
         "trend_slope": _SQL_TREND,
+        "cusum_changepoint": _SQL_CUSUM,
         # pack_sequences / corpus_pipeline: iterative FFD — row-level
         # output is rows-only by design; their conservation laws are
         # full-hash certified via pack_invariants / corpus_invariants.

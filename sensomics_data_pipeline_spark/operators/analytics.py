@@ -133,6 +133,61 @@ def cohort_retention(
     )
 
 
+def cusum_changepoint(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """CUSUM changepoint score per group: the running sum of deviations
+    from the group MEDIAN, reported at its maximum absolute excursion —
+    the classic drift detector (a mean-shift at time t makes |CUSUM|
+    grow linearly after t, so the argmax localizes the change).
+
+    The reference level is the exact MEDIAN, not the mean, for
+    engine-reproducibility: a mean is an unordered float sum whose low
+    bits depend on partition order, and it feeds the cusum BEFORE any
+    rounding can stabilize it; the median is an exact selection (or one
+    midpoint division), so every engine computes the identical prefix
+    sequence — the ordered prefix sums themselves are then
+    bit-deterministic because both engines add in the same (ts,
+    tiebreak) order. Rows with NULL value are excluded up front.
+
+    Output: one row per group — ``(group_cols..., n_points, cusum_max,
+    change_ts)`` where ``cusum_max`` is the max |CUSUM| (round 6) and
+    ``change_ts`` the timestamp where it occurs (earliest on ties).
+    Plan: one tiny median aggregate broadcast back, one window pass,
+    one ranked reduction — all on the group key's single shuffle.
+    """
+    data = df.filter(F.col(value_col).isNotNull())
+    med = data.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    joined = data.join(F.broadcast(med), on=group_cols, how="inner")
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    cusum = F.sum(F.col(value_col) - F.col("_med")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = joined.withColumn("_cusum", cusum)
+    pick = Window.partitionBy(*group_cols).orderBy(
+        F.abs(F.col("_cusum")).desc(), F.col(ts_col).asc(), *order[1:]
+    )
+    n = F.count("*").over(Window.partitionBy(*group_cols))
+    return (
+        scored.withColumn("_rn", F.row_number().over(pick))
+        .withColumn("_n", n)
+        .filter(F.col("_rn") == 1)
+        .select(
+            *group_cols,
+            F.col("_n").alias("n_points"),
+            F.round(F.abs(F.col("_cusum")), 6).alias("cusum_max"),
+            F.col(ts_col).alias("change_ts"),
+        )
+    )
+
+
 def trend_slope(
     df: DataFrame,
     group_cols: list[str],

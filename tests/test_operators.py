@@ -2108,3 +2108,62 @@ def test_trend_slope_hand_computed(spark):
     assert out["nulls"].slope_per_hour is None
     assert out["flat"].slope_per_hour == 0.0
     assert out["flat"].corr_xy is None
+
+
+def test_cusum_changepoint_hand_computed(spark):
+    import datetime as dt
+
+    from sensomics_data_pipeline_spark.operators.analytics import (
+        cusum_changepoint,
+    )
+
+    B = dt.datetime(2024, 1, 1)
+    T = lambda s: B + dt.timedelta(seconds=s)
+    rows = [
+        # g1: level shift at t3 — median 0, cusum 0,0,0,10,20 -> max 20 @ t4
+        ("g1", T(0), 1, 0.0), ("g1", T(1), 2, 0.0), ("g1", T(2), 3, 0.0),
+        ("g1", T(3), 4, 10.0), ("g1", T(4), 5, 10.0),
+        # g2: downward drift, NULL excluded — values 4,NULL,2,0; med of
+        # (4,2,0)=2; cusum 2,2,-2 -> max 2 at EARLIEST tie t0
+        ("g2", T(0), 1, 4.0), ("g2", T(1), 2, None),
+        ("g2", T(2), 3, 2.0), ("g2", T(3), 4, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, event_id long, value double")
+    out = {r.g: r for r in cusum_changepoint(df, ["g"], tiebreak_cols=["event_id"]).collect()}
+    assert out["g1"].cusum_max == 20.0
+    assert out["g1"].change_ts == T(4)
+    assert out["g1"].n_points == 5
+    assert out["g2"].cusum_max == 2.0
+    assert out["g2"].change_ts == T(0)  # tie with t2 resolves earliest
+    assert out["g2"].n_points == 3
+
+
+def test_write_sorted_dataset_files_own_disjoint_ranges(spark, tmp_path):
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from sensomics_data_pipeline_spark.sources import writers
+
+    df = spark.range(0, 10000).withColumn("v", F.col("id") % 7)
+    path = writers.write_sorted_dataset(
+        df.repartition(8), str(tmp_path / "srt"), ["id"], n_files=4
+    )
+    spans = []
+    for f in globmod.glob(f"{path}/part-*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) == 4
+    # each file owns a disjoint key range -> min/max pruning can skip
+    # whole files for a point/range predicate
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    # and the scan prunes row groups: a point filter reads << all rows
+    got = spark.read.parquet(path).filter(F.col("id") == 1234).collect()
+    assert len(got) == 1

@@ -75,6 +75,9 @@ QUERIES = [
     "char_diversity",
     "dedup_incremental",
     "corpus_pipeline",
+    # new in round-4 build
+    "lexical_stats",
+    "weighted_sample",
 ]
 
 
@@ -153,6 +156,12 @@ EVENT_QUERIES = [
     "posexplode_resample",
     "quantiles",
     "threshold_rules",
+    # new in round-4 build
+    "overlap_join",
+    "mad_outliers",
+    "funnel",
+    "cohort_retention",
+    "trend_slope",
 ]
 
 
