@@ -3444,6 +3444,107 @@ FROM ranked WHERE rn = 1
 """
 
 
+def _ann_violation_aggs(
+    out: DataFrame, prefix: str, k: int, sim_col: str = "cos_sim"
+) -> DataFrame:
+    """One-row structural-violation counters for an ANN top-k output:
+    a correct result has NO self-neighbors, NO duplicate (query,
+    neighbor) pairs, ranks dense in [1, k], at most k rows per query,
+    and cosine similarities within [-1, 1] (+1e-6 float headroom). The
+    oracle states these as constants, so any structural regression in
+    the iterative ANN paths breaks the hash even though the k-means
+    training itself has no SQL expression."""
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    per_q = out.groupBy("query_id").agg(
+        F.count("*").alias("_n"),
+        F.countDistinct("neighbor_id").alias("_nd"),
+        F.min("rank").alias("_rmin"),
+        F.max("rank").alias("_rmax"),
+    )
+    flat = per_q.agg(
+        F.sum(F.when(F.col("_n") > k, one).otherwise(zero)).alias(
+            f"{prefix}_overfull"
+        ),
+        F.sum(F.when(F.col("_nd") != F.col("_n"), one).otherwise(zero)).alias(
+            f"{prefix}_dup_pairs"
+        ),
+        F.sum(
+            F.when(
+                (F.col("_rmin") != 1) | (F.col("_rmax") != F.col("_n")), one
+            ).otherwise(zero)
+        ).alias(f"{prefix}_rank_holes"),
+    )
+    row = out.agg(
+        F.sum(
+            F.when(F.col("query_id") == F.col("neighbor_id"), one).otherwise(
+                zero
+            )
+        ).alias(f"{prefix}_self"),
+        F.sum(
+            F.when(F.abs(F.col(sim_col)) > 1.0 + 1e-6, one).otherwise(zero)
+        ).alias(f"{prefix}_sim_oob"),
+    )
+    return flat.withColumn("_k", F.lit(0)).join(
+        F.broadcast(row.withColumn("_k", F.lit(0))), "_k"
+    ).drop("_k")
+
+
+def q_ann_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-hash structural certification of the three rows-only ANN
+    paths (IVF, PQ, IVF-PQ — iterative k-means training has no SQL
+    oracle, but the OUTPUT's structural laws do): per variant, the
+    violation counters of ``_ann_violation_aggs`` pinned at zero, plus
+    the valid-vector count derived from ``embeddings`` on both engines.
+    Recall floors vs brute force stay pytest-pinned
+    (tests/test_operators.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    k = 5
+    parts = [
+        _ann_violation_aggs(
+            sim_ops.ivf_topk(emb, k=k, n_lists=16, n_probe=2), "ivf", k
+        ),
+        _ann_violation_aggs(
+            sim_ops.pq_topk(emb, k=k, m=16, n_codes=32),
+            "pq",
+            k,
+            sim_col="adc_sim",
+        ),
+        _ann_violation_aggs(
+            sim_ops.ivf_pq_topk(
+                emb, k=k, n_lists=16, n_probe=2, m=16, n_codes=32
+            ),
+            "ivfpq",
+            k,
+            sim_col="adc_sim",
+        ),
+    ]
+    n_valid = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    ).agg(F.count("*").alias("n_valid_vectors"))
+    acc = n_valid.withColumn("_k", F.lit(0))
+    for p in parts:
+        acc = acc.join(F.broadcast(p.withColumn("_k", F.lit(0))), "_k")
+    return acc.drop("_k")
+
+
+def _sql_ann_invariants() -> str:
+    cols = []
+    for prefix in ("ivf", "pq", "ivfpq"):
+        cols += [
+            f"0::BIGINT AS {prefix}_overfull",
+            f"0::BIGINT AS {prefix}_dup_pairs",
+            f"0::BIGINT AS {prefix}_rank_holes",
+            f"0::BIGINT AS {prefix}_self",
+            f"0::BIGINT AS {prefix}_sim_oob",
+        ]
+    return (
+        "SELECT (SELECT count(*) FROM embeddings WHERE "
+        f"{_d_valid_vec()})::BIGINT AS n_valid_vectors, "
+        + ", ".join(cols)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF0001)
@@ -3517,7 +3618,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "json_extract": q_json_extract,
         "weighted_sample": q_weighted_sample,
-        "embedding_near_dup": q_embedding_near_dup,
         # funnel / cohort_retention / trend_slope are new in r4 (never
         # driver-checked) -> first 50; moving out with in-set family
         # twins, all r3 hash-green: exact_dedup (dedup family:
@@ -3530,6 +3630,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cusum_changepoint new in r4 -> first 50; text_quality moves
         # out (text family: lexical_stats/lang_id/vocab_topk in-set)
         "cusum_changepoint": q_cusum_changepoint,
+        # ann_invariants new in r4 (hash-certifies the structure of the
+        # three rows-only iterative ANN paths) -> first 50;
+        # embedding_near_dup moves out (embedding family: semantic_dedup
+        # + ann_invariants in-set; exact ground-truth twin in tail)
+        "ann_invariants": q_ann_invariants,
         "lang_id": q_lang_id,
         "lexical_stats": q_lexical_stats,
         "minhash_lsh": q_minhash_lsh,
@@ -3569,6 +3674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "text_quality": q_text_quality,
+        "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
         "embedding_lsh": q_embedding_lsh,
@@ -3687,6 +3793,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _SQL_COHORT,
         "trend_slope": _SQL_TREND,
         "cusum_changepoint": _SQL_CUSUM,
+        "ann_invariants": _sql_ann_invariants(),
         # pack_sequences / corpus_pipeline: iterative FFD — row-level
         # output is rows-only by design; their conservation laws are
         # full-hash certified via pack_invariants / corpus_invariants.

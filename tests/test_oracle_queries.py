@@ -62,6 +62,7 @@ def test_every_query_has_oracle_or_is_flagged():
         "cohort_retention",
         "trend_slope",
         "cusum_changepoint",
+        "ann_invariants",
     ):
         assert never_checked in first50, never_checked
 
@@ -206,6 +207,7 @@ def degenerate_events_sf(sf_dir, tmp_path_factory):
 _EMB_FAMILY = [
     "embedding_topk", "embedding_lsh", "embedding_near_dup",
     "embedding_near_dup_exact", "semantic_dedup", "embedding_centroids",
+    "ann_invariants",
 ]
 
 #: degenerate embedding rows a data revision could contain: the zero
