@@ -85,6 +85,15 @@ def main() -> None:
                 # operators may persist intermediates; drop them so queries
                 # are timed independently and memory doesn't accumulate
                 spark.catalog.clearCache()
+        # Spark's ContextCleaner only releases dead broadcast vars and
+        # shuffle files when a DRIVER GC collects their refs; across
+        # ~90 queries x 3 runs the un-collected debris measurably slows
+        # later queries (observed 3x inflation vs standalone runs).
+        # Force a GC after each query so every timing starts clean.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         if failed or not runs:
             timings[name] = -1.0
             medians[name] = -1.0

@@ -402,6 +402,30 @@ def main() -> None:
         )
         return
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r4new":
+        # focused pass over only the operators added late in round 4,
+        # against BOTH replica kinds (documents + events)
+        out_md = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE_r04.md"
+        replicas = 10
+        spark = get_spark("scale_rehearsal")
+        docs_dir = build_replica(spark, replicas)
+        run_queries(
+            spark, entrymod, ["lexical_stats", "weighted_sample"],
+            docs_dir, replicas, out_md,
+            "Round-4 new documents operators, 10x growing-vocab replica",
+        )
+        ev_dir = build_events_replica(spark, replicas)
+        run_queries(
+            spark, entrymod,
+            [
+                "overlap_join", "mad_outliers", "funnel",
+                "cohort_retention", "trend_slope", "cusum_changepoint",
+            ],
+            ev_dir, replicas, out_md,
+            "Round-4 new events operators, 10x users replica",
+        )
+        return
+
     if len(sys.argv) > 1 and sys.argv[1] == "embeddings":
         out_md = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE_r04.md"
         replicas = 10
