@@ -3545,6 +3545,34 @@ def _sql_ann_invariants() -> str:
     )
 
 
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event_type via mergeable bitmap
+    partials: per-(type, day) bitmaps built once, rolled up to
+    per-type with OR + popcount — the store-once/aggregate-anywhere
+    pattern with zero error (vs the HLL sketches' ~1.6%). The oracle
+    is a plain COUNT(DISTINCT): the bitmap path must match it
+    bit-exactly."""
+    from sensomics_data_pipeline_spark.operators.profile import (
+        distinct_bitmaps,
+        rollup_bitmaps,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    fine = distinct_bitmaps(ev, ["event_type", "day"], "user_id")
+    return rollup_bitmaps(fine, ["event_type"]).select(
+        "event_type", F.col("n_distinct").cast("long").alias("n_users")
+    )
+
+
+_SQL_BITMAP_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+FROM events WHERE user_id IS NOT NULL
+GROUP BY event_type
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF0001)
@@ -3635,7 +3663,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding_near_dup moves out (embedding family: semantic_dedup
         # + ann_invariants in-set; exact ground-truth twin in tail)
         "ann_invariants": q_ann_invariants,
-        "lang_id": q_lang_id,
+        # bitmap_distinct new in r4 (exact mergeable distinct rollup)
+        # -> first 50; lang_id moves out (text family:
+        # lexical_stats/vocab_topk/chunk_documents in-set)
+        "bitmap_distinct": q_bitmap_distinct,
         "lexical_stats": q_lexical_stats,
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3674,6 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -3794,6 +3826,7 @@ def oracle_sql() -> dict[str, str]:
         "trend_slope": _SQL_TREND,
         "cusum_changepoint": _SQL_CUSUM,
         "ann_invariants": _sql_ann_invariants(),
+        "bitmap_distinct": _SQL_BITMAP_DISTINCT,
         # pack_sequences / corpus_pipeline: iterative FFD — row-level
         # output is rows-only by design; their conservation laws are
         # full-hash certified via pack_invariants / corpus_invariants.

@@ -63,6 +63,7 @@ def test_every_query_has_oracle_or_is_flagged():
         "trend_slope",
         "cusum_changepoint",
         "ann_invariants",
+        "bitmap_distinct",
     ):
         assert never_checked in first50, never_checked
 
@@ -150,7 +151,7 @@ _EVENT_FAMILY = [
     "threshold_rules", "posexplode_resample", "topk_per_group",
     "streaming_tumbling", "streaming_sessions", "streaming_stateful_dedup",
     "overlap_join", "mad_outliers", "funnel", "cohort_retention",
-    "trend_slope", "cusum_changepoint",
+    "trend_slope", "cusum_changepoint", "bitmap_distinct",
 ]
 
 #: degenerate events a data revision could contain: NULL value, NULL /

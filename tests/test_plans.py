@@ -115,6 +115,9 @@ SCALAR_BROADCAST_OK = {
     # violation counters (conservation-law signature queries)
     "pack_invariants",
     "corpus_invariants",
+    # 1-row violation-counter aggregates per ANN variant joined on a
+    # literal key — same attach-computed-scalars shape
+    "ann_invariants",
 }
 
 

@@ -234,3 +234,31 @@ def test_hll_sketch_rollup_matches_exact_within_error(spark):
     for r in per_src.collect():
         ex = df.filter(F.col("src") == r.src).select("user").distinct().count()
         assert abs(r.estimate - ex) / ex < 0.05
+
+
+def test_bitmap_distinct_exact_vs_count_distinct(spark):
+    """Bitmap partials rolled up at several grains must equal exact
+    COUNT DISTINCT — including negative ids and NULLs."""
+    from sensomics_data_pipeline_spark.operators.profile import (
+        distinct_bitmaps,
+        rollup_bitmaps,
+    )
+
+    df = spark.range(0, 50000).selectExpr(
+        "id % 4 AS src",
+        "id % 10 AS day",
+        "CASE WHEN id % 97 = 0 THEN NULL ELSE (id * 7919) % 5003 - 1000 END AS uid",
+    )
+    fine = distinct_bitmaps(df, ["src", "day"], "uid")
+    for grain in (["src"], ["day"], []):
+        got = {
+            tuple(r[c] for c in grain): r.n_distinct
+            for r in rollup_bitmaps(fine, grain).collect()
+        }
+        want = {
+            tuple(r[c] for c in grain): r.n
+            for r in df.groupBy(*grain)
+            .agg(F.count_distinct("uid").alias("n"))
+            .collect()
+        }
+        assert got == want, grain
