@@ -3573,6 +3573,36 @@ GROUP BY event_type
 """
 
 
+def q_streaming_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static robust anomaly detection: batch median/MAD
+    prepass broadcast onto the event stream, append-mode breach rows —
+    the arrival-time twin of ``mad_outliers``."""
+    from sensomics_data_pipeline_spark.streaming.demo import (
+        stream_mad_anomalies,
+    )
+
+    return stream_mad_anomalies(spark, sf_dir, k=3.0)
+
+
+_SQL_STREAMING_ANOMALIES = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), j AS (
+  SELECT e.event_id, e.event_type, e.value, m.med
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+  FROM j GROUP BY event_type
+)
+SELECT j.event_id, j.event_type, j.value,
+       round(j.med, 6) AS group_median,
+       round(m2.mad, 6) AS group_mad
+FROM j JOIN mad m2 USING (event_type)
+WHERE abs(j.value - j.med) > 3.0 * m2.mad
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF0001)
@@ -3642,7 +3672,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # interval_semijoin), doc_fingerprint (hash/md5 family:
         # minhash_lsh signatures + stratified_sample's md5 rank).
         "overlap_join": q_overlap_join,
-        "join_revenue_by_nation": q_join_revenue_by_nation,
+        # streaming_anomalies new in r4 -> first 50;
+        # join_revenue_by_nation moves out (join family:
+        # rollup_revenue/above_cust_avg/interval_semijoin in-set,
+        # semi_anti_join r3-green in tail)
+        "streaming_anomalies": q_streaming_anomalies,
         "mad_outliers": q_mad_outliers,
         "json_extract": q_json_extract,
         "weighted_sample": q_weighted_sample,
@@ -3702,6 +3736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_wide": q_pivot_wide,
         "semi_anti_join": q_semi_anti_join,
         "doc_fingerprint": q_doc_fingerprint,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "text_quality": q_text_quality,
@@ -3827,6 +3862,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_changepoint": _SQL_CUSUM,
         "ann_invariants": _sql_ann_invariants(),
         "bitmap_distinct": _SQL_BITMAP_DISTINCT,
+        "streaming_anomalies": _SQL_STREAMING_ANOMALIES,
         # pack_sequences / corpus_pipeline: iterative FFD — row-level
         # output is rows-only by design; their conservation laws are
         # full-hash certified via pack_invariants / corpus_invariants.

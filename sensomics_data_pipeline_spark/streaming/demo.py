@@ -215,3 +215,56 @@ def corpus_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_email", "n_ipv4", "n_phone", "n_tokens", "repetitious"
     )
     return run_bounded(out, "append")
+
+
+def stream_mad_anomalies(
+    spark: SparkSession,
+    sf_dir: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Stream-static robust anomaly detection: per-type median/MAD
+    thresholds are computed in a batch prepass (tiny — one row per
+    event_type), then the event STREAM joins them as a broadcast
+    static side and emits only the rows that breach ``k``×MAD — the
+    arrival-time shape of ``operators.profile.mad_outliers``, with the
+    same static-side-refresh pattern as ``streaming.ingest`` (re-run
+    the prepass periodically; restart the query).
+
+    Append mode, no state store, no watermark: the stream side is a
+    pure filter after a broadcast join, so throughput is scan-bound.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sensomics_data_pipeline_spark.sources.readers import (
+        ensure_session_confs,
+        load_table,
+    )
+
+    ensure_session_confs(spark)
+    batch = load_table(spark, sf_dir, "events")
+    med = batch.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_med")
+    )
+    mad = (
+        batch.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - _med), 0.5)").alias("_mad"))
+    )
+    thresholds = med.join(mad, "event_type")
+
+    stream = read_events_stream(spark, sf_dir)
+    flagged = (
+        stream.join(F.broadcast(thresholds), "event_type")
+        .filter(
+            F.abs(F.col("value") - F.col("_med"))
+            > F.lit(float(k)) * F.col("_mad")
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(F.col("_med"), 6).alias("group_median"),
+            F.round(F.col("_mad"), 6).alias("group_mad"),
+        )
+    )
+    return run_bounded(flagged, "append")

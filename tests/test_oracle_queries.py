@@ -64,6 +64,7 @@ def test_every_query_has_oracle_or_is_flagged():
         "cusum_changepoint",
         "ann_invariants",
         "bitmap_distinct",
+        "streaming_anomalies",
     ):
         assert never_checked in first50, never_checked
 
@@ -152,6 +153,7 @@ _EVENT_FAMILY = [
     "streaming_tumbling", "streaming_sessions", "streaming_stateful_dedup",
     "overlap_join", "mad_outliers", "funnel", "cohort_retention",
     "trend_slope", "cusum_changepoint", "bitmap_distinct",
+    "streaming_anomalies",
 ]
 
 #: degenerate events a data revision could contain: NULL value, NULL /
