@@ -3603,6 +3603,64 @@ WHERE abs(j.value - j.med) > 3.0 * m2.mad
 """
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs: distinct part names within
+    edit distance 2, via the length-binned self-equi-join (distinct
+    value domain, never the row domain; no cartesian)."""
+    from sensomics_data_pipeline_spark.operators.entity import (
+        fuzzy_match_pairs,
+    )
+
+    parts = _t(spark, sf_dir, "part")
+    return fuzzy_match_pairs(parts, "p_name", max_dist=2)
+
+
+_SQL_FUZZY_MATCH = """
+WITH n AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL)
+SELECT a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name)::INT AS dist
+FROM n a JOIN n b
+  ON a.name < b.name
+ AND abs(length(a.name) - length(b.name)) <= 2
+ AND levenshtein(a.name, b.name) <= 2
+"""
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full entity resolution: fuzzy pairs → distributed connected
+    components → every distinct part name mapped to its cluster's
+    minimum as canonical (singletons map to themselves). The oracle
+    re-derives the transitive closure with a recursive CTE."""
+    from sensomics_data_pipeline_spark.operators.entity import (
+        resolve_entities,
+    )
+
+    parts = _t(spark, sf_dir, "part")
+    return resolve_entities(parts, "p_name", max_dist=2)
+
+
+_SQL_ENTITY_RESOLUTION = f"""
+WITH RECURSIVE pairs AS (
+  {_SQL_FUZZY_MATCH}
+), edges AS (
+  SELECT name_a AS src, name_b AS dst FROM pairs
+  UNION
+  SELECT name_b AS src, name_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+  WHERE e.dst != r.src
+), canon AS (
+  SELECT src AS name, least(src, min(dst)) AS canonical_name
+  FROM reach GROUP BY src
+)
+SELECT n.name, coalesce(c.canonical_name, n.name) AS canonical_name
+FROM (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL) n
+LEFT JOIN canon c USING (name)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF0001)
@@ -3649,8 +3707,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_suite": q_agg_suite,
         "quantiles": q_quantiles,
         "repetition_signals": q_repetition_signals,
-        "stats_suite": q_stats_suite,
-        "above_cust_avg": q_above_cust_avg,
         "rollup_revenue": q_rollup_revenue,
         "counter_reset_delta": q_counter_reset_delta,
         "flatline_runs": q_flatline_runs,
@@ -3677,6 +3733,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rollup_revenue/above_cust_avg/interval_semijoin in-set,
         # semi_anti_join r3-green in tail)
         "streaming_anomalies": q_streaming_anomalies,
+        # fuzzy_match + entity_resolution new in r4 -> first 50;
+        # moving out with in-set family twins, both r3 hash-green:
+        # stats_suite (agg family: agg_suite + trend_slope's
+        # regr/corr moments in-set), above_cust_avg (correlated
+        # decorrelation; join+agg family rollup_revenue in-set,
+        # window_analytics r2-green in tail)
+        "fuzzy_match": q_fuzzy_match,
+        "entity_resolution": q_entity_resolution,
         "mad_outliers": q_mad_outliers,
         "json_extract": q_json_extract,
         "weighted_sample": q_weighted_sample,
@@ -3737,6 +3801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": q_semi_anti_join,
         "doc_fingerprint": q_doc_fingerprint,
         "join_revenue_by_nation": q_join_revenue_by_nation,
+        "stats_suite": q_stats_suite,
+        "above_cust_avg": q_above_cust_avg,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "text_quality": q_text_quality,
@@ -3863,6 +3929,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_invariants": _sql_ann_invariants(),
         "bitmap_distinct": _SQL_BITMAP_DISTINCT,
         "streaming_anomalies": _SQL_STREAMING_ANOMALIES,
+        "fuzzy_match": _SQL_FUZZY_MATCH,
+        "entity_resolution": _SQL_ENTITY_RESOLUTION,
         # pack_sequences / corpus_pipeline: iterative FFD — row-level
         # output is rows-only by design; their conservation laws are
         # full-hash certified via pack_invariants / corpus_invariants.

@@ -2167,3 +2167,55 @@ def test_write_sorted_dataset_files_own_disjoint_ranges(spark, tmp_path):
     # and the scan prunes row groups: a point filter reads << all rows
     got = spark.read.parquet(path).filter(F.col("id") == 1234).collect()
     assert len(got) == 1
+
+
+def test_fuzzy_match_pairs_hand_cases(spark):
+    from sensomics_data_pipeline_spark.operators.entity import (
+        fuzzy_match_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("kitten",), ("sitten",), ("sittin",),   # chain: dist 1 links
+            ("kitten",),                               # duplicate row
+            ("banana",), ("bananas",),                 # dist 1, len +1
+            ("zzz",), (None,), ("",),                  # isolated / null / empty
+            ("ab",), ("abcd",),                        # dist 2, len +2 (bin boundary)
+        ],
+        "name string",
+    )
+    # tiny bin width forces multi-bin candidates -> first-common-bin dedup
+    pairs = {
+        (r.name_a, r.name_b): r.dist
+        for r in fuzzy_match_pairs(df, "name", max_dist=2, bin_width=2).collect()
+    }
+    assert pairs[("kitten", "sitten")] == 1
+    assert pairs[("sitten", "sittin")] == 1
+    assert pairs[("kitten", "sittin")] == 2
+    assert pairs[("banana", "bananas")] == 1
+    assert pairs[("ab", "abcd")] == 2
+    assert ("", "ab") in pairs  # dist 2 via two inserts
+    assert all(a < b for a, b in pairs)
+    assert not any("zzz" in p for p in pairs)
+    # exactly once each (no multi-bin duplicates)
+    out = fuzzy_match_pairs(df, "name", max_dist=2, bin_width=2)
+    assert out.count() == out.distinct().count() == len(pairs)
+
+
+def test_resolve_entities_transitive_and_singletons(spark):
+    from sensomics_data_pipeline_spark.operators.entity import (
+        resolve_entities,
+    )
+
+    df = spark.createDataFrame(
+        [("kitten",), ("sitten",), ("sittin",), ("isolated-name",), (None,)],
+        "name string",
+    )
+    out = {r.name: r.canonical_name for r in resolve_entities(df, "name").collect()}
+    # the chain collapses to the lexicographic minimum
+    assert out == {
+        "kitten": "kitten",
+        "sitten": "kitten",
+        "sittin": "kitten",
+        "isolated-name": "isolated-name",
+    }

@@ -65,6 +65,8 @@ def test_every_query_has_oracle_or_is_flagged():
         "ann_invariants",
         "bitmap_distinct",
         "streaming_anomalies",
+        "fuzzy_match",
+        "entity_resolution",
     ):
         assert never_checked in first50, never_checked
 
