@@ -441,3 +441,155 @@ def test_dedup_paragraphs_vs_python_reference(spark, docs, k, min_docs):
         for r in out.itertuples()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operators vs brute-force references
+# ---------------------------------------------------------------------------
+
+_two_interval_sets = st.tuples(
+    st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 90)).map(
+            lambda t: (t[0], t[0] + t[1])
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 90)).map(
+            lambda t: (t[0], t[0] + t[1])
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from([60, 300, 3600, 7200]),
+)
+
+
+@_slow
+@given(data=_two_interval_sets)
+def test_overlap_join_matches_brute_force(spark, data):
+    """The binned equi-join must produce EXACTLY the closed-interval
+    overlap set, each pair once, for any bin width."""
+    left_iv, right_iv, bin_s = data
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (i, TS0 + pd.Timedelta(minutes=s), TS0 + pd.Timedelta(minutes=e))
+                for i, (s, e) in enumerate(left_iv)
+            ],
+            columns=["lid", "start_time", "end_time"],
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (j, TS0 + pd.Timedelta(minutes=s), TS0 + pd.Timedelta(minutes=e))
+                for j, (s, e) in enumerate(right_iv)
+            ],
+            columns=["rid", "r_start", "r_end"],
+        )
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in interval_ops.overlap_join(
+            left,
+            right,
+            partition_cols=[],
+            left_cols=("start_time", "end_time"),
+            right_cols=("r_start", "r_end"),
+            bin_width_s=bin_s,
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (ls, le) in enumerate(left_iv)
+        for j, (rs, re_) in enumerate(right_iv)
+        if ls <= re_ and rs <= le
+    }
+    assert got == want
+    # once per pair: the join emits no duplicates
+    n = interval_ops.overlap_join(
+        left, right, [], ("start_time", "end_time"), ("r_start", "r_end"),
+        bin_width_s=bin_s,
+    ).count()
+    assert n == len(want)
+
+
+@_slow
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(-50, 50, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cusum_changepoint_matches_pandas_reference(spark, vals):
+    from sensomics_data_pipeline_spark.operators.analytics import (
+        cusum_changepoint,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "g": ["x"] * len(vals),
+                "ts": [TS0 + pd.Timedelta(seconds=i) for i in range(len(vals))],
+                "event_id": range(len(vals)),
+                "value": pd.array(vals, dtype="float64"),
+            }
+        )
+    )
+    rows = cusum_changepoint(df, ["g"], tiebreak_cols=["event_id"]).collect()
+    clean = [v for v in vals if v is not None]
+    if not clean:
+        assert rows == []
+        return
+    s = pd.Series(clean, dtype="float64")
+    med = s.median()
+    cusum = (s - med).cumsum()
+    k = int(cusum.abs().idxmax())  # pandas idxmax returns FIRST max — earliest tie
+    assert len(rows) == 1
+    assert rows[0].n_points == len(clean)
+    assert rows[0].cusum_max == pytest.approx(abs(cusum[k]), abs=1e-6)
+
+
+@_slow
+@given(
+    names=st.lists(
+        st.text(alphabet="abcx", min_size=0, max_size=6),
+        min_size=1,
+        max_size=14,
+    ),
+    maxd=st.sampled_from([1, 2]),
+    binw=st.sampled_from([1, 2, 5]),
+)
+def test_fuzzy_match_matches_brute_force(spark, names, maxd, binw):
+    from sensomics_data_pipeline_spark.operators.entity import (
+        fuzzy_match_pairs,
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    df = spark.createDataFrame(pd.DataFrame({"name": names}))
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_match_pairs(
+            df, "name", max_dist=maxd, bin_width=binw
+        ).collect()
+    }
+    uniq = sorted(set(names))
+    want = {
+        (a, b, lev(a, b))
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1:]
+        if lev(a, b) <= maxd
+    }
+    assert got == want
