@@ -3661,6 +3661,52 @@ LEFT JOIN canon c USING (name)
 """
 
 
+def q_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature engineering per event_type: decile bin (equal-frequency
+    ntile over a tie-broken total order), min-max scale (bit-exact —
+    exact extrema + one IEEE division, no rounding), and z-score
+    (round 6). One shuffle on the group key; stats broadcast back."""
+    from sensomics_data_pipeline_spark.operators.features import (
+        minmax_scale,
+        quantile_bins,
+        standardize,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = quantile_bins(
+        ev, "value", n_bins=10, group_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    out = minmax_scale(out, "value", ["event_type"])
+    out = standardize(out, "value", ["event_type"])
+    return out.select(
+        "event_id", "event_type", "value", "bin", "minmax", "zscore"
+    )
+
+
+_SQL_FEATURE_SCALING = """
+WITH binned AS (
+  SELECT event_id, event_type, value,
+         CASE WHEN value IS NOT NULL THEN
+           ntile(10) OVER (PARTITION BY event_type, (value IS NULL)
+                           ORDER BY value, event_id)
+         END AS bin
+  FROM events
+), ext AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi,
+         avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT b.event_id, b.event_type, b.value,
+       b.bin::INT AS bin,
+       CASE WHEN e.hi > e.lo THEN (b.value - e.lo) / (e.hi - e.lo) END
+         AS minmax,
+       CASE WHEN e.sd > 0 THEN round((b.value - e.mu) / e.sd, 6) END
+         AS zscore
+FROM binned b LEFT JOIN ext e USING (event_type)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF0001)
@@ -3706,7 +3752,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "agg_suite": q_agg_suite,
         "quantiles": q_quantiles,
-        "repetition_signals": q_repetition_signals,
+        # feature_scaling new in r4 -> first 50; repetition_signals
+        # moves out (text family: char_diversity/lexical_stats in-set,
+        # and streaming_corpus's oracle re-derives the repetition
+        # stages in-set)
+        "feature_scaling": q_feature_scaling,
         "rollup_revenue": q_rollup_revenue,
         "counter_reset_delta": q_counter_reset_delta,
         "flatline_runs": q_flatline_runs,
@@ -3803,6 +3853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "stats_suite": q_stats_suite,
         "above_cust_avg": q_above_cust_avg,
+        "repetition_signals": q_repetition_signals,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "text_quality": q_text_quality,
@@ -3930,6 +3981,7 @@ def oracle_sql() -> dict[str, str]:
         "bitmap_distinct": _SQL_BITMAP_DISTINCT,
         "streaming_anomalies": _SQL_STREAMING_ANOMALIES,
         "fuzzy_match": _SQL_FUZZY_MATCH,
+        "feature_scaling": _SQL_FEATURE_SCALING,
         "entity_resolution": _SQL_ENTITY_RESOLUTION,
         # pack_sequences / corpus_pipeline: iterative FFD — row-level
         # output is rows-only by design; their conservation laws are

@@ -2219,3 +2219,43 @@ def test_resolve_entities_transitive_and_singletons(spark):
         "sittin": "kitten",
         "isolated-name": "isolated-name",
     }
+
+
+def test_feature_scaling_hand_computed(spark):
+    from sensomics_data_pipeline_spark.operators.features import (
+        minmax_scale,
+        quantile_bins,
+        standardize,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 0.0), ("a", 2, 10.0), ("a", 3, 20.0), ("a", 4, None),
+            ("b", 5, 7.0), ("b", 6, 7.0),      # constant group
+        ],
+        "g string, k long, value double",
+    )
+    mm = {
+        (r.g, r.k): r.minmax
+        for r in minmax_scale(df, "value", ["g"]).collect()
+    }
+    assert mm[("a", 1)] == 0.0 and mm[("a", 2)] == 0.5 and mm[("a", 3)] == 1.0
+    assert mm[("a", 4)] is None          # NULL value
+    assert mm[("b", 5)] is None          # constant group
+    z = {
+        (r.g, r.k): r.zscore
+        for r in standardize(df, "value", ["g"]).collect()
+    }
+    assert z[("a", 2)] == 0.0
+    assert z[("a", 3)] == 1.0            # (20-10)/10
+    assert z[("b", 5)] is None           # zero variance
+    b = {
+        (r.g, r.k): r.bin
+        for r in quantile_bins(
+            df, "value", n_bins=2, group_cols=["g"], tiebreak_cols=["k"]
+        ).collect()
+    }
+    assert b[("a", 1)] == 1 and b[("a", 2)] == 1 and b[("a", 3)] == 2
+    assert b[("a", 4)] is None
+    # ties split deterministically by the tiebreak key
+    assert b[("b", 5)] == 1 and b[("b", 6)] == 2

@@ -67,6 +67,7 @@ def test_every_query_has_oracle_or_is_flagged():
         "streaming_anomalies",
         "fuzzy_match",
         "entity_resolution",
+        "feature_scaling",
     ):
         assert never_checked in first50, never_checked
 
@@ -155,7 +156,7 @@ _EVENT_FAMILY = [
     "streaming_tumbling", "streaming_sessions", "streaming_stateful_dedup",
     "overlap_join", "mad_outliers", "funnel", "cohort_retention",
     "trend_slope", "cusum_changepoint", "bitmap_distinct",
-    "streaming_anomalies",
+    "streaming_anomalies", "feature_scaling",
 ]
 
 #: degenerate events a data revision could contain: NULL value, NULL /
