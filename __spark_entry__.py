@@ -3707,6 +3707,126 @@ FROM binned b LEFT JOIN ext e USING (event_type)
 """
 
 
+def _events_rev_b(ev: DataFrame) -> DataFrame:
+    """Deterministic synthetic re-delivery of ``events`` for the diff
+    query: every 97th value bumped (changed), every 101st row dropped
+    (removed), every 103rd re-keyed high (added)."""
+    eid = F.col("event_id")
+    changed = ev.withColumn(
+        "value",
+        F.when(eid % 97 == 0, F.col("value") + F.lit(1.0)).otherwise(
+            F.col("value")
+        ),
+    ).filter(eid % 101 != 0)
+    added = ev.filter(eid % 103 == 0).withColumn(
+        "event_id", eid + F.lit(10_000_000)
+    )
+    return changed.unionByName(added)
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level reconciliation of a re-delivered table: full-outer
+    key join comparing one 64-bit row hash per side (the shuffle
+    carries keys + 8 bytes, never wide rows) → added / removed /
+    changed keys. The synthetic revision is derived deterministically
+    from events, so the oracle reconstructs it exactly."""
+    from sensomics_data_pipeline_spark.operators.diff import table_diff
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return table_diff(ev, _events_rev_b(ev), ["event_id"])
+
+
+_SQL_TABLE_DIFF = """
+WITH a AS (
+  SELECT event_id, event_type, value FROM events
+), b AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 97 = 0 THEN value + 1.0 ELSE value END AS value
+  FROM events WHERE event_id % 101 != 0
+  UNION ALL
+  SELECT event_id + 10000000, event_type, value
+  FROM events WHERE event_id % 103 = 0
+)
+SELECT coalesce(a.event_id, b.event_id) AS event_id,
+       CASE WHEN a.event_id IS NULL THEN 'added'
+            WHEN b.event_id IS NULL THEN 'removed'
+            WHEN a.event_type IS DISTINCT FROM b.event_type
+                 OR a.value IS DISTINCT FROM b.value THEN 'changed'
+       END AS change_type
+FROM a FULL OUTER JOIN b USING (event_id)
+WHERE CASE WHEN a.event_id IS NULL THEN 'added'
+           WHEN b.event_id IS NULL THEN 'removed'
+           WHEN a.event_type IS DISTINCT FROM b.event_type
+                OR a.value IS DISTINCT FROM b.value THEN 'changed'
+      END IS NOT NULL
+"""
+
+
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitor per event_type: first half of the
+    month (baseline) vs second half (candidate) — total-variation
+    distance and chi-square over 10 equi-width bins. Rational
+    functions of exact bin counts; no libm logs (a PSI's ln is not
+    engine-reproducible)."""
+    from sensomics_data_pipeline_spark.operators.diff import (
+        distribution_drift,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return distribution_drift(
+        ev,
+        "value",
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+        n_bins=10,
+        group_cols=["event_type"],
+    )
+
+
+_SQL_DISTRIBUTION_DRIFT = """
+WITH data AS (
+  SELECT event_type, value,
+         (ts >= TIMESTAMP '2024-01-16') AS cand
+  FROM events WHERE value IS NOT NULL
+), ext AS (
+  SELECT event_type, min(value)::DOUBLE AS lo, max(value)::DOUBLE AS hi
+  FROM data GROUP BY event_type
+), binned AS (
+  SELECT d.event_type, d.cand,
+         CASE WHEN e.hi = e.lo THEN 0
+              ELSE least(floor((d.value::DOUBLE - e.lo)
+                               / ((e.hi - e.lo) / 10.0)), 9)
+         END::INT AS b
+  FROM data d LEFT JOIN ext e USING (event_type)
+), counts AS (
+  SELECT event_type, b,
+         sum(CASE WHEN NOT cand THEN 1 ELSE 0 END) AS o_base,
+         sum(CASE WHEN cand THEN 1 ELSE 0 END) AS o_cand
+  FROM binned GROUP BY event_type, b
+), tot AS (
+  SELECT event_type, sum(o_base) AS n_base, sum(o_cand) AS n_cand
+  FROM counts GROUP BY event_type
+)
+SELECT c.event_type,
+       min(t.n_base)::BIGINT AS n_base,
+       min(t.n_cand)::BIGINT AS n_cand,
+       CASE WHEN min(t.n_base) > 0 AND min(t.n_cand) > 0 THEN
+         round(0.5 * sum(abs(c.o_base::DOUBLE / t.n_base::DOUBLE
+                             - c.o_cand::DOUBLE / t.n_cand::DOUBLE)), 6)
+       END AS tv_distance,
+       CASE WHEN min(t.n_base) > 0 AND min(t.n_cand) > 0 THEN
+         round(sum(CASE WHEN c.o_base > 0 THEN
+           pow(c.o_cand::DOUBLE
+               - (c.o_base::DOUBLE / t.n_base::DOUBLE) * t.n_cand::DOUBLE, 2)
+           / ((c.o_base::DOUBLE / t.n_base::DOUBLE) * t.n_cand::DOUBLE)
+         END), 6)
+       END AS chi_square
+FROM counts c JOIN tot t USING (event_type)
+GROUP BY c.event_type
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF0001)
@@ -3764,7 +3884,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_windows": q_merge_windows,
         "interval_subtract": q_interval_subtract,
         "streaming_tumbling": q_streaming_tumbling,
-        "topk_per_group": q_topk_per_group,
+        # table_diff + distribution_drift new in r4 -> first 50;
+        # moving out with in-set family twins, both r3 hash-green:
+        # topk_per_group (ranking family: quality_gate's percent_rank
+        # gate in-set; top1_per_group r2-green in tail), vocab_topk
+        # (text-agg family: lexical_stats/chunk_documents in-set,
+        # tfidf_top_terms r3-green in tail)
+        "table_diff": q_table_diff,
         "asof_join": q_asof_join,
         "threshold_rules": q_threshold_rules,
         "interval_semijoin": q_interval_semijoin,
@@ -3827,7 +3953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "interpolate_linear": q_interpolate_linear,
         "quality_gate": q_quality_gate,
-        "vocab_topk": q_vocab_topk,
+        "distribution_drift": q_distribution_drift,
         "chunk_documents": q_chunk_documents,
         # streaming_ingest is new in r4 (never driver-checked) -> first
         # 50 per the rotation policy; tfidf_top_terms (r3 hash-green,
@@ -3854,6 +3980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_suite": q_stats_suite,
         "above_cust_avg": q_above_cust_avg,
         "repetition_signals": q_repetition_signals,
+        "topk_per_group": q_topk_per_group,
+        "vocab_topk": q_vocab_topk,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "text_quality": q_text_quality,
@@ -3982,6 +4110,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_anomalies": _SQL_STREAMING_ANOMALIES,
         "fuzzy_match": _SQL_FUZZY_MATCH,
         "feature_scaling": _SQL_FEATURE_SCALING,
+        "table_diff": _SQL_TABLE_DIFF,
+        "distribution_drift": _SQL_DISTRIBUTION_DRIFT,
         "entity_resolution": _SQL_ENTITY_RESOLUTION,
         # pack_sequences / corpus_pipeline: iterative FFD — row-level
         # output is rows-only by design; their conservation laws are

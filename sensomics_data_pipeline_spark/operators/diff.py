@@ -1,0 +1,155 @@
+"""Table reconciliation and distribution drift (north-star data-
+quality ops, no reference analog): the checks a pipeline runs when a
+source is re-delivered, a backfill lands, or a new batch may have
+shifted.
+
+Both are single-shuffle plans: ``table_diff`` is one full-outer
+equi-join on the key (co-partitioned on both sides); ``distribution_
+drift`` is one aggregate over binned counts. Outputs are exact
+integers or single IEEE divisions of exact integers — engine-
+reproducible without rounding tricks (the drift scores round at 6
+like every float aggregate in the repo).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level symmetric diff of two tables on a key: returns
+    ``(key_cols..., change_type)`` with change_type in
+    ``added`` (key only in ``b``), ``removed`` (only in ``a``),
+    ``changed`` (both, any compare column differs — NULL-safe), and
+    unchanged rows omitted.
+
+    Comparison hashes the compared columns into one 64-bit value per
+    side (``xxhash64`` of the stringified NULL-sentineled row), so the
+    join carries two longs instead of the full row payloads — at 100 TB
+    the shuffle moves keys + 8 bytes, not wide rows.
+    """
+    compare_cols = compare_cols or [
+        c for c in a.columns if c not in key_cols
+    ]
+    sentinel = "<NULL-SENTINEL>"
+
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        cols = [
+            F.coalesce(F.col(c).cast("string"), F.lit(sentinel))
+            for c in compare_cols
+        ]
+        return df.select(
+            *key_cols, F.xxhash64(*cols).alias(f"_h_{tag}")
+        )
+
+    ha, hb = hashed(a, "a"), hashed(b, "b")
+    joined = ha.join(hb, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_h_a").isNull(), F.lit("added"))
+        .when(F.col("_h_b").isNull(), F.lit("removed"))
+        .when(F.col("_h_a") != F.col("_h_b"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )
+
+
+def distribution_drift(
+    df: DataFrame,
+    value_col: str,
+    split_col,
+    n_bins: int = 10,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Distribution-shift scores between two slices of one table
+    (baseline = ``split_col`` false, candidate = true): equi-width bins
+    over the COMBINED min/max, then per group the total-variation
+    distance ``0.5 * Σ |p_i - q_i|`` and Pearson chi-square statistic
+    ``Σ (o_i - e_i)² / e_i`` over candidate counts vs baseline-rate
+    expectations. Rational functions of exact bin counts — no logs (a
+    PSI's ``ln`` is not reproducible across engines' libm), rounded at
+    6 only to absorb the ≤``n_bins``-term float sum order.
+
+    ``split_col`` is a boolean Column; NULL values drop. Output: one
+    row per group — ``(group_cols..., n_base, n_cand, tv_distance,
+    chi_square)``; groups with an empty side emit NULL scores.
+    """
+    group_cols = group_cols or []
+    v = F.col(value_col)
+    data = df.filter(v.isNotNull()).withColumn(
+        "_cand", split_col.cast("boolean")
+    ).filter(F.col("_cand").isNotNull())
+    ext = data.groupBy(*group_cols).agg(
+        F.min(v).cast("double").alias("_lo"),
+        F.max(v).cast("double").alias("_hi"),
+    )
+    if group_cols:
+        binnable = data.join(F.broadcast(ext), group_cols, "left")
+    else:
+        binnable = data.crossJoin(F.broadcast(ext))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    bucket = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((v.cast("double") - F.col("_lo")) / width),
+            F.lit(n_bins - 1),
+        )
+    ).cast("int")
+    counts = (
+        binnable.withColumn("_b", bucket)
+        .groupBy(*group_cols, "_b")
+        .agg(
+            F.sum(F.when(~F.col("_cand"), 1).otherwise(0)).alias("_o_base"),
+            F.sum(F.when(F.col("_cand"), 1).otherwise(0)).alias("_o_cand"),
+        )
+    )
+    tot = counts.groupBy(*group_cols).agg(
+        F.sum("_o_base").alias("_n_base"), F.sum("_o_cand").alias("_n_cand")
+    )
+    if group_cols:
+        per_bin = counts.join(F.broadcast(tot), group_cols)
+    else:
+        per_bin = counts.crossJoin(F.broadcast(tot))
+    # try_divide: a group can lack one side entirely (n = 0) and ANSI
+    # mode raises on double/0 — NULL degrades to the masked output
+    p = F.try_divide(
+        F.col("_o_base").cast("double"), F.col("_n_base").cast("double")
+    )
+    q = F.try_divide(
+        F.col("_o_cand").cast("double"), F.col("_n_cand").cast("double")
+    )
+    expected = p * F.col("_n_cand").cast("double")
+    chi_term = F.when(
+        F.col("_o_base") > 0,
+        F.try_divide((F.col("_o_cand").cast("double") - expected) ** 2, expected),
+    )
+    return (
+        per_bin.groupBy(*group_cols)
+        .agg(
+            F.min("_n_base").alias("n_base"),
+            F.min("_n_cand").alias("n_cand"),
+            F.round(0.5 * F.sum(F.abs(p - q)), 6).alias("tv_distance"),
+            F.round(F.sum(chi_term), 6).alias("chi_square"),
+        )
+        .withColumn(
+            "tv_distance",
+            F.when(
+                (F.col("n_base") > 0) & (F.col("n_cand") > 0),
+                F.col("tv_distance"),
+            ),
+        )
+        .withColumn(
+            "chi_square",
+            F.when(
+                (F.col("n_base") > 0) & (F.col("n_cand") > 0),
+                F.col("chi_square"),
+            ),
+        )
+    )

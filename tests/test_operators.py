@@ -2259,3 +2259,55 @@ def test_feature_scaling_hand_computed(spark):
     assert b[("a", 4)] is None
     # ties split deterministically by the tiebreak key
     assert b[("b", 5)] == 1 and b[("b", 6)] == 2
+
+
+def test_table_diff_hand_computed(spark):
+    from sensomics_data_pipeline_spark.operators.diff import table_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "z", None), (4, "w", 4.0)],
+        "k long, s string, v double",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 1.0),          # unchanged
+         (2, "y", 99.0),         # changed value
+         (3, "z", None),         # unchanged incl. NULL (null-safe)
+         (5, "new", 5.0)],       # added; 4 removed
+        "k long, s string, v double",
+    )
+    out = {r.k: r.change_type for r in table_diff(a, b, ["k"]).collect()}
+    assert out == {2: "changed", 4: "removed", 5: "added"}
+    # compare_cols restriction: ignoring v, row 2 is unchanged
+    out2 = {
+        r.k: r.change_type
+        for r in table_diff(a, b, ["k"], compare_cols=["s"]).collect()
+    }
+    assert out2 == {4: "removed", 5: "added"}
+
+
+def test_distribution_drift_hand_computed(spark):
+    from sensomics_data_pipeline_spark.operators.diff import (
+        distribution_drift,
+    )
+
+    # baseline uniform over [0,10); candidate shifted into top half
+    rows = [("g", float(i % 10), False) for i in range(100)]
+    rows += [("g", 5.0 + (i % 5), True) for i in range(50)]
+    rows += [("empty", 1.0, False)]  # no candidate rows -> NULL scores
+    df = spark.createDataFrame(rows, "g string, value double, cand boolean")
+    out = {
+        r.g: r
+        for r in distribution_drift(
+            df, "value", F.col("cand"), n_bins=10, group_cols=["g"]
+        ).collect()
+    }
+    g = out["g"]
+    assert g.n_base == 100 and g.n_cand == 50
+    # baseline p_i = .1 everywhere; candidate q = .2 on bins 5..9, 0 below
+    # TV = 0.5 * (5*.1 + 5*.1) = 0.5
+    assert g.tv_distance == pytest.approx(0.5)
+    # chi2 = sum over bins: o_base>0 all; e_i = .1*50 = 5;
+    # bins 0-4: (0-5)^2/5 = 5 each; bins 5-9: (10-5)^2/5 = 5 each -> 50
+    assert g.chi_square == pytest.approx(50.0)
+    e = out["empty"]
+    assert e.tv_distance is None and e.chi_square is None

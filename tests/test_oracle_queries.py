@@ -68,6 +68,8 @@ def test_every_query_has_oracle_or_is_flagged():
         "fuzzy_match",
         "entity_resolution",
         "feature_scaling",
+        "table_diff",
+        "distribution_drift",
     ):
         assert never_checked in first50, never_checked
 
@@ -156,7 +158,8 @@ _EVENT_FAMILY = [
     "streaming_tumbling", "streaming_sessions", "streaming_stateful_dedup",
     "overlap_join", "mad_outliers", "funnel", "cohort_retention",
     "trend_slope", "cusum_changepoint", "bitmap_distinct",
-    "streaming_anomalies", "feature_scaling",
+    "streaming_anomalies", "feature_scaling", "table_diff",
+    "distribution_drift",
 ]
 
 #: degenerate events a data revision could contain: NULL value, NULL /
