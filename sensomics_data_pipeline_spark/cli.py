@@ -5,6 +5,9 @@
     python -m sensomics_data_pipeline_spark.cli filter    -i MEASUREMENTS -o OUT
     python -m sensomics_data_pipeline_spark.cli acc       -i AC_EXTRACT -o OUT [--greedy]
     python -m sensomics_data_pipeline_spark.cli activity  -i MEASUREMENTS -a ACC -o OUT
+    python -m sensomics_data_pipeline_spark.cli analytics {funnel,retention,trend,cusum} -i EVENTS -o OUT
+    python -m sensomics_data_pipeline_spark.cli diff      -i BASE -b CAND -o OUT --key k1,k2
+    python -m sensomics_data_pipeline_spark.cli resolve   -i TABLE -c COLUMN -o OUT
 
 Inputs/outputs are parquet datasets (CSV export via --format csv on
 reformat). Idempotency (the reference's skip-if-output-exists,
@@ -134,6 +137,66 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_analytics(args) -> int:
+    from sensomics_data_pipeline_spark.operators.analytics import (
+        cohort_retention,
+        cusum_changepoint,
+        funnel,
+        trend_slope,
+    )
+
+    spark = _spark()
+    ev = spark.read.parquet(args.input)
+    if args.op == "funnel":
+        out = funnel(
+            ev, args.stages.split(","), user_col=args.user_col,
+            type_col=args.type_col, ts_col=args.ts_col,
+        )
+    elif args.op == "retention":
+        out = cohort_retention(
+            ev, user_col=args.user_col, ts_col=args.ts_col, grain=args.grain
+        )
+    elif args.op == "trend":
+        out = trend_slope(
+            ev, [args.user_col], ts_col=args.ts_col, value_col=args.value_col
+        )
+    else:  # cusum
+        out = cusum_changepoint(
+            ev, [args.user_col], ts_col=args.ts_col, value_col=args.value_col
+        )
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_diff(args) -> int:
+    from sensomics_data_pipeline_spark.operators.diff import table_diff
+
+    spark = _spark()
+    a = spark.read.parquet(args.input)
+    b = spark.read.parquet(args.other)
+    out = table_diff(
+        a, b, args.key.split(","),
+        compare_cols=args.compare.split(",") if args.compare else None,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_resolve(args) -> int:
+    from sensomics_data_pipeline_spark.operators.entity import (
+        resolve_entities,
+    )
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    out = resolve_entities(df, args.column, max_dist=args.max_dist)
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="sensomics-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -196,6 +259,42 @@ def main(argv=None) -> int:
     k.add_argument("--mix", default=None,
                    help="target domain mix, e.g. 'web=3,books=1'")
     k.set_defaults(fn=cmd_corpus)
+
+    an = sub.add_parser(
+        "analytics",
+        help="event analytics: funnel / retention / trend / cusum",
+    )
+    an.add_argument("op", choices=["funnel", "retention", "trend", "cusum"])
+    an.add_argument("-i", "--input", required=True, help="events parquet")
+    an.add_argument("-o", "--out", required=True)
+    an.add_argument("--stages", default="view,click,purchase",
+                    help="funnel stages, comma-separated event types")
+    an.add_argument("--user-col", default="user_id")
+    an.add_argument("--type-col", default="event_type")
+    an.add_argument("--ts-col", default="ts")
+    an.add_argument("--value-col", default="value")
+    an.add_argument("--grain", default="week", choices=["week", "day"])
+    an.set_defaults(fn=cmd_analytics)
+
+    dd = sub.add_parser(
+        "diff", help="row-level table reconciliation (added/removed/changed)"
+    )
+    dd.add_argument("-i", "--input", required=True, help="baseline parquet")
+    dd.add_argument("-b", "--other", required=True, help="candidate parquet")
+    dd.add_argument("-o", "--out", required=True)
+    dd.add_argument("--key", required=True, help="key columns, comma-separated")
+    dd.add_argument("--compare", default=None,
+                    help="columns to compare (default: all non-key)")
+    dd.set_defaults(fn=cmd_diff)
+
+    re_ = sub.add_parser(
+        "resolve", help="entity resolution: fuzzy-canonicalize a column"
+    )
+    re_.add_argument("-i", "--input", required=True)
+    re_.add_argument("-o", "--out", required=True)
+    re_.add_argument("-c", "--column", required=True)
+    re_.add_argument("--max-dist", type=int, default=2)
+    re_.set_defaults(fn=cmd_resolve)
 
     args = p.parse_args(argv)
     return args.fn(args)

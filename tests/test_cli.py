@@ -162,3 +162,59 @@ def test_cli_corpus_with_paragraph_and_mix(spark, tmp_path):
     got = spark.read.parquet(out).toPandas()
     assert not got.text.str.contains("subscribe").any()
     assert set(got.source) <= {"s0", "s1"}
+
+
+def test_cli_analytics_and_diff_and_resolve(spark, tmp_path):
+    import datetime as dt
+
+    from sensomics_data_pipeline_spark import cli
+
+    ev_path = str(tmp_path / "events")
+    B = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, B + dt.timedelta(hours=i), 100 + i % 3, t, float(i))
+        for i, t in enumerate(["view", "click", "purchase", "view", "click"] * 6)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(ev_path)
+
+    for op, cols in (
+        ("funnel", {"stage", "n_users", "conversion"}),
+        ("retention", {"cohort_start", "period_offset", "n_active"}),
+        ("trend", {"user_id", "slope_per_hour"}),
+        ("cusum", {"user_id", "cusum_max", "change_ts"}),
+    ):
+        out = str(tmp_path / f"out_{op}")
+        assert cli.main(["analytics", op, "-i", ev_path, "-o", out]) == 0
+        got = spark.read.parquet(out)
+        assert cols <= set(got.columns)
+        assert got.count() > 0
+
+    # diff: candidate = baseline with one value changed, one row dropped
+    b_path = str(tmp_path / "events_b")
+    ev = spark.read.parquet(ev_path)
+    from pyspark.sql import functions as F
+
+    ev.filter(F.col("event_id") != 3).withColumn(
+        "value",
+        F.when(F.col("event_id") == 5, F.lit(999.0)).otherwise(F.col("value")),
+    ).write.parquet(b_path)
+    out = str(tmp_path / "out_diff")
+    assert cli.main(
+        ["diff", "-i", ev_path, "-b", b_path, "-o", out, "--key", "event_id"]
+    ) == 0
+    got = {r.event_id: r.change_type for r in spark.read.parquet(out).collect()}
+    assert got == {3: "removed", 5: "changed"}
+
+    # resolve: canonicalize a fuzzy column
+    n_path = str(tmp_path / "names")
+    spark.createDataFrame(
+        [("kitten",), ("sitten",), ("other-name",)], "p_name string"
+    ).write.parquet(n_path)
+    out = str(tmp_path / "out_resolve")
+    assert cli.main(
+        ["resolve", "-i", n_path, "-o", out, "-c", "p_name"]
+    ) == 0
+    got = {r.name: r.canonical_name for r in spark.read.parquet(out).collect()}
+    assert got["sitten"] == "kitten" and got["other-name"] == "other-name"
