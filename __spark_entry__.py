@@ -3839,35 +3839,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS row sits inside the first 50 this round; the tail
     # holds queries that were fully green in a PRIOR round's driver
     # check AND have an in-set family twin exercising the same operator
-    # path. Round-4 rotation: the 6 queries new in r3 (paragraph_dedup,
-    # domain_mix, holdout_split, rolling_1h, dedup_incremental,
-    # char_diversity) plus the 2 new invariant queries (pack_invariants,
-    # corpus_invariants — full-hash conservation-law certification of
-    # the two formerly rows-only entries) move INTO the first 50;
-    # moving out, all r3 hash-green with in-set twins:
-    # pack_sequences + corpus_pipeline (superseded by their invariant
-    # twins, which hash-check what rows-only could not),
-    # streaming_stateful_dedup + streaming_sessions (streaming family
-    # covered by streaming_tumbling + streaming_corpus; batch twins
-    # lag_dedup/sessionization r2-green), histogram (agg family:
-    # agg_suite/quantiles), embedding_centroids (embedding family:
-    # embedding_topk/embedding_lsh/embedding_near_dup), decontaminate
-    # (the corpus_invariants oracle re-derives the full decontamination
-    # stage in-set), multimodal_frames (r3-green; md5/byte family with
-    # doc_fingerprint). Tail rationale for older demotions: lag_dedup,
-    # sessionization, cube_agg (grouping-sets family with
-    # rollup_revenue), top_orders_limit (ordering via topk_per_group),
-    # stack_split (unpivot family), merge_upsert, interval_merge
-    # (interval family + hypothesis property tests), map_functions
-    # (JSON family with json_extract), window_analytics, resample_ffill
-    # (resample family with interpolate_linear/posexplode_resample),
-    # scalar_functions, top1_per_group (subsumed by topk_per_group),
-    # embedding_near_dup_exact (ground-truth twin), embedding_ivf
-    # (rows-only by design — iterative k-means has no SQL oracle),
-    # simhash (signatures exercised by simhash_pairs), profile_table
-    # (agg_suite + stats_suite), set_ops (DISTINCT via exact_dedup).
+    # path. Round-4 checked window (21 never-driver-checked entries):
+    # the 6 added late in r3 (paragraph_dedup, domain_mix,
+    # holdout_split, rolling_1h, dedup_incremental, char_diversity),
+    # the invariant certifications (pack_invariants, corpus_invariants,
+    # ann_invariants — full-hash conservation/structural laws for the
+    # iterative FFD/pipeline/ANN paths), and the round-4 additions
+    # (semantic_dedup, streaming_ingest, overlap_join, weighted_sample,
+    # lexical_stats, mad_outliers, funnel, cohort_retention,
+    # trend_slope, cusum_changepoint, bitmap_distinct,
+    # streaming_anomalies, fuzzy_match, entity_resolution,
+    # feature_scaling, table_diff, distribution_drift). Each demotion
+    # to the tail is annotated inline at its new position with the
+    # in-set family twin that keeps the operator path driver-exercised;
+    # all tail entries were hash-green in r2/r3 driver checks.
     # ALL entries are still value-checked bit-exact locally by
-    # tools/check_oracle.py at sf0.01 (results committed per round).
+    # tools/check_oracle.py at sf0.01 AND sf0.1 (results committed per
+    # round: docs/LOCAL_ORACLE_r04*.txt).
     return {
         "pricing_summary": q_pricing_summary,
         "agg_suite": q_agg_suite,
