@@ -3606,17 +3606,28 @@ WHERE abs(j.value - j.med) > 3.0 * m2.mad
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution candidate pairs: distinct part names within
     edit distance 2, via the length-binned self-equi-join (distinct
-    value domain, never the row domain; no cartesian)."""
+    value domain, never the row domain; no cartesian).
+
+    Cross-engine scope: Spark's levenshtein is CODEPOINT-grained while
+    DuckDB's is BYTE-grained on UTF-8 (measured: 'á'→'a' costs 1 vs 2),
+    so the oracle certifies the ASCII subset — where the definitions
+    coincide — selected identically on both sides via
+    ``octet_length = length``. Codepoint semantics on non-ASCII names
+    are pinned by unit test (test_fuzzy_match_unicode_codepoints)."""
     from sensomics_data_pipeline_spark.operators.entity import (
         fuzzy_match_pairs,
     )
 
-    parts = _t(spark, sf_dir, "part")
+    parts = _t(spark, sf_dir, "part").filter(
+        F.octet_length("p_name") == F.length("p_name")
+    )
     return fuzzy_match_pairs(parts, "p_name", max_dist=2)
 
 
 _SQL_FUZZY_MATCH = """
-WITH n AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL)
+WITH n AS (SELECT DISTINCT p_name AS name FROM part
+           WHERE p_name IS NOT NULL
+             AND strlen(p_name) = length(p_name))
 SELECT a.name AS name_a, b.name AS name_b,
        levenshtein(a.name, b.name)::INT AS dist
 FROM n a JOIN n b
@@ -3635,7 +3646,9 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         resolve_entities,
     )
 
-    parts = _t(spark, sf_dir, "part")
+    parts = _t(spark, sf_dir, "part").filter(
+        F.octet_length("p_name") == F.length("p_name")
+    )
     return resolve_entities(parts, "p_name", max_dist=2)
 
 
@@ -3656,7 +3669,9 @@ WITH RECURSIVE pairs AS (
   FROM reach GROUP BY src
 )
 SELECT n.name, coalesce(c.canonical_name, n.name) AS canonical_name
-FROM (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL) n
+FROM (SELECT DISTINCT p_name AS name FROM part
+      WHERE p_name IS NOT NULL
+        AND strlen(p_name) = length(p_name)) n
 LEFT JOIN canon c USING (name)
 """
 

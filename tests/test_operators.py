@@ -2311,3 +2311,19 @@ def test_distribution_drift_hand_computed(spark):
     assert g.chi_square == pytest.approx(50.0)
     e = out["empty"]
     assert e.tv_distance is None and e.chi_square is None
+
+
+def test_fuzzy_match_unicode_codepoints(spark):
+    """Spark's levenshtein is codepoint-grained: one accented
+    substitution costs 1, not the UTF-8 byte count — pinned here
+    because byte-grained engines (DuckDB) diverge on non-ASCII, which
+    is why the driver queries certify the ASCII subset."""
+    from sensomics_data_pipeline_spark.operators.entity import (
+        fuzzy_match_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("small ring",), ("smáll ríng",)], "name string"
+    )
+    out = fuzzy_match_pairs(df, "name", max_dist=2).collect()
+    assert len(out) == 1 and out[0].dist == 2

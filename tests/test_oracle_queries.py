@@ -353,3 +353,75 @@ def test_doc_family_oracle_survives_degenerate_text(
         assert not problems, f"{name}: {problems}"
     finally:
         con.close()
+
+
+#: part-family queries whose oracle must survive degenerate names
+_PART_FAMILY = ["fuzzy_match", "entity_resolution"]
+
+#: degenerate part rows a data revision could contain: NULL name,
+#: empty name, single char, unicode, exact-duplicate names, and a
+#: name within edit distance 1 of an existing one ("small ring")
+_DEGENERATE_PARTS = [
+    (990001, None, "Brand#1", "ECONOMY", 1, 1.0),
+    (990002, "", "Brand#1", "ECONOMY", 1, 1.0),
+    (990003, "x", "Brand#1", "ECONOMY", 1, 1.0),
+    (990004, "smáll ríng", "Brand#1", "ECONOMY", 1, 1.0),
+    (990005, "small rings", "Brand#1", "ECONOMY", 1, 1.0),
+    (990006, "small ring", "Brand#1", "ECONOMY", 1, 1.0),
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_part_sf(sf_dir, tmp_path_factory):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("degenerate_part_sf")
+    base = pq.read_table(f"{sf_dir}/part.parquet")
+    keys, names, brands, types, sizes, prices = zip(*_DEGENERATE_PARTS)
+    edge = pa.table(
+        {
+            "p_partkey": pa.array(keys, pa.int64()),
+            "p_name": pa.array(names, pa.string()),
+            "p_brand": pa.array(brands),
+            "p_type": pa.array(types),
+            "p_size": pa.array(sizes, base.schema.field("p_size").type),
+            "p_retailprice": pa.array(prices, pa.float64()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([base.select(edge.column_names), edge]),
+        str(out / "part.parquet"),
+    )
+    for t in TABLES:
+        if t != "part":
+            os.symlink(f"{sf_dir}/{t}.parquet", str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", _PART_FAMILY)
+def test_part_family_oracle_survives_degenerate_names(
+    spark, degenerate_part_sf, name
+):
+    """Part-side regen-proofing for the entity-resolution queries:
+    NULL/empty/unicode names and planted fuzzy duplicates must produce
+    identical pair sets and canonical maps on both engines (Spark
+    levenshtein and DuckDB levenshtein are both codepoint-grained
+    unit-cost edit distance — pinned here on non-ASCII)."""
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{degenerate_part_sf}/{t}.parquet')"
+            )
+        spark_pdf = (
+            entrymod.queries()[name](spark, degenerate_part_sf).toPandas()
+        )
+        duck_pdf = con.execute(entrymod.oracle_sql()[name]).df()
+        problems = compare(name, spark_pdf, duck_pdf)
+        assert not problems, f"{name}: {problems}"
+    finally:
+        con.close()
