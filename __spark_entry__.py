@@ -3456,6 +3456,15 @@ def _ann_violation_aggs(
     training itself has no SQL expression."""
     zero = F.lit(0).cast("long")
     one = F.lit(1).cast("long")
+
+    def czero(c: F.Column) -> F.Column:
+        # coalesce: if an ANN path ever returned ZERO rows, sum() over
+        # the empty frame is NULL, which would hash-mismatch the
+        # oracle's pinned 0 constants with a misleading signal — report
+        # violation counters as 0 and let n_valid_vectors (derived from
+        # the embeddings TABLE on both engines) expose the real problem.
+        return F.coalesce(c, zero)
+
     per_q = out.groupBy("query_id").agg(
         F.count("*").alias("_n"),
         F.countDistinct("neighbor_id").alias("_nd"),
@@ -3463,26 +3472,33 @@ def _ann_violation_aggs(
         F.max("rank").alias("_rmax"),
     )
     flat = per_q.agg(
-        F.sum(F.when(F.col("_n") > k, one).otherwise(zero)).alias(
+        czero(F.sum(F.when(F.col("_n") > k, one).otherwise(zero))).alias(
             f"{prefix}_overfull"
         ),
-        F.sum(F.when(F.col("_nd") != F.col("_n"), one).otherwise(zero)).alias(
-            f"{prefix}_dup_pairs"
-        ),
-        F.sum(
-            F.when(
-                (F.col("_rmin") != 1) | (F.col("_rmax") != F.col("_n")), one
-            ).otherwise(zero)
+        czero(
+            F.sum(F.when(F.col("_nd") != F.col("_n"), one).otherwise(zero))
+        ).alias(f"{prefix}_dup_pairs"),
+        czero(
+            F.sum(
+                F.when(
+                    (F.col("_rmin") != 1) | (F.col("_rmax") != F.col("_n")),
+                    one,
+                ).otherwise(zero)
+            )
         ).alias(f"{prefix}_rank_holes"),
     )
     row = out.agg(
-        F.sum(
-            F.when(F.col("query_id") == F.col("neighbor_id"), one).otherwise(
-                zero
+        czero(
+            F.sum(
+                F.when(
+                    F.col("query_id") == F.col("neighbor_id"), one
+                ).otherwise(zero)
             )
         ).alias(f"{prefix}_self"),
-        F.sum(
-            F.when(F.abs(F.col(sim_col)) > 1.0 + 1e-6, one).otherwise(zero)
+        czero(
+            F.sum(
+                F.when(F.abs(F.col(sim_col)) > 1.0 + 1e-6, one).otherwise(zero)
+            )
         ).alias(f"{prefix}_sim_oob"),
     )
     return flat.withColumn("_k", F.lit(0)).join(
@@ -3733,8 +3749,13 @@ def _events_rev_b(ev: DataFrame) -> DataFrame:
             F.col("value")
         ),
     ).filter(eid % 101 != 0)
+    # 'added' keys live OUTSIDE the real id domain: event_ids are
+    # non-negative at every scale factor, so -id - 1 can never collide
+    # with a real key (a fixed +10M offset would, at large sf, create
+    # duplicate keys that silently fan out the full-outer join — and
+    # both engines would agree, so the oracle wouldn't catch it).
     added = ev.filter(eid % 103 == 0).withColumn(
-        "event_id", eid + F.lit(10_000_000)
+        "event_id", -eid - F.lit(1)
     )
     return changed.unionByName(added)
 
@@ -3761,7 +3782,7 @@ WITH a AS (
          CASE WHEN event_id % 97 = 0 THEN value + 1.0 ELSE value END AS value
   FROM events WHERE event_id % 101 != 0
   UNION ALL
-  SELECT event_id + 10000000, event_type, value
+  SELECT -event_id - 1, event_type, value
   FROM events WHERE event_id % 103 = 0
 )
 SELECT coalesce(a.event_id, b.event_id) AS event_id,
@@ -3854,31 +3875,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS row sits inside the first 50 this round; the tail
     # holds queries that were fully green in a PRIOR round's driver
     # check AND have an in-set family twin exercising the same operator
-    # path. Round-4 checked window (21 never-driver-checked entries):
-    # the 6 added late in r3 (paragraph_dedup, domain_mix,
-    # holdout_split, rolling_1h, dedup_incremental, char_diversity),
-    # the invariant certifications (pack_invariants, corpus_invariants,
-    # ann_invariants — full-hash conservation/structural laws for the
-    # iterative FFD/pipeline/ANN paths), and the round-4 additions
-    # (semantic_dedup, streaming_ingest, overlap_join, weighted_sample,
-    # lexical_stats, mad_outliers, funnel, cohort_retention,
-    # trend_slope, cusum_changepoint, bitmap_distinct,
-    # streaming_anomalies, fuzzy_match, entity_resolution,
-    # feature_scaling, table_diff, distribution_drift). Each demotion
-    # to the tail is annotated inline at its new position with the
-    # in-set family twin that keeps the operator path driver-exercised;
-    # all tail entries were hash-green in r2/r3 driver checks.
+    # path.
+    #
+    # Round-5 checked window: positions 46-50 hold the LAST FIVE
+    # entries whose evidence was purely local through round 4 —
+    # embedding_ivf / embedding_pq / embedding_ivf_pq (iterative ANN
+    # paths, rows-only by design; structure full-hash certified by the
+    # in-set ann_invariants) and corpus_pipeline / pack_sequences
+    # (iterative FFD paths, rows-only by design; full-hash certified by
+    # the in-set corpus_invariants / pack_invariants). After this round
+    # every registered query has a driver CORRECTNESS row.
+    # Rotated OUT to make room (all r4 hash-green, in-set twins noted
+    # at their tail positions): trend_slope, mad_outliers,
+    # weighted_sample, overlap_join, funnel.
     # ALL entries are still value-checked bit-exact locally by
     # tools/check_oracle.py at sf0.01 AND sf0.1 (results committed per
-    # round: docs/LOCAL_ORACLE_r04*.txt).
+    # round: docs/LOCAL_ORACLE_r05*.txt).
     return {
         "pricing_summary": q_pricing_summary,
         "agg_suite": q_agg_suite,
         "quantiles": q_quantiles,
-        # feature_scaling new in r4 -> first 50; repetition_signals
-        # moves out (text family: char_diversity/lexical_stats in-set,
-        # and streaming_corpus's oracle re-derives the repetition
-        # stages in-set)
         "feature_scaling": q_feature_scaling,
         "rollup_revenue": q_rollup_revenue,
         "counter_reset_delta": q_counter_reset_delta,
@@ -3887,80 +3903,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_windows": q_merge_windows,
         "interval_subtract": q_interval_subtract,
         "streaming_tumbling": q_streaming_tumbling,
-        # table_diff + distribution_drift new in r4 -> first 50;
-        # moving out with in-set family twins, both r3 hash-green:
-        # topk_per_group (ranking family: quality_gate's percent_rank
-        # gate in-set; top1_per_group r2-green in tail), vocab_topk
-        # (text-agg family: lexical_stats/chunk_documents in-set,
-        # tfidf_top_terms r3-green in tail)
         "table_diff": q_table_diff,
         "asof_join": q_asof_join,
         "threshold_rules": q_threshold_rules,
         "interval_semijoin": q_interval_semijoin,
         "unpivot_wide": q_unpivot_wide,
-        # overlap_join / mad_outliers / weighted_sample / lexical_stats
-        # are new in r4 (never driver-checked) -> first 50; moving out
-        # with in-set family twins, all r3 hash-green:
-        # posexplode_resample (resample family: interpolate_linear),
-        # pivot_wide (pivot/unpivot family: unpivot_wide),
-        # semi_anti_join (join family: join_revenue_by_nation +
-        # interval_semijoin), doc_fingerprint (hash/md5 family:
-        # minhash_lsh signatures + stratified_sample's md5 rank).
-        "overlap_join": q_overlap_join,
-        # streaming_anomalies new in r4 -> first 50;
-        # join_revenue_by_nation moves out (join family:
-        # rollup_revenue/above_cust_avg/interval_semijoin in-set,
-        # semi_anti_join r3-green in tail)
         "streaming_anomalies": q_streaming_anomalies,
-        # fuzzy_match + entity_resolution new in r4 -> first 50;
-        # moving out with in-set family twins, both r3 hash-green:
-        # stats_suite (agg family: agg_suite + trend_slope's
-        # regr/corr moments in-set), above_cust_avg (correlated
-        # decorrelation; join+agg family rollup_revenue in-set,
-        # window_analytics r2-green in tail)
         "fuzzy_match": q_fuzzy_match,
         "entity_resolution": q_entity_resolution,
-        "mad_outliers": q_mad_outliers,
         "json_extract": q_json_extract,
-        "weighted_sample": q_weighted_sample,
-        # funnel / cohort_retention / trend_slope are new in r4 (never
-        # driver-checked) -> first 50; moving out with in-set family
-        # twins, all r3 hash-green: exact_dedup (dedup family:
-        # minhash_lsh/ngram_jaccard/dedup_clusters + set_ops r2),
-        # token_stats (text family: text_quality/lexical_stats/
-        # vocab_topk), embedding_topk (embedding family:
-        # embedding_near_dup + semantic_dedup in-set).
-        "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
-        # cusum_changepoint new in r4 -> first 50; text_quality moves
-        # out (text family: lexical_stats/lang_id/vocab_topk in-set)
         "cusum_changepoint": q_cusum_changepoint,
-        # ann_invariants new in r4 (hash-certifies the structure of the
-        # three rows-only iterative ANN paths) -> first 50;
-        # embedding_near_dup moves out (embedding family: semantic_dedup
-        # + ann_invariants in-set; exact ground-truth twin in tail)
         "ann_invariants": q_ann_invariants,
-        # bitmap_distinct new in r4 (exact mergeable distinct rollup)
-        # -> first 50; lang_id moves out (text family:
-        # lexical_stats/vocab_topk/chunk_documents in-set)
         "bitmap_distinct": q_bitmap_distinct,
         "lexical_stats": q_lexical_stats,
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
-        "trend_slope": q_trend_slope,
-        # semantic_dedup is new in r4 (never driver-checked) -> first
-        # 50; embedding_lsh (r3 hash-green, embedding family twins
-        # embedding_topk/embedding_near_dup in-set) moves out.
         "semantic_dedup": q_semantic_dedup,
         "interpolate_linear": q_interpolate_linear,
         "quality_gate": q_quality_gate,
         "distribution_drift": q_distribution_drift,
         "chunk_documents": q_chunk_documents,
-        # streaming_ingest is new in r4 (never driver-checked) -> first
-        # 50 per the rotation policy; tfidf_top_terms (r3 hash-green,
-        # text family twins vocab_topk/token_stats in-set) moves out.
         "streaming_ingest": q_streaming_ingest,
         "streaming_corpus": q_streaming_corpus,
         "stratified_sample": q_stratified_sample,
@@ -3972,9 +3937,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_diversity": q_char_diversity,
         "pack_invariants": q_pack_invariants,
         "corpus_invariants": q_corpus_invariants,
+        "embedding_ivf": q_embedding_ivf,
+        "embedding_pq": q_embedding_pq,
+        "embedding_ivf_pq": q_embedding_ivf_pq,
+        "corpus_pipeline": q_corpus_pipeline,
+        "pack_sequences": q_pack_sequences,
         # ---- positions 51+: every entry below was hash-green in a
-        # prior round's driver CORRECTNESS check (r2 or r3) and keeps
-        # an in-set family twin; see rotation rationale above. ----
+        # prior round's driver CORRECTNESS check and keeps an in-set
+        # family twin exercising the same operator path. ----
         "posexplode_resample": q_posexplode_resample,
         "pivot_wide": q_pivot_wide,
         "semi_anti_join": q_semi_anti_join,
@@ -3999,8 +3969,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "histogram": q_histogram,
         "embedding_centroids": q_embedding_centroids,
-        "corpus_pipeline": q_corpus_pipeline,
-        "pack_sequences": q_pack_sequences,
         "lag_dedup": q_lag_dedup,
         "sessionization": q_sessionization,
         "cube_agg": q_cube_agg,
@@ -4014,12 +3982,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": q_scalar_functions,
         "top1_per_group": q_top1_per_group,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
-        "embedding_ivf": q_embedding_ivf,
-        "embedding_pq": q_embedding_pq,
-        "embedding_ivf_pq": q_embedding_ivf_pq,
         "simhash": q_simhash,
         "profile_table": q_profile_table,
         "set_ops": q_set_ops,
+        # trend_slope: agg/regression family: agg_suite + cusum_changepoint in-set (r4 hash-green)
+        "trend_slope": q_trend_slope,
+        # mad_outliers: robust-stats family: quantiles + distribution_drift in-set (r4 hash-green)
+        "mad_outliers": q_mad_outliers,
+        # weighted_sample: sampling family: stratified_sample + holdout_split in-set (r4 hash-green)
+        "weighted_sample": q_weighted_sample,
+        # overlap_join: interval-join family: interval_semijoin + asof_join in-set (r4 hash-green)
+        "overlap_join": q_overlap_join,
+        # funnel: event-analytics family: cohort_retention in-set (r4 hash-green)
+        "funnel": q_funnel,
     }
 
 

@@ -55,12 +55,25 @@ def funnel(
     one = per_user.agg(
         *[F.count(f"_t{i}").alias(f"_n{i}") for i in range(len(stages))]
     )
-    pairs = ", ".join(
-        f"{i}, '{s}', _n{i}" for i, s in enumerate(stages)
-    )
-    long = one.selectExpr(
+    # Unpivot WITHOUT selectExpr: stage names are caller data (reachable
+    # from the CLI --stages flag), so they must never be interpolated
+    # into SQL text — a quote/comma in a name would break parsing or
+    # inject expressions. inline(array(struct...)) with F.lit carries
+    # the names as bound literals; the plan is identical to stack().
+    long = one.select(
         "_n0",
-        f"stack({len(stages)}, {pairs}) AS (stage_index, stage, n_users)",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("stage_index"),
+                        F.lit(s).alias("stage"),
+                        F.col(f"_n{i}").alias("n_users"),
+                    )
+                    for i, s in enumerate(stages)
+                ]
+            )
+        ),
     )
     return long.select(
         F.col("stage_index").cast("int"),

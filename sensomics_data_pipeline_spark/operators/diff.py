@@ -30,22 +30,41 @@ def table_diff(
     unchanged rows omitted.
 
     Comparison hashes the compared columns into one 64-bit value per
-    side (``xxhash64`` of the stringified NULL-sentineled row), so the
-    join carries two longs instead of the full row payloads — at 100 TB
-    the shuffle moves keys + 8 bytes, not wide rows.
+    side, so the join carries two longs instead of the full row
+    payloads — at 100 TB the shuffle moves keys + 8 bytes, not wide
+    rows.
+
+    Hashing is NATIVE-TYPED, two-level: each column is ``xxhash64``-ed
+    individually (NULL hashes to the bare seed, distinct from every
+    value hash up to the 2^-64 collision), then the per-column longs
+    are ``xxhash64``-ed together. The two levels matter: a single flat
+    ``xxhash64(c1, c2)`` folds NULL as a seed NO-OP, so ``(NULL, x)``
+    and ``(x, NULL)`` would collide — hashing columns first makes NULL
+    position-distinguishable. No string casts, so there is no sentinel
+    value a real string could forge and no dependence on cast
+    formatting. Map columns are canonicalized via ``array_sort(
+    map_entries(...))`` before hashing (map entry order is physical,
+    not logical). Remaining caveats, documented: the 2^-64 per-row
+    false-negative of any hash diff, and float comparison is BITWISE
+    (``-0.0`` vs ``0.0`` and differing NaN payloads hash as changed —
+    the right default for a re-delivery diff).
     """
     compare_cols = compare_cols or [
         c for c in a.columns if c not in key_cols
     ]
-    sentinel = "<NULL-SENTINEL>"
 
     def hashed(df: DataFrame, tag: str) -> DataFrame:
-        cols = [
-            F.coalesce(F.col(c).cast("string"), F.lit(sentinel))
-            for c in compare_cols
-        ]
+        dtypes = dict(df.dtypes)
+        per_col = []
+        for c in compare_cols:
+            if dtypes.get(c, "").startswith("map<"):
+                per_col.append(
+                    F.xxhash64(F.array_sort(F.map_entries(F.col(c))))
+                )
+            else:
+                per_col.append(F.xxhash64(F.col(c)))
         return df.select(
-            *key_cols, F.xxhash64(*cols).alias(f"_h_{tag}")
+            *key_cols, F.xxhash64(*per_col).alias(f"_h_{tag}")
         )
 
     ha, hb = hashed(a, "a"), hashed(b, "b")
@@ -81,6 +100,15 @@ def distribution_drift(
     ``split_col`` is a boolean Column; NULL values drop. Output: one
     row per group — ``(group_cols..., n_base, n_cand, tv_distance,
     chi_square)``; groups with an empty side emit NULL scores.
+
+    Convention: ``chi_square`` uses the textbook ``e_i > 0`` rule —
+    candidate mass landing in a bin the BASELINE never occupied has an
+    undefined expectation and contributes NOTHING to the statistic (no
+    epsilon smoothing: an arbitrary epsilon would dominate the sum and
+    is not engine-reproducible). Such novel-bin mass IS fully counted
+    by ``tv_distance`` (|p - q| = q there), which is the robust
+    headline signal; read chi_square as a shape test over the shared
+    support only.
     """
     group_cols = group_cols or []
     v = F.col(value_col)

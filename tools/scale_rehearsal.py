@@ -135,6 +135,15 @@ def time_query(spark, fn, sf_dir: str, n: int = 2) -> float:
         el = time.time() - t0
         best = el if best is None else min(best, el)
         spark.catalog.clearCache()
+        # Same fix as bench.py: Spark's ContextCleaner only releases dead
+        # broadcast vars / shuffle files when a DRIVER GC collects their
+        # refs; across a long rehearsal the debris inflates later queries
+        # (measured up to 3x in the r4 bench before the fix — the r4
+        # rehearsal slopes for late-table queries carried the same bias).
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
     return best
 
 
