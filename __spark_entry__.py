@@ -1735,9 +1735,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("source") == "src0")
     corpus = docs.filter(F.col("source") != "src0")
-    return text_ops.ngram_contamination(corpus, eval_df, n=8).select(
-        "doc_id", "n_overlap", "contaminated"
-    )
+    return text_ops.ngram_contamination(
+        corpus, eval_df, n=8, engine_exact=False
+    ).select("doc_id", "n_overlap", "contaminated")
 
 
 _SQL_DECONTAMINATE = f"""
@@ -2244,7 +2244,7 @@ FROM b GROUP BY 1, 2
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash fingerprints (min/max 5-gram shingle hash) per doc."""
     docs = _t(spark, sf_dir, "documents")
-    return text_ops.doc_fingerprint(docs).select(
+    return text_ops.doc_fingerprint(docs, engine_exact=False).select(
         "doc_id", "fingerprint_min", "fingerprint_max"
     )
 

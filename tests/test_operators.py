@@ -1799,6 +1799,55 @@ def test_char_diversity_arrow_matches_fold(spark, sf_dir):
         pd.testing.assert_frame_equal(a, b)
 
 
+def test_gram_hash_arrow_matches_hof(spark, sf_dir):
+    """The hashlib Arrow fast paths for doc_fingerprint and
+    ngram_contamination are value-identical to the builtin HOF forms on
+    the full driver documents table AND adversarial edges: empty, NULL,
+    <n tokens, exactly n tokens, Java-\\s-only whitespace mix (tabs /
+    CR / VT — Python's Unicode \\s would tokenize NBSP differently,
+    the replica must not), non-ASCII/astral tokens, and a 200-token
+    single-word doc. Guards the ``_py_tokens`` tokenizer replica."""
+    import pandas as pd
+
+    from sensomics_data_pipeline_spark.operators import text as text_ops
+
+    edge = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, None),
+            (3, "a b c d"),
+            (4, "a b c d e"),
+            (5, " \t lead\ttab  split\ncases \r\x0b mix "),
+            (6, "nbsp stays inside one token a b c d e"),
+            (7, "€漢字 emoji 😀 a b c d e f"),
+            (8, "w " * 200),
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp_cols = ["doc_id", "fingerprint_min", "fingerprint_max"]
+    for df in (edge, docs):
+        a = (
+            text_ops.doc_fingerprint(df)
+            .select(fp_cols).orderBy("doc_id").toPandas()
+            .astype({"fingerprint_min": "Int64", "fingerprint_max": "Int64"})
+        )
+        b = (
+            text_ops.doc_fingerprint(df, engine_exact=False)
+            .select(fp_cols).orderBy("doc_id").toPandas()
+            .astype({"fingerprint_min": "Int64", "fingerprint_max": "Int64"})
+        )
+        pd.testing.assert_frame_equal(a, b)
+    for corpus, eval_df, n in ((edge, edge, 3), (docs, docs.limit(40), 8)):
+        a = text_ops.ngram_contamination(
+            corpus, eval_df, n=n
+        ).orderBy("doc_id").toPandas()
+        b = text_ops.ngram_contamination(
+            corpus, eval_df, n=n, engine_exact=False
+        ).orderBy("doc_id").toPandas()
+        pd.testing.assert_frame_equal(a, b)
+
+
 def test_char_diversity_empty_and_null_pinned_both_engines(spark):
     """Empty and NULL text are pinned to (0, 0, 0, NULL) — and the
     driver-facing oracle SQL agrees bit-exactly, including keeping the
