@@ -34,6 +34,25 @@ def test_entry_smoke(spark):
     assert len(df.schema.fields) > 0
 
 
+def _driver_checked_queries():
+    """Names that already have a driver CORRECTNESS row, derived from the
+    committed ``CORRECTNESS_r*.json`` files — NOT a hard-coded list, so the
+    guard survives future rotations untouched (the r5 verdict flagged the
+    hard-coded round-4 window breaking on a legitimate rotation)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            seen |= set(json.load(open(path)))
+        except (OSError, ValueError):  # pragma: no cover - corrupt artifact
+            continue
+    return seen
+
+
 def test_every_query_has_oracle_or_is_flagged():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -48,30 +67,17 @@ def test_every_query_has_oracle_or_is_flagged():
         "embedding_pq",
         "embedding_ivf_pq",
     }
-    # the driver hashes the FIRST 50 entries; every never-driver-checked
-    # query must sit inside that window (rotation policy, see queries())
-    first50 = list(qs)[:50]
-    for never_checked in (
-        "streaming_ingest",
-        "semantic_dedup",
-        "overlap_join",
-        "weighted_sample",
-        "lexical_stats",
-        "mad_outliers",
-        "funnel",
-        "cohort_retention",
-        "trend_slope",
-        "cusum_changepoint",
-        "ann_invariants",
-        "bitmap_distinct",
-        "streaming_anomalies",
-        "fuzzy_match",
-        "entity_resolution",
-        "feature_scaling",
-        "table_diff",
-        "distribution_drift",
-    ):
-        assert never_checked in first50, never_checked
+    # the driver hashes the FIRST 50 entries; every query that has NEVER
+    # had a driver CORRECTNESS row must sit inside that window (rotation
+    # policy, see queries()); the checked-set is derived from the committed
+    # CORRECTNESS_r*.json artifacts, not a per-round hard-coded list
+    first50 = set(list(qs)[:50])
+    never_checked = set(qs) - _driver_checked_queries()
+    stranded = never_checked - first50
+    assert not stranded, (
+        f"queries with no driver CORRECTNESS row outside the first-50 "
+        f"window: {sorted(stranded)}"
+    )
 
 
 @pytest.mark.parametrize("name", list(entrymod.queries()))
