@@ -1640,12 +1640,13 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (top-word fraction, top-bigram fraction, duplicate-trigram
     fraction, unique-word ratio, composite ``repetitious`` flag).
 
-    The Spark plan computes multiplicities with a per-row sorted fold
-    (zero shuffle, ``operators/text.py:_run_stats``); the oracle
+    The Spark plan computes multiplicities with the Arrow ``Counter``
+    kernel (``engine_exact=False``; bit-identical to the sorted-fold
+    reference per the full-table equivalence test); the oracle
     recomputes them via unnest + GROUP BY — two independent algorithms
     that must agree value-for-value."""
     docs = _t(spark, sf_dir, "documents")
-    return text_ops.repetition_signals(docs).select(
+    return text_ops.repetition_signals(docs, engine_exact=False).select(
         "doc_id",
         "n_tokens",
         "top_word_frac",
@@ -1961,27 +1962,48 @@ FROM c
 """
 
 
-#: one persisted prepare_corpus result per (session, sf_dir):
+#: one persisted prepare_corpus plan per (application, sf_dir):
 #: corpus_pipeline (row grain, rows-only) and corpus_invariants
 #: (signature grain, full-hash) certify the SAME composed plan, so the
 #: 6-stage pipeline executes once per bench/driver run instead of twice
-#: (~9.5 s of the r4 bench was the duplicate execution). Single-entry
-#: cache — an evicted result is unpersisted before the new one pins.
+#: (~9.5 s of the r4 bench was the duplicate execution). Small LRU —
+#: a harness interleaves sf dirs (bench.py warms every query at
+#: sf0.001 before timing it at sf0.1), so a single-entry cache
+#: thrashes: each warm pass would evict the timed dir's entry and
+#: force a full rebuild per run (measured 2-3× on the invariants
+#: entry). Keyed by applicationId, not id(spark): CPython reuses
+#: object ids after GC, so an id-keyed memo could hand a new session a
+#: DataFrame bound to a dead one.
 _CORPUS_MEMO: dict = {}
+_CORPUS_MEMO_MAX = 4
 
 
 def _prepared_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
-    from sensomics_data_pipeline_spark.operators.corpus import (
-        prepare_corpus,
-        release_stage_cache,
-    )
+    from sensomics_data_pipeline_spark.operators.corpus import prepare_corpus
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     hit = _CORPUS_MEMO.get(key)
     if hit is not None:
-        return hit
+        # The memoized plan is LAZY; its fan-out points (gated,
+        # survivors) carry persist() pins that fill on first execution
+        # and serve every later consumer. A harness may clearCache()
+        # between runs (bench.py does, after EVERY timed run), which
+        # de-registers those pins — the r5 memo then silently handed
+        # back a recompute-everything plan (measured pessimization).
+        # Re-persist any cleared pin: persist() only re-registers the
+        # plan, the cache refills lazily on the next action.
+        for c in getattr(hit, "_prepare_corpus_cached", ()):
+            try:
+                lvl = c.storageLevel
+                if not (lvl.useMemory or lvl.useDisk):
+                    c.persist(StorageLevel.MEMORY_AND_DISK)
+            except Exception:
+                break  # dead session / unreachable JVM — rebuild below
+        else:
+            return hit
+        _CORPUS_MEMO.pop(key, None)
     docs = _t(spark, sf_dir, "documents")
     out = prepare_corpus(
         docs,
@@ -1989,12 +2011,14 @@ def _prepared_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_keep_frac=0.6,
         dedup_method="exact",
         pack_budget=512,
-        pack_groups=16,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()  # materialize, then free the internal stage caches
-    release_stage_cache(out)
-    for k in list(_CORPUS_MEMO):
-        _CORPUS_MEMO.pop(k).unpersist()
+    )
+    while len(_CORPUS_MEMO) >= _CORPUS_MEMO_MAX:
+        old = _CORPUS_MEMO.pop(next(iter(_CORPUS_MEMO)))
+        for c in getattr(old, "_prepare_corpus_cached", ()):
+            try:
+                c.unpersist()
+            except Exception:
+                pass  # e.g. a dead session's DataFrame — nothing to free
     _CORPUS_MEMO[key] = out
     return out
 
@@ -2009,8 +2033,10 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry certifies the composed plan executes end-to-end at bench
     scale (rows-only driver check, like embedding_ivf). Shares one
     persisted execution with ``corpus_invariants`` via
-    :func:`_prepared_corpus`."""
-    return _prepared_corpus(spark, sf_dir).orderBy("doc_id")
+    :func:`_prepared_corpus`. No final sort: the driver's rows-only
+    check counts rows, and a global orderBy would shuffle the full
+    text payload for presentation only."""
+    return _prepared_corpus(spark, sf_dir)
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2218,12 +2244,14 @@ _SQL_HOLDOUT_SPLIT = _holdout_sql()
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FFD sequence packing: documents hash-split into 16 independent
-    groups, each packed first-fit-decreasing into 2048-char budgets in
-    one Arrow batch. Rows-only driver check (like embedding_ivf) — FFD
-    is inherently iterative/stateful, not SQL-expressible; the packing
-    invariants (fill ≤ budget, every doc packed exactly once, oversize
-    isolation, layout-independent determinism) are pytest-covered
+    """FFD sequence packing: documents hash-split into auto-sized
+    independent groups (``ceil(n_docs/1024)``, so per-group Python
+    work stays constant as data grows), each packed
+    first-fit-decreasing into 2048-char budgets in one Arrow batch.
+    Rows-only driver check (like embedding_ivf) — FFD is inherently
+    iterative/stateful, not SQL-expressible; the packing invariants
+    (fill ≤ budget, every doc packed exactly once, oversize isolation,
+    layout-independent determinism) are pytest-covered
     (`tests/test_operators.py`)."""
     from sensomics_data_pipeline_spark.operators.packing import pack_sequences
 
@@ -2233,7 +2261,6 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="doc_id",
         tokens_col="n_tokens",
         budget=2048,
-        n_groups=16,
     ).orderBy("pack_id", "doc_id")
 
 
@@ -2825,30 +2852,35 @@ def _pack_invariant_aggs(packed: DataFrame, budget: int) -> DataFrame:
     counters that a correct packing must hold at ZERO — the oracle
     states the laws as constants while Spark counts actual violations,
     so any FFD bug (dropped doc, over-budget pack, inconsistent fill,
-    non-isolated oversize doc) breaks the hash."""
+    non-isolated oversize doc) breaks the hash.
+
+    ONE pass over the input: both grains fold through a single
+    per-pack aggregation (the r5 two-branch join consumed the packed
+    plan twice — at bench scale that re-executed the whole un-cached
+    corpus-pipeline tail per grain). ``n_distinct_docs`` is the sum of
+    per-pack distinct counts, which equals the global distinct count
+    exactly when the packing is correct (no doc in two packs) and
+    EXCEEDS it — breaking the hash against the oracle — whenever a doc
+    is duplicated across packs, so the violation-detection contract is
+    preserved."""
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
     per_pack = packed.groupBy("pack_id").agg(
         F.sum("n_tokens").alias("tok_sum"),
         F.min("pack_fill").alias("fill_min"),
         F.max("pack_fill").alias("fill_max"),
         F.max(F.col("oversize").cast("int")).alias("has_oversize"),
         F.count("*").alias("n_members"),
+        F.countDistinct("doc_id").alias("n_dist"),
+        F.sum(F.col("oversize").cast("long")).alias("n_over"),
+        F.sum("doc_id").alias("id_sum_part"),
     )
-    # the two one-row aggregate grains (doc-level, pack-level) are
-    # combined on a literal key: Catalyst constant-folds it into a
-    # BroadcastNestedLoopJoin with a single-row build side — the
-    # whitelisted "attach computed scalars" shape (SCALAR_BROADCAST_OK
-    # in tests/test_plans.py), unlike a bare crossJoin which plans the
-    # banned CartesianProduct operator
-    doc_agg = packed.agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct("doc_id").alias("n_distinct_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.sum(F.col("oversize").cast("long")).alias("n_oversize"),
-        F.sum("doc_id").alias("id_sum"),
-    ).withColumn("_k", F.lit(0))
-    zero = F.lit(0).cast("long")
-    one = F.lit(1).cast("long")
-    pack_agg = per_pack.agg(
+    return per_pack.agg(
+        F.sum("n_members").alias("n_docs"),
+        F.sum("n_dist").alias("n_distinct_docs"),
+        F.sum("tok_sum").alias("total_tokens"),
+        F.sum("n_over").alias("n_oversize"),
+        F.sum("id_sum_part").alias("id_sum"),
         F.sum(
             F.when(
                 (F.col("has_oversize") == 0) & (F.col("fill_max") > budget),
@@ -2867,8 +2899,7 @@ def _pack_invariant_aggs(packed: DataFrame, budget: int) -> DataFrame:
                 (F.col("has_oversize") == 1) & (F.col("n_members") > 1), one
             ).otherwise(zero)
         ).alias("n_oversize_shared"),
-    ).withColumn("_k", F.lit(0))
-    return doc_agg.join(F.broadcast(pack_agg), "_k").drop("_k")
+    )
 
 
 def q_pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2885,7 +2916,6 @@ def q_pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="doc_id",
         tokens_col="n_tokens",
         budget=2048,
-        n_groups=16,
     )
     return _pack_invariant_aggs(packed, budget=2048)
 

@@ -49,7 +49,7 @@ def prepare_corpus(
     dedup_method: str = "minhash",
     dedup_kwargs: dict | None = None,
     pack_budget: int = 2048,
-    pack_groups: int = 64,
+    pack_groups: int | None = None,
     paragraph_min_docs: int | None = None,
     paragraph_sep: str | None = None,
     paragraph_join: str | None = None,
@@ -85,6 +85,11 @@ def prepare_corpus(
     shuffle); the quality gate shuffles once per source-partitioned
     window; contamination is a broadcast probe; dedup is the banding
     equi-join family; packing shuffles only ``(key, n_tokens)`` pairs.
+    ``pack_groups=None`` (default) lets :func:`pack_sequences`
+    auto-size its group count from a survivor count — with
+    ``persist_stages=True`` that count doubles as the survivors-cache
+    materialization (the cache fills during the count job and every
+    later consumer scans it), so the extra action is effectively free.
 
     ``persist_stages`` (default True): the plan DAG references
     ``gated`` twice (contamination probe + join-back) and the survivor
@@ -118,7 +123,7 @@ def prepare_corpus(
             cleaned, key_col
         )
     non_repetitious = (
-        repetition_signals(scrubbed, text_col)
+        repetition_signals(scrubbed, text_col, engine_exact=False)
         .filter(~F.col("repetitious"))
         .select(key_col, source_col, text_col)
     )
@@ -140,6 +145,7 @@ def prepare_corpus(
             key_col=key_col,
             text_col=text_col,
             n=contamination_ngram,
+            engine_exact=False,
         ).filter(~F.col("contaminated"))
         gated = gated.join(
             clean_ids.select(key_col), key_col, "left_semi"

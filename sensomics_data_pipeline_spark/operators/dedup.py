@@ -1001,9 +1001,24 @@ def dedup_incremental(
     near pass is the banded equi-join of ``minhash_lsh_dedup`` but
     TWO-SIDED (new × seen, never seen × seen) — at steady state the
     new batch is a sliver of the corpus, so the join's build side
-    stays small while the seen side streams; signatures are computed
-    once per side inside a codegen'd projection (zero shuffle), and
-    candidates dedupe on (new, seen) before scoring.
+    stays small while the seen side streams. Two scale guards (both
+    LOSSLESS, r5 rehearsal measured slope 7.51 without them):
+
+    * the seen side is collapsed to ONE representative (the smallest
+      key) per DISTINCT signature before banding — the estimate is a
+      pure function of the two signatures and the report keeps only
+      the smallest qualifying seen key, so dropping same-signature
+      higher keys cannot change any output row, and it deflates the
+      degenerate exact-duplicate band buckets (boilerplate crawl
+      classes) that otherwise explode the join quadratically;
+    * the Jaccard estimate is computed INSIDE the band join's
+      projection (the joined row already holds both signature arrays)
+      and sub-threshold candidates are filtered there, so the only
+      shuffle after the join is a map-side-combinable
+      ``groupBy(new).min(struct)`` over 24-byte survivor rows —
+      duplicate (new, seen) hits from multiple bands carry identical
+      estimates, so no pair-dedup shuffle is needed at all (the old
+      plan shuffled both full signature arrays per candidate pair).
     """
     t = F.col(text_col)
     new_h = new_df.select(
@@ -1017,27 +1032,25 @@ def dedup_incremental(
     )
 
     sig_new = minhash_wide(new_df, key_col, text_col, n, num_hashes)
-    sig_seen = minhash_wide(seen_df, key_col, text_col, n, num_hashes)
+    sig_seen = (
+        minhash_wide(seen_df, key_col, text_col, n, num_hashes)
+        .groupBy("mhs")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
     bn = _band_explode(sig_new, band_size, num_hashes, ["mhs"])
     bs = _band_explode(sig_seen, band_size, num_hashes, ["mhs"])
-    cand = (
+    matches = F.size(
+        F.filter(
+            F.zip_with("a.mhs", "b.mhs", lambda x, y: x == y), lambda v: v
+        )
+    )
+    near = (
         bn.alias("a")
         .join(bs.alias("b"), ["band", "band_sig"])
         .select(
             F.col("a.doc_id").alias("new_id"),
             F.col("b.doc_id").alias("seen_id"),
-            F.col("a.mhs").alias("_ma"),
-            F.col("b.mhs").alias("_mb"),
-        )
-        .groupBy("new_id", "seen_id")
-        .agg(F.first("_ma").alias("_ma"), F.first("_mb").alias("_mb"))
-    )
-    matches = F.size(
-        F.filter(F.zip_with("_ma", "_mb", lambda x, y: x == y), lambda v: v)
-    )
-    near = (
-        cand.withColumn(
-            "_est", F.round(matches / F.lit(num_hashes), 6)
+            F.round(matches / F.lit(num_hashes), 6).alias("_est"),
         )
         .filter(F.col("_est") >= float(threshold))
         .groupBy("new_id")

@@ -313,7 +313,57 @@ def _run_stats(arr: Column) -> Column:
     )
 
 
-def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+def _repetition_counts_arrow(df: DataFrame, text_col: str) -> DataFrame:
+    """Arrow twin of ``repetition_signals``' count kernel: per row the
+    five integers the ratios are built from — token count, top-word
+    multiplicity, distinct words, top-bigram multiplicity, distinct
+    trigrams — via ``Counter`` over the ``_py_tokens`` replica inside
+    ``mapInPandas`` instead of three interpreted ``array_sort`` +
+    ``aggregate`` folds (HOFs do not enter whole-stage codegen; the
+    fold chain was the corpus pipeline's hottest stage, ~60% of the
+    prefix cost at bench scale). Bit-identical by construction: the
+    counts are exact integers, and the ratio/round arithmetic stays in
+    the SAME Spark expressions both engines share."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(c, T.LongType())
+            for c in ("_n", "_w_max", "_w_dist", "_b_max", "_t_dist")
+        ]
+    )
+
+    def run(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ns, wm, wd, bm, td = [], [], [], [], []
+            for t in pdf[text_col]:
+                toks = _py_tokens(t)
+                n = len(toks)
+                cw = Counter(toks)
+                cb = Counter(
+                    " ".join(toks[i : i + 2]) for i in range(n - 1)
+                )
+                tg = {" ".join(toks[i : i + 3]) for i in range(n - 2)}
+                ns.append(n)
+                wm.append(max(cw.values()) if cw else 0)
+                wd.append(len(cw))
+                bm.append(max(cb.values()) if cb else 0)
+                td.append(len(tg))
+            yield pdf.assign(
+                _n=ns, _w_max=wm, _w_dist=wd, _b_max=bm, _t_dist=td
+            )
+
+    from sensomics_data_pipeline_spark.util import fan_out
+
+    return fan_out(df).mapInPandas(run, out_schema)
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", engine_exact: bool = True
+) -> DataFrame:
     """Repetition-based quality signals in the style of the Gopher /
     FineWeb heuristics, word-shaped (the corpus has no line structure):
 
@@ -327,27 +377,47 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``repetitious`` — the composite keep/drop flag a training
       pipeline filters on.
 
-    Plan shape: tokenize ONCE per row behind a generator barrier, build
-    2/3-gram shingles from the materialized array, then one sorted-fold
-    per width (``_run_stats``). Everything is a per-row projection —
-    no shuffle, no UDF, embarrassingly parallel at any scale. Ratios
-    are rounded to 6 and ``+ 0.0``-normalized so the DuckDB oracle
-    (which computes the same counts via unnest + groupBy — an
-    independent algorithm) hashes byte-identically."""
+    Plan shape (``engine_exact=True``, the oracle-reference form):
+    tokenize ONCE per row behind a generator barrier, build 2/3-gram
+    shingles from the materialized array, then one sorted-fold per
+    width (``_run_stats``). Everything is a per-row projection — no
+    shuffle, no UDF, embarrassingly parallel at any scale. Ratios are
+    rounded to 6 and ``+ 0.0``-normalized so the DuckDB oracle (which
+    computes the same counts via unnest + groupBy — an independent
+    algorithm) hashes byte-identically.
+
+    ``engine_exact=False`` swaps the interpreted fold kernel for
+    :func:`_repetition_counts_arrow` (``Counter`` in C inside
+    ``mapInPandas``) — exact same integer counts feeding the SAME
+    ratio expressions, so output is bit-identical (full-table
+    equivalence test in ``tests/test_operators.py``); used by the
+    corpus pipeline where this stage dominated the prefix cost."""
     from sensomics_data_pipeline_spark.util import fan_out, materialize
 
-    pre = materialize(fan_out(df), _toks=tokens(F.col(text_col)))
-    t = F.col("_toks")
-    # coalesce pins NULL text to n_tokens=0 (size(NULL) is NULL, which
-    # pandas would widen to float64 and the driver's schema gate would
-    # reject against the oracle's LEFT JOIN + coalesce-to-0 shape)
-    pre = materialize(
-        pre,
-        _w=_run_stats(t),
-        _b=_run_stats(shingles_of(t, 2)),
-        _t=_run_stats(shingles_of(t, 3)),
-        _n=F.coalesce(F.size(t), F.lit(0)).cast("bigint"),
-    )
+    if engine_exact:
+        pre = materialize(fan_out(df), _toks=tokens(F.col(text_col)))
+        t = F.col("_toks")
+        # coalesce pins NULL text to n_tokens=0 (size(NULL) is NULL,
+        # which pandas would widen to float64 and the driver's schema
+        # gate would reject against the oracle's LEFT JOIN +
+        # coalesce-to-0 shape)
+        pre = materialize(
+            pre,
+            _w=_run_stats(t),
+            _b=_run_stats(shingles_of(t, 2)),
+            _t=_run_stats(shingles_of(t, 3)),
+            _n=F.coalesce(F.size(t), F.lit(0)).cast("bigint"),
+        )
+        pre = pre.withColumns(
+            {
+                "_w_max": F.coalesce(F.col("_w.max_run"), F.lit(0)),
+                "_w_dist": F.coalesce(F.col("_w.n_distinct"), F.lit(0)),
+                "_b_max": F.coalesce(F.col("_b.max_run"), F.lit(0)),
+                "_t_dist": F.coalesce(F.col("_t.n_distinct"), F.lit(0)),
+            }
+        ).drop("_toks", "_w", "_b", "_t")
+    else:
+        pre = _repetition_counts_arrow(df, text_col)
     n = F.col("_n")
     n_bg = F.greatest(n - 1, F.lit(0).cast("bigint"))
     n_tg = F.greatest(n - 2, F.lit(0).cast("bigint"))
@@ -358,14 +428,14 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     out = (
         pre.withColumn("n_tokens", n)
-        .withColumn("top_word_frac", frac(F.col("_w.max_run"), n))
-        .withColumn("unique_word_ratio", frac(F.col("_w.n_distinct"), n))
-        .withColumn("top_bigram_frac", frac(F.col("_b.max_run"), n_bg))
+        .withColumn("top_word_frac", frac(F.col("_w_max"), n))
+        .withColumn("unique_word_ratio", frac(F.col("_w_dist"), n))
+        .withColumn("top_bigram_frac", frac(F.col("_b_max"), n_bg))
         .withColumn(
             "dup_trigram_frac",
             F.when(
                 n_tg > 0,
-                F.round(1.0 - F.col("_t.n_distinct") / n_tg, 6) + z,
+                F.round(1.0 - F.col("_t_dist") / n_tg, 6) + z,
             ).otherwise(z),
         )
     )
@@ -375,7 +445,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         | (F.col("dup_trigram_frac") > 0.30)
     )
     return out.withColumn("repetitious", repetitious).drop(
-        "_toks", "_w", "_b", "_t", "_n"
+        "_w_max", "_w_dist", "_b_max", "_t_dist", "_n"
     )
 
 

@@ -1848,6 +1848,55 @@ def test_gram_hash_arrow_matches_hof(spark, sf_dir):
         pd.testing.assert_frame_equal(a, b)
 
 
+def test_repetition_counts_arrow_matches_hof(spark, sf_dir):
+    """The ``Counter`` Arrow kernel behind ``repetition_signals(...,
+    engine_exact=False)`` is value-identical to the sorted-fold HOF
+    reference on the full driver documents table AND the same
+    adversarial tokenizer edges as the fingerprint test (the ratio /
+    round arithmetic is shared Spark expressions — only the integer
+    counts differ in provenance, so equality here certifies the whole
+    column set including the 6-decimal rounds)."""
+    import pandas as pd
+
+    from sensomics_data_pipeline_spark.operators import text as text_ops
+
+    edge = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, None),
+            (3, "a"),
+            (4, "a b"),
+            (5, "a b c"),
+            (6, "word word word word"),
+            (7, " \t lead\ttab  split\ncases \r\x0b mix "),
+            (8, "nbsp stays inside one token a b c d e"),
+            (9, "€漢字 emoji 😀 a b c d e f"),
+            (10, "w " * 200),
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = [
+        "doc_id",
+        "n_tokens",
+        "top_word_frac",
+        "unique_word_ratio",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        "repetitious",
+    ]
+    for df in (edge, docs):
+        a = (
+            text_ops.repetition_signals(df)
+            .select(cols).orderBy("doc_id").toPandas()
+        )
+        b = (
+            text_ops.repetition_signals(df, engine_exact=False)
+            .select(cols).orderBy("doc_id").toPandas()
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+
 def test_char_diversity_empty_and_null_pinned_both_engines(spark):
     """Empty and NULL text are pinned to (0, 0, 0, NULL) — and the
     driver-facing oracle SQL agrees bit-exactly, including keeping the
