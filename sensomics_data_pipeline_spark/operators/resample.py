@@ -46,9 +46,14 @@ def resample_ffill(
     cell = (F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step).cast("long")
 
     # last observation per cell: max_by on the (ts, tiebreaks) order —
-    # partial-aggregates map-side, one shuffled row per observed cell
+    # partial-aggregates map-side, one shuffled row per observed cell.
+    # A NULL timestamp has no grid cell: its NULL _cell would sort
+    # FIRST in the ffill window and could seed _val for the first
+    # observed cell — both the pre-rewrite impl and the DuckDB oracle
+    # drop such rows, so pin that here.
     per_cell = (
         df.withColumn("_cell", cell)
+        .filter(F.col("_cell").isNotNull())
         .groupBy(*partition_cols, "_cell")
         .agg(
             F.max_by(

@@ -60,6 +60,32 @@ def valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     return df.filter(c.isNotNull() & (F.size(c) > 0))
 
 
+def auto_n_planes(n_vectors: int) -> int:
+    """Default LSH hyperplane count for ``n_vectors`` rows:
+    ``⌈log2(n/32)⌉`` clamped to [4, 24] — expected bucket occupancy
+    stays ~32 as data grows, so multi-probe candidate volume is
+    ~n·32·(n_planes+1) (LINEAR in n) instead of n²/2^planes with a
+    pinned plane count (the r4/r5 rehearsals measured the pinned
+    default going quadratic at 10×; the mitigation was manual
+    retuning every scale step — this makes it the default)."""
+    import math
+
+    return max(4, min(24, math.ceil(math.log2(max(n_vectors, 2) / 32))))
+
+
+def auto_n_lists(n_vectors: int, train_sample: int = 4096) -> int:
+    """Default IVF list count: ``⌈√n⌉`` (probe cost and per-list scan
+    cost balance at √n — the classic IVF sizing), clamped to the
+    training-sample size so every list can seed a distinct centroid,
+    floored at 4."""
+    import math
+
+    root = math.isqrt(max(n_vectors, 1))
+    if root * root < n_vectors:
+        root += 1
+    return max(4, min(root, train_sample))
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y),
@@ -339,12 +365,17 @@ def lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     multi_probe: bool = True,
 ) -> DataFrame:
     """ANN cosine top-k: bucket by hyperplane sign pattern, exact cosine
     only within probed buckets — an equi-join replaces the all-pairs
     cross join, so candidate volume is n²/2^planes instead of n².
+
+    ``n_planes=None`` (default) auto-sizes from a cheap count via
+    :func:`auto_n_planes` (~constant bucket occupancy ⇒ linear
+    candidate volume at any scale); pass an explicit value to skip the
+    count job or to pin bucket ids for an engine-external oracle.
 
     ``multi_probe=True`` probes the query's own bucket plus every
     Hamming-1 bucket (one plane's sign flipped): near-neighbors that a
@@ -375,6 +406,9 @@ def lsh_topk(
     import pandas as pd
 
     from sensomics_data_pipeline_spark.util import fan_out, materialize
+
+    if n_planes is None:
+        n_planes = auto_n_planes(valid_vectors(df, vec_col).count())
 
     base = materialize(
         fan_out(valid_vectors(df, vec_col)).select(
@@ -489,7 +523,7 @@ def ivf_topk(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     n_probe: int = 2,
     n_iter: int = 3,
     train_sample: int = 4096,
@@ -498,6 +532,13 @@ def ivf_topk(
     """IVF (inverted-file) ANN: k-means coarse quantizer, vectors
     assigned to their nearest centroid's list, queries probe the
     ``n_probe`` nearest lists only.
+
+    ``n_lists=None`` (default) auto-sizes to ``⌈√n⌉`` from a cheap
+    count (:func:`auto_n_lists`) — per-list scan cost then stays
+    ~√n·n_probe as data grows instead of n/n_lists blowing up under a
+    pinned list count; pass an explicit value to skip the count job
+    (required when reusing pre-trained ``centroids``, whose row count
+    must equal ``n_lists``).
 
     Scale shape — no full-table collect anywhere:
 
@@ -525,6 +566,13 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
+    if n_lists is None:
+        if centroids is not None:
+            n_lists = int(np.asarray(centroids).shape[0])
+        else:
+            n_lists = auto_n_lists(
+                valid_vectors(df, vec_col).count(), train_sample
+            )
     if centroids is None:
         cent = ivf_train(df, key_col, vec_col, n_lists, n_iter, train_sample)
     else:
@@ -933,7 +981,7 @@ def ivf_pq_topk(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     n_probe: int = 2,
     m: int = 8,
     n_codes: int = 32,
@@ -963,6 +1011,13 @@ def ivf_pq_topk(
     import numpy as np
     import pandas as pd
 
+    if n_lists is None:
+        if centroids is not None:
+            n_lists = int(np.asarray(centroids).shape[0])
+        else:
+            n_lists = auto_n_lists(
+                valid_vectors(df, vec_col).count(), train_sample
+            )
     if centroids is None:
         cent = ivf_train(df, key_col, vec_col, n_lists, n_iter, train_sample)
     else:

@@ -205,17 +205,44 @@ def test_near_dup_lsh_is_subset_of_exact_with_high_sim_recall(spark, sf_dir):
 def test_similarity_ops_have_no_eager_collect(spark, sf_dir):
     """Building the similarity DataFrames must not trigger any Spark
     job (the round-1 implementations collected the full table at
-    operator-construction time). IVF's bounded-sample training is the
-    allowed exception, asserted separately by its limit() plan."""
+    operator-construction time). Allowed exceptions: IVF's
+    bounded-sample training (asserted separately by its limit() plan)
+    and the knob auto-sizing count when ``n_planes``/``n_lists`` is
+    None — explicit knobs here keep construction job-free."""
     emb = readers.load_table(spark, sf_dir, "embeddings")
     tracker = spark.sparkContext.statusTracker()
     before = len(tracker.getJobIdsForGroup() or [])
     sim_ops.brute_force_topk(emb, k=5)
     sim_ops.cosine_near_dup_pairs(emb, method="lsh")
     sim_ops.cosine_near_dup_pairs(emb, method="exact")
-    sim_ops.lsh_topk(emb, dim=64, k=5)
+    sim_ops.lsh_topk(emb, dim=64, k=5, n_planes=6)
     after = len(tracker.getJobIdsForGroup() or [])
     assert after == before, "similarity construction launched a Spark job"
+
+
+def test_ann_auto_capacity_knobs(spark, sf_dir):
+    """``n_planes=None`` / ``n_lists=None`` auto-size from the table:
+    the formulas track scale (constant LSH bucket occupancy, √n IVF
+    lists) and the auto-sized operators still hit the recall bar that
+    the pinned-knob tests assert."""
+    assert sim_ops.auto_n_planes(1) == 4
+    assert sim_ops.auto_n_planes(2_500) == 7
+    assert sim_ops.auto_n_planes(25_000) == 10
+    assert sim_ops.auto_n_planes(10**9) == 24  # capped
+    assert sim_ops.auto_n_lists(1) == 4
+    assert sim_ops.auto_n_lists(2_500) == 50
+    assert sim_ops.auto_n_lists(10**9) == 4096  # clamped to sample
+    emb = readers.load_table(spark, sf_dir, "embeddings")
+    exact = sim_ops.brute_force_topk(emb, k=1).toPandas()
+    truth = dict(zip(exact["query_id"], exact["neighbor_id"]))
+    lsh = sim_ops.lsh_topk(emb, dim=64, k=1).toPandas()  # auto planes
+    got = dict(zip(lsh["query_id"], lsh["neighbor_id"]))
+    hits = sum(got.get(q) == n for q, n in truth.items())
+    assert hits / len(truth) >= 0.5, "auto-planes LSH top-1 recall"
+    ivf = sim_ops.ivf_topk(emb, k=1, n_probe=4).toPandas()  # auto lists
+    got = dict(zip(ivf["query_id"], ivf["neighbor_id"]))
+    hits = sum(got.get(q) == n for q, n in truth.items())
+    assert hits / len(truth) >= 0.5, "auto-lists IVF top-1 recall"
 
 
 # ---------------------------------------------------------------------------
@@ -2425,3 +2452,40 @@ def test_fuzzy_match_unicode_codepoints(spark):
     )
     out = fuzzy_match_pairs(df, "name", max_dist=2).collect()
     assert len(out) == 1 and out[0].dist == 2
+
+
+def test_resample_ffill_drops_null_timestamp_rows(spark):
+    """A NULL timestamp has no grid cell: its row must be dropped, not
+    sorted first in the ffill window where its value could seed the
+    first observed cell (the pre-rewrite impl and the DuckDB oracle
+    both drop such rows; the degenerate-events sweep can't see this
+    because the driver generator always emits valid ts)."""
+    import datetime
+
+    from sensomics_data_pipeline_spark.operators.resample import (
+        resample_ffill,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (1, None, 99.0),  # NULL ts: must not seed anything
+            (1, t0, None),  # first observed cell has NULL value
+            (1, t0 + datetime.timedelta(seconds=120), 7.0),
+        ],
+        "uid long, date_time timestamp, data double",
+    )
+    out = {
+        r.grid_ts: (r.value, r.is_observed)
+        for r in resample_ffill(
+            df, ["uid"], ts_col="date_time", value_col="data",
+            step_seconds=60,
+        ).collect()
+    }
+    assert len(out) == 3  # cells 0,60,120 — nothing from the NULL ts
+    # first cell: its only observation's VALUE is NULL, so 99.0 must
+    # NOT leak in and is_observed is False (oracle contract:
+    # is_observed := winning value IS NOT NULL)
+    assert out[t0] == (None, False)
+    assert out[t0 + datetime.timedelta(seconds=60)] == (None, False)
+    assert out[t0 + datetime.timedelta(seconds=120)] == (7.0, True)
