@@ -1139,6 +1139,37 @@ def test_audio_features_real_wav_decode(spark):
     assert out[2]["decode_ok"] is False and out[2]["rms"] is None
 
 
+def test_compressed_wav_external_decoder_or_documented_stub():
+    """A non-PCM WAV (format tag 3 = IEEE float) routes through the
+    optional soundfile/torchaudio decoders; with neither installed
+    (this container) the documented ``NotImplementedError`` must still
+    be raised — and when a decoder IS present the payload must decode
+    to the same (rate, channels, samples) contract as the PCM path."""
+    import struct
+
+    import pytest as _pytest
+
+    from sensomics_data_pipeline_spark.operators import multimodal as mm
+
+    # minimal float32 WAV: fmt tag 3, 1 channel, 8 kHz, 4 samples
+    samples = struct.pack("<4f", 0.0, 0.5, -0.5, 0.25)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    have_lib = mm._decode_audio_external(wav) is not None
+    if not have_lib:
+        with _pytest.raises(NotImplementedError, match="soundfile"):
+            mm.decode_wav(wav)
+    else:
+        rate, nch, x = mm.decode_wav(wav)
+        assert rate == 8000 and nch == 1 and x.shape == (4, 1)
+        assert abs(x[1, 0] - 0.5) < 1e-6
+
+
 def test_image_stats_and_resize_real_bmp(spark):
     from sensomics_data_pipeline_spark.operators.multimodal import (
         image_stats,

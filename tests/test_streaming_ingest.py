@@ -1,0 +1,149 @@
+"""Streaming twins of the batch regen-proof sweeps: each degenerate
+documents corpus that the batch oracle tests salt in
+(``test_oracle_queries.py``) is ALSO driven through the real
+``readStream`` ingest flow, and the stream's survivor set must equal a
+batch replica of the same stages computed with the engine's own batch
+operators — so a driver testdata revision that adds empty / NULL /
+whitespace / unicode / repeated-token documents cannot make the
+streaming path diverge from the batch path."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+#: one degenerate class per case, mirroring the batch sweep's salted
+#: rows (empty, NULL, whitespace-only, single char, non-ASCII/astral,
+#: minimal repeated token) plus the combined corpus
+_CASES = {
+    "empty": [(900001, "", "en", "src0", 0)],
+    "null": [(900002, None, "en", "src1", 0)],
+    "whitespace": [(900003, "   ", "en", "src2", 3)],
+    "single_char": [(900004, "a", "de", "src3", 1)],
+    "unicode": [(900005, "😀😀 漢字 test €uro", "fr", "src4", 14)],
+    "repeated": [(900006, "word word word", "en", "src9", 14)],
+    "combined": [
+        (900001, "", "en", "src0", 0),
+        (900002, None, "en", "src1", 0),
+        (900003, "   ", "en", "src2", 3),
+        (900004, "a", "de", "src3", 1),
+        (900005, "😀😀 漢字 test €uro", "fr", "src4", 14),
+        (900006, "word word word", "en", "src9", 14),
+    ],
+}
+
+
+def _salted_dir(sf_dir: str, tmp_path, rows) -> str:
+    out = tmp_path
+    base = pq.read_table(f"{sf_dir}/documents.parquet")
+    ids, texts, langs, srcs, ncs = zip(*rows)
+    edge = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs),
+            "source": pa.array(srcs),
+            "n_chars": pa.array(ncs, pa.int64()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([base.select(edge.column_names), edge]),
+        str(out / "documents.parquet"),
+    )
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", str(out / f"{t}.parquet"))
+    return str(out)
+
+
+def _batch_twin(spark, salted: str):
+    """The stream's stages replayed with the BATCH operators: scrub ->
+    repetition filter -> quality score -> by-value threshold gate ->
+    contamination probe. Mirrors ``corpus_ingest_stream`` stage for
+    stage (by-VALUE gate, not by-rank — a stream cannot rank against
+    unseen documents)."""
+    from sensomics_data_pipeline_spark.operators.text import (
+        ngram_contamination,
+        quality_score,
+        repetition_signals,
+        scrub_pii,
+    )
+    from sensomics_data_pipeline_spark.sources.readers import (
+        ensure_session_confs,
+    )
+    from sensomics_data_pipeline_spark.streaming.ingest import (
+        gate_thresholds,
+    )
+
+    ensure_session_confs(spark)
+    docs = (
+        spark.read.option("pathGlobFilter", "documents.parquet")
+        .parquet(salted)
+    )
+    thresholds = gate_thresholds(docs, keep_frac=0.6)
+    scrubbed = scrub_pii(docs).select(
+        "doc_id", "source", F.col("scrubbed_text").alias("text")
+    )
+    nonrep = (
+        repetition_signals(scrubbed, "text")
+        .filter(~F.col("repetitious"))
+        .select("doc_id", "source", "text")
+    )
+    scored = quality_score(nonrep, "text")
+    gated = scored.join(F.broadcast(thresholds), "source").filter(
+        F.col("quality_score") >= F.col("gate_threshold")
+    )
+    clean_ids = ngram_contamination(
+        gated,
+        docs.filter(F.col("source") == "src0"),
+        key_col="doc_id",
+        text_col="text",
+        n=8,
+    ).filter(~F.col("contaminated"))
+    return (
+        gated.join(clean_ids.select("doc_id"), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "quality_score",
+        )
+    )
+
+
+@pytest.mark.parametrize("case", sorted(_CASES))
+def test_stream_ingest_matches_batch_on_degenerate_corpus(
+    spark, sf_dir, tmp_path, case
+):
+    import pandas as pd
+
+    from sensomics_data_pipeline_spark.streaming.ingest import (
+        corpus_ingest_stream,
+    )
+
+    salted = _salted_dir(sf_dir, tmp_path, _CASES[case])
+    streamed = (
+        corpus_ingest_stream(spark, salted, keep_frac=0.6, eval_source="src0")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    batch = (
+        _batch_twin(spark, salted)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(streamed) > 0
+    pd.testing.assert_frame_equal(
+        streamed[sorted(streamed.columns)], batch[sorted(batch.columns)]
+    )
