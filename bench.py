@@ -13,6 +13,14 @@ and GC noise (observed ±3× swings on identical plans), and min-of-N is
 the steady-state plan cost — the thing that actually scales with data.
 The per-query MEDIAN rides along under "queries_median" so round-over-
 round comparisons can separate plan cost from box-load noise.
+
+Attribution note: corpus_pipeline and corpus_invariants share one
+memoized lazy plan (__spark_entry__._prepared_corpus). Because this
+harness clears caches after every run, EACH timed run re-executes the
+full pipeline with its own stage caches — the two entries' timings are
+therefore independent full executions (no cross-entry subsidy); the
+sharing only benefits harnesses that do not clear caches between
+queries (the driver's correctness pass, check_oracle).
 """
 
 from __future__ import annotations

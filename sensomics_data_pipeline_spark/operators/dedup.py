@@ -284,12 +284,83 @@ def minhash_seed_params(seed: int) -> tuple[int, int]:
     return 2 * seed + 1, (104_729 * seed + 12_345) % MINHASH_P
 
 
+def _minhash_wide_arrow(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Arrow twin of :func:`minhash_wide`: hashlib md5 in C + one numpy
+    ``(a·h+b) mod p`` min per batch instead of the interpreted
+    md5-HOF / per-seed ``array_min(transform(...))`` chain (HOFs never
+    enter whole-stage codegen — the signature projection was the
+    dominant cost of the whole minhash family at the 10× rehearsal).
+    Bit-identical by construction: the ``_py_tokens`` tokenizer replica
+    (Java-``\\s`` semantics, guarded by the fingerprint edge tests),
+    the same ``md5[:15] mod p`` base hash, the same integer coefficient
+    math — all exact int64 arithmetic."""
+    import numpy as np
+
+    from sensomics_data_pipeline_spark.operators.text import _py_tokens
+    from sensomics_data_pipeline_spark.util import fan_out
+
+    p = MINHASH_P
+    coeffs = [minhash_seed_params(s) for s in range(num_hashes)]
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids: list[int] = []
+            sigs: list = []
+            for key, t in zip(pdf["doc_id"], pdf[text_col]):
+                toks = _py_tokens(t)
+                if len(toks) < n:
+                    continue  # no shingles — dropped, like the HOF form
+                hs = np.fromiter(
+                    (
+                        int(
+                            md5(
+                                " ".join(toks[i : i + n]).encode("utf-8")
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        % p
+                        for i in range(len(toks) - n + 1)
+                    ),
+                    dtype=np.int64,
+                )
+                sigs.append((a_vec * hs[None, :] + b_vec) % p)
+                ids.append(key)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "mhs": pd.Series(
+                        [s.min(axis=1) for s in sigs], dtype="object"
+                    ),
+                }
+            )
+
+    return (
+        fan_out(df)
+        .select(F.col(key_col).alias("doc_id"), text_col)
+        .mapInPandas(run, "doc_id long, mhs array<long>")
+    )
+
+
 def minhash_wide(
     df: DataFrame,
     key_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 16,
+    engine_exact: bool = True,
 ) -> DataFrame:
     """MinHash signature as ONE array column per doc, computed entirely
     inside a codegen'd projection: shingle → one portable base hash
@@ -303,7 +374,14 @@ def minhash_wide(
     projection, Catalyst's filter-pushdown + projection collapse
     substitutes the md5-HOF expression into ALL k ``array_min``
     consumers, re-hashing every shingle k times (measured ~2× slower at
-    k=16; the same pitfall is documented on ``hashed_shingle_sets``)."""
+    k=16; the same pitfall is documented on ``hashed_shingle_sets``).
+
+    ``engine_exact=False`` swaps the interpreted HOF kernel for
+    :func:`_minhash_wide_arrow` (hashlib + numpy, bit-identical —
+    full-table equivalence test in ``tests/test_operators.py``); used
+    by the hot LSH paths."""
+    if not engine_exact:
+        return _minhash_wide_arrow(df, key_col, text_col, n, num_hashes)
     from sensomics_data_pipeline_spark.util import fan_out, materialize
 
     base = F.transform(
@@ -499,7 +577,9 @@ def minhash_lsh_dedup(
     fully connected at est_jaccard 1.0 under bounded memory. Default
     ``None`` keeps the exact all-combos semantics (the oracle-checked
     path)."""
-    sigs = minhash_wide(df, key_col, text_col, n, num_hashes)
+    sigs = minhash_wide(
+        df, key_col, text_col, n, num_hashes, engine_exact=False
+    )
     banded = _band_explode(sigs, band_size, num_hashes, ["mhs"])
     if max_bucket is None:
         buckets = banded.groupBy("band", "band_sig").agg(
@@ -1031,9 +1111,13 @@ def dedup_incremental(
         .withColumn("_exact", F.lit(True))
     )
 
-    sig_new = minhash_wide(new_df, key_col, text_col, n, num_hashes)
+    sig_new = minhash_wide(
+        new_df, key_col, text_col, n, num_hashes, engine_exact=False
+    )
     sig_seen = (
-        minhash_wide(seen_df, key_col, text_col, n, num_hashes)
+        minhash_wide(
+            seen_df, key_col, text_col, n, num_hashes, engine_exact=False
+        )
         .groupBy("mhs")
         .agg(F.min("doc_id").alias("doc_id"))
     )

@@ -1906,6 +1906,45 @@ def test_gram_hash_arrow_matches_hof(spark, sf_dir):
         pd.testing.assert_frame_equal(a, b)
 
 
+def test_minhash_wide_arrow_matches_hof(spark, sf_dir):
+    """The hashlib+numpy Arrow kernel behind ``minhash_wide(...,
+    engine_exact=False)`` is value-identical to the md5-HOF reference
+    on the full driver documents table AND the tokenizer edges: empty,
+    NULL, <n tokens (dropped on both paths), exactly n tokens,
+    Java-\\s whitespace mix, NBSP-inside-token, non-ASCII/astral, and
+    a repeated-token doc (multiset == set minima)."""
+    import pandas as pd
+
+    from sensomics_data_pipeline_spark.operators import dedup as dd
+
+    edge = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, None),
+            (3, "a b"),
+            (4, "a b c"),
+            (5, " \t lead\ttab  split\ncases \r\x0b mix x y"),
+            (6, "nbsp stays inside one token a b c d e"),
+            (7, "€漢字 emoji 😀 a b c d e f"),
+            (8, "w " * 200),
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (edge, docs):
+        a = (
+            dd.minhash_wide(df, n=3, num_hashes=16)
+            .orderBy("doc_id").toPandas()
+        )
+        b = (
+            dd.minhash_wide(df, n=3, num_hashes=16, engine_exact=False)
+            .orderBy("doc_id").toPandas()
+        )
+        assert list(a["doc_id"]) == list(b["doc_id"])
+        for x, y in zip(a["mhs"], b["mhs"]):
+            assert list(x) == list(y)
+
+
 def test_repetition_counts_arrow_matches_hof(spark, sf_dir):
     """The ``Counter`` Arrow kernel behind ``repetition_signals(...,
     engine_exact=False)`` is value-identical to the sorted-fold HOF

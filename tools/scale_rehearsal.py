@@ -272,32 +272,33 @@ EMB_QUERIES = [
 
 
 def emb_scaled_variants():
-    """ANN configs with capacity scaled to the corpus — the knob a real
-    deployment turns as n grows (n_planes ~ log n keeps per-bucket
-    candidates flat; n_lists ~ sqrt(n) keeps per-list size flat)."""
+    """ANN configs with capacity scaled to the corpus — since r6 this
+    is the DEFAULT behavior (``n_planes=None`` → ``auto_n_planes``,
+    ``n_lists=None`` → ``auto_n_lists``): these variants pass NO
+    explicit capacity knobs, so the table measures what a caller gets
+    out of the box as n grows (constant bucket occupancy / √n
+    lists)."""
     from sensomics_data_pipeline_spark.operators import similarity as sim_ops
     from sensomics_data_pipeline_spark.sources import readers
 
-    def lsh9(spark, sf_dir):
+    def lsh_auto(spark, sf_dir):
         emb = readers.load_table(spark, sf_dir, "embeddings")
-        return sim_ops.lsh_topk(emb, dim=64, k=5, n_planes=9)
+        return sim_ops.lsh_topk(emb, dim=64, k=5)
 
-    def ivf50(spark, sf_dir):
+    def ivf_auto(spark, sf_dir):
         emb = readers.load_table(spark, sf_dir, "embeddings")
-        return sim_ops.ivf_topk(emb, k=5, n_lists=50, n_probe=2)
+        return sim_ops.ivf_topk(emb, k=5, n_probe=2)
 
-    def ivfpq50(spark, sf_dir):
+    def ivfpq_auto(spark, sf_dir):
         # the mitigation for embedding_pq's full-scan cost law: IVF
         # prunes the lists, PQ still compresses what remains
         emb = readers.load_table(spark, sf_dir, "embeddings")
-        return sim_ops.ivf_pq_topk(
-            emb, k=5, n_lists=50, n_probe=2, m=16, n_codes=32
-        )
+        return sim_ops.ivf_pq_topk(emb, k=5, n_probe=2, m=16, n_codes=32)
 
     return [
-        ("lsh_topk(n_planes=9)", lsh9),
-        ("ivf_topk(n_lists=50)", ivf50),
-        ("ivf_pq_topk(n_lists=50)", ivfpq50),
+        ("lsh_topk(auto n_planes)", lsh_auto),
+        ("ivf_topk(auto n_lists)", ivf_auto),
+        ("ivf_pq_topk(auto n_lists)", ivfpq_auto),
     ]
 
 
@@ -456,10 +457,11 @@ def main() -> None:
             print(f"{name:24s} {replicas}x {t10:7.2f}s", flush=True)
         with open(out_md, "a") as f:
             f.write(
-                "\nScaled-parameter variants at 10x (capacity grown "
-                "with the corpus — n_planes ~ log n, n_lists ~ "
-                "sqrt(n)): the production mitigation for the "
-                "fixed-param quadratic cost law above.\n\n"
+                "\nAuto-capacity variants at 10x — NO explicit knobs "
+                "(since r6 `n_planes=None`/`n_lists=None` auto-size "
+                "from a count: constant bucket occupancy / sqrt-n "
+                "lists), so this is default out-of-the-box behavior, "
+                "not a manually retuned mitigation.\n\n"
                 "| variant | 10x (s) |\n|---|---|\n"
             )
             for name, t10 in rows:
@@ -513,9 +515,9 @@ def main() -> None:
             flush=True,
         )
 
-    with open(out_md, "w") as f:
+    with open(out_md, "a") as f:
         f.write(
-            f"# Scale rehearsal — round 4 (growing vocabulary)\n\n"
+            f"\n## Documents-family rehearsal (growing vocabulary)\n\n"
             f"sf0.1 documents (5k docs) vs a {replicas}x replica "
             f"(50k docs) built with per-replica token-space suffixes, "
             f"so the VOCABULARY grows {replicas}x with the corpus — "
