@@ -2513,10 +2513,12 @@ ORDER BY n.doc_id
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (df-capped inverted index)."""
+    """Exact 3-gram Jaccard near-dup pairs (df-capped inverted index);
+    hashlib gram kernel (``engine_exact=False``, set-identical to the
+    HOF reference per the equivalence tests)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup_ops.ngram_jaccard_pairs(
-        docs, n=3, threshold=0.05, max_df=100
+        docs, n=3, threshold=0.05, max_df=100, engine_exact=False
     )
 
 
@@ -2554,9 +2556,11 @@ WHERE round(n_common * 1.0 / (sa.set_size + sb.set_size - n_common), 6) >= 0.05
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 32-bit signatures per document (bit-majority vote)."""
+    """SimHash 32-bit signatures per document (bit-majority vote);
+    Arrow vote kernel (``engine_exact=False``, bit-identical to the
+    explode/vote reference per the equivalence test)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup_ops.simhash(docs, bits=32)
+    return dedup_ops.simhash(docs, bits=32, engine_exact=False)
 
 
 _SQL_SIMHASH = f"""
@@ -2587,7 +2591,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     full O(n²) scan, so the driver check certifies the banding loses
     nothing."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup_ops.simhash_pairs(docs, bits=60, n_bands=4, max_hamming=3)
+    return dedup_ops.simhash_pairs(
+        docs, bits=60, n_bands=4, max_hamming=3, engine_exact=False
+    )
 
 
 _SQL_SIMHASH_PAIRS = f"""
@@ -3290,7 +3296,7 @@ def q_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters from one zero-shuffle sorted-fold per row; the word-grain
     sibling of ``char_diversity``."""
     docs = _t(spark, sf_dir, "documents")
-    return text_ops.lexical_stats(docs).select(
+    return text_ops.lexical_stats(docs, engine_exact=False).select(
         "doc_id",
         "n_words",
         "n_types",

@@ -57,7 +57,11 @@ def exact_duplicates(
 
 
 def hashed_shingle_sets(
-    df: DataFrame, key_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    engine_exact: bool = True,
 ) -> DataFrame:
     """Exploded distinct ``(doc_id, set_size, sh)`` rows, one per
     distinct shingle per doc, with NO shuffle: per-doc dedup happens
@@ -79,6 +83,28 @@ def hashed_shingle_sets(
     work, measured 8× slower end-to-end). ``size()`` on a materialized
     attribute is O(1), so the barrier makes the collapse harmless."""
     from sensomics_data_pipeline_spark.util import fan_out, materialize
+
+    if not engine_exact:
+        # hashlib kernel (``engine_exact=False``): reuse the tested
+        # Arrow gram-hash twin — distinct raw shingles and distinct
+        # hashes are the same set on both paths, so set_size and the
+        # exploded hash rows are identical to the HOF form
+        from sensomics_data_pipeline_spark.operators.text import (
+            _gram_hashes_arrow,
+        )
+
+        g = _gram_hashes_arrow(
+            fan_out(df).select(
+                F.col(key_col).alias("doc_id"), F.col(text_col)
+            ),
+            text_col,
+            n,
+        )
+        return g.select(
+            "doc_id",
+            F.size("_g").alias("set_size"),
+            F.explode("_g").alias("sh"),
+        )
 
     raw = F.array_distinct(word_shingles(F.col(text_col), n))
     barrier = materialize(
@@ -118,6 +144,7 @@ def ngram_jaccard_pairs(
     max_df: int | None = None,
     safe_df_cap: bool = False,
     prefix_filter: bool = False,
+    engine_exact: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a shingle inverted index.
 
@@ -155,7 +182,9 @@ def ngram_jaccard_pairs(
       the surviving candidates only. Raises for θ ≤ 2/3 where the
       bound is vacuous.
     """
-    sets = hashed_shingle_sets(df, key_col, text_col, n)
+    sets = hashed_shingle_sets(
+        df, key_col, text_col, n, engine_exact=engine_exact
+    )
 
     if prefix_filter:
         if threshold <= 2.0 / 3.0:
@@ -786,20 +815,83 @@ def dedup_corpus(
     return df.join(losers, key_col, "left_anti")
 
 
+def _simhash_arrow(
+    df: DataFrame, key_col: str, text_col: str, bits: int
+) -> DataFrame:
+    """Arrow twin of :func:`simhash`: the whole bit-majority vote runs
+    per document in one numpy matrix op inside ``mapInPandas`` — NO
+    explode, NO shuffle at all (the builtin form shuffles
+    ``bits × n_tokens`` vote rows through two aggregations). Same
+    values bit-for-bit: the ``_py_tokens`` replica, the same
+    ``md5[:15]`` 60-bit hash, per-OCCURRENCE votes (multiset), bit set
+    iff the vote sum is strictly positive; zero-token docs are absent
+    from the output on both paths."""
+    from sensomics_data_pipeline_spark.operators.text import _py_tokens
+    from sensomics_data_pipeline_spark.util import fan_out
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        md5 = hashlib.md5
+        shifts = np.arange(bits, dtype=np.int64)
+        weights = (np.int64(1) << shifts).astype(np.int64)
+        for pdf in batches:
+            ids: list[int] = []
+            sigs: list[int] = []
+            for key, t in zip(pdf["doc_id"], pdf[text_col]):
+                toks = _py_tokens(t)
+                if not toks:
+                    continue  # no tokens -> no vote rows -> absent
+                hs = np.fromiter(
+                    (
+                        int(md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                        for w in toks
+                    ),
+                    dtype=np.int64,
+                )
+                ones = ((hs[:, None] >> shifts) & 1).sum(axis=0)
+                votes = 2 * ones - len(toks)  # (+1/-1 sum)
+                ids.append(key)
+                sigs.append(int(weights[votes > 0].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "simhash": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return (
+        fan_out(df)
+        .select(F.col(key_col).alias("doc_id"), text_col)
+        .mapInPandas(run, "doc_id long, simhash long")
+    )
+
+
 def simhash(
     df: DataFrame,
     key_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 32,
+    engine_exact: bool = True,
 ) -> DataFrame:
     """SimHash document signature: per-token 60-bit hash, bit-majority
     vote over the first ``bits`` bits → one integer signature per doc.
     Near-dups differ in few bits (Hamming distance).
 
-    Plan: explode tokens → explode bit positions (``bits``× fan-out,
-    constant) → signed vote sum per (doc, bit) → reassemble the integer
-    with a bit-shift dot product. All built-ins.
+    Plan (``engine_exact=True``, the oracle-reference form): explode
+    tokens → explode bit positions (``bits``× fan-out, constant) →
+    signed vote sum per (doc, bit) → reassemble the integer with a
+    bit-shift dot product. All built-ins. ``engine_exact=False`` is
+    :func:`_simhash_arrow` — one shuffle-free numpy vote per doc,
+    bit-identical (full-table equivalence test); the explode form
+    shuffles ``bits × n_tokens`` rows, which dominates the simhash
+    family at scale even with map-side combine.
     """
+    if not engine_exact:
+        return _simhash_arrow(df, key_col, text_col, bits)
     from sensomics_data_pipeline_spark.operators.text import tokens
     from sensomics_data_pipeline_spark.util import fan_out
 
@@ -836,6 +928,7 @@ def simhash_pairs(
     n_bands: int = 4,
     max_hamming: int = 3,
     max_bucket: int | None = None,
+    engine_exact: bool = True,
 ) -> DataFrame:
     """Near-dup pairs from SimHash signatures: the Hamming-distance join
     that makes ``simhash`` useful as a dedup operator.
@@ -880,7 +973,7 @@ def simhash_pairs(
         raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    sigs = simhash(df, key_col, text_col, bits)
+    sigs = simhash(df, key_col, text_col, bits, engine_exact=engine_exact)
     bands = F.array(
         *[
             F.struct(

@@ -844,7 +844,46 @@ def _char_diversity_arrow(df: DataFrame, text_col: str) -> DataFrame:
     return df.mapInPandas(fold, out_schema)
 
 
-def lexical_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def _lexical_counts_arrow(df: DataFrame, text_col: str) -> DataFrame:
+    """Arrow twin of ``lexical_stats``' count kernel: per row the exact
+    BIGINT (n_words, Σc², n_types, max_freq) via ``Counter`` instead of
+    the interpreted sorted fold — same integers, and the ratio /
+    rounding arithmetic stays in the shared Spark expressions, so the
+    full column set is bit-identical (equivalence test)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(c, T.LongType())
+            for c in ("_lx_n", "_lx_sq", "_lx_types", "_lx_maxr")
+        ]
+    )
+
+    def run(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ns, sqs, tys, mxs = [], [], [], []
+            for t in pdf[text_col]:
+                toks = _py_tokens(t)
+                c = Counter(toks)
+                ns.append(len(toks))
+                sqs.append(sum(v * v for v in c.values()))
+                tys.append(len(c))
+                mxs.append(max(c.values()) if c else 0)
+            yield pdf.assign(
+                _lx_n=ns, _lx_sq=sqs, _lx_types=tys, _lx_maxr=mxs
+            )
+
+    from sensomics_data_pipeline_spark.util import fan_out
+
+    return fan_out(df).mapInPandas(run, out_schema)
+
+
+def lexical_stats(
+    df: DataFrame, text_col: str = "text", engine_exact: bool = True
+) -> DataFrame:
     """Word-level lexical diversity signals (the token-grain sibling of
     :func:`char_diversity`): per document the type count (distinct
     words), the top-word multiplicity, and the word-collision
@@ -862,7 +901,34 @@ def lexical_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Empty/NULL text is pinned to (0, 0, 0, NULL, NULL, NULL) on both
     engines, per the repo's degenerate-text convention.
-    """
+
+    ``engine_exact=False`` swaps the fold for
+    :func:`_lexical_counts_arrow` (``Counter`` in C) — bit-identical
+    output, used on the bench path (the interpreted fold is the
+    query's dominant cost)."""
+    if not engine_exact:
+        pre = _lexical_counts_arrow(df, text_col)
+        n = F.col("_lx_n")
+        zl = F.lit(0).cast("long")
+        nd = n.cast("double")
+        return pre.select(
+            *[c for c in df.columns],
+            n.alias("n_words"),
+            F.when(n > 0, F.col("_lx_types")).otherwise(zl).alias("n_types"),
+            F.when(n > 0, F.col("_lx_maxr")).otherwise(zl).alias("max_freq"),
+            F.when(
+                n > 0, F.round(F.col("_lx_types").cast("double") / nd, 6)
+            ).alias("ttr"),
+            F.when(
+                n > 0, F.round(F.col("_lx_maxr").cast("double") / nd, 6)
+            ).alias("top_frac"),
+            F.when(
+                n > 0,
+                F.round(
+                    F.col("_lx_sq").cast("double") / (n * n).cast("double"), 6
+                ),
+            ).alias("word_coll_prob"),
+        )
     ws = tokens(text_col)
     zero = F.struct(
         F.lit(None).cast("string").alias("prev"),

@@ -1906,6 +1906,69 @@ def test_gram_hash_arrow_matches_hof(spark, sf_dir):
         pd.testing.assert_frame_equal(a, b)
 
 
+def test_simhash_and_lexical_arrow_match_hof(spark, sf_dir):
+    """The numpy vote kernel behind ``simhash(..., engine_exact=False)``
+    and the ``Counter`` kernel behind ``lexical_stats(...,
+    engine_exact=False)`` are value-identical to their builtin
+    references on the full driver documents table AND tokenizer edges
+    (multiset voting — repeated tokens vote once PER OCCURRENCE — is
+    pinned by the repeated-token doc)."""
+    import pandas as pd
+
+    from sensomics_data_pipeline_spark.operators import dedup as dd
+    from sensomics_data_pipeline_spark.operators import text as text_ops
+
+    edge = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, None),
+            (3, "a"),
+            (4, "word word word other"),
+            (5, " \t lead\ttab  split\ncases \r\x0b mix x y"),
+            (6, "€漢字 emoji 😀 a b c d e f"),
+            (7, "w " * 200),
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (edge, docs):
+        for bits in (32, 60):
+            a = (
+                dd.simhash(df, bits=bits)
+                .orderBy("doc_id").toPandas()
+            )
+            b = (
+                dd.simhash(df, bits=bits, engine_exact=False)
+                .orderBy("doc_id").toPandas()
+            )
+            pd.testing.assert_frame_equal(a, b)
+        cols = [
+            "doc_id", "n_words", "n_types", "max_freq", "ttr",
+            "top_frac", "word_coll_prob",
+        ]
+        a = (
+            text_ops.lexical_stats(df)
+            .select(cols).orderBy("doc_id").toPandas()
+        )
+        b = (
+            text_ops.lexical_stats(df, engine_exact=False)
+            .select(cols).orderBy("doc_id").toPandas()
+        )
+        pd.testing.assert_frame_equal(a, b)
+    # hashed_shingle_sets: the inverted-index substrate must produce
+    # the identical (doc, set_size, hash) row set through both kernels
+    for df in (edge, docs):
+        a = (
+            dd.hashed_shingle_sets(df, n=3)
+            .orderBy("doc_id", "sh").toPandas()
+        )
+        b = (
+            dd.hashed_shingle_sets(df, n=3, engine_exact=False)
+            .orderBy("doc_id", "sh").toPandas()
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+
 def test_minhash_wide_arrow_matches_hof(spark, sf_dir):
     """The hashlib+numpy Arrow kernel behind ``minhash_wide(...,
     engine_exact=False)`` is value-identical to the md5-HOF reference
