@@ -1401,29 +1401,30 @@ def _d_cos(a: str, b: str) -> str:
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (dedup family) via banded
-    OR-amplified hyperplane LSH: candidate pairs collide in ≥1 of 3
-    independent 6-plane bucket tables (equi-joins, never all-pairs),
-    then exact-cosine rescored and kept at ≥ 0.4. Fully distributed —
-    no driver collect; the oracle re-derives the same plane weights
-    symbolically. An exact all-pairs variant exists as
+    OR-amplified hyperplane LSH: candidate pairs collide in ≥1 of L
+    independent b-plane bucket tables (equi-joins, never all-pairs),
+    then exact-cosine rescored and kept at ≥ 0.4. Since r6 both knobs
+    AUTO-SIZE from a cheap count (b: ~32-row bucket occupancy ⇒ linear
+    candidate volume; L: recall@0.99 ≥ 0.9 at that b) — the r5
+    rehearsal measured the pinned b=6 default at slope 18 at 10× data.
+    Fully distributed — no driver collect; the oracle re-derives the
+    same plane weights symbolically with the knob formulas evaluated
+    IN SQL from the same count. An exact all-pairs variant exists as
     ``cosine_near_dup_pairs(method="exact")`` (chunked block scoring,
     also collect-free)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return sim_ops.cosine_near_dup_pairs(
-        emb, threshold=0.4, method="lsh", dim=64, n_planes=6, n_tables=3
-    )
+    return sim_ops.cosine_near_dup_pairs(emb, threshold=0.4, method="lsh", dim=64)
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: embedding-cosine near-dup pairs
-    (banded hyperplane LSH, same config as embedding_near_dup) resolved
-    into connected components, keep-lowest survivor per cluster — one
-    row per vector (vec_id, canonical_id, kept). The oracle re-derives
-    the pairs symbolically and the components with a recursive CTE."""
+    (banded hyperplane LSH, same auto-sized config as
+    embedding_near_dup) resolved into connected components, keep-lowest
+    survivor per cluster — one row per vector (vec_id, canonical_id,
+    kept). The oracle re-derives the pairs symbolically and the
+    components with a recursive CTE."""
     emb = _t(spark, sf_dir, "embeddings")
-    return sim_ops.semantic_dedup(
-        emb, threshold=0.4, dim=64, n_planes=6, n_tables=3
-    )
+    return sim_ops.semantic_dedup(emb, threshold=0.4, dim=64)
 
 
 def _sql_semantic_dedup() -> str:
@@ -1469,35 +1470,76 @@ WHERE a.vec_id < b.vec_id
 """
 
 
-def _sql_embedding_near_dup() -> str:
-    """DuckDB mirror of the banded-LSH near-dup: same ±1 plane weights
-    (portable md5 derivation), same per-table bucket ids, union of
-    per-table same-bucket pairs, exact cosine rescore at ≥ 0.4."""
+def _d_auto_params() -> str:
+    """DuckDB params subquery mirroring the r6 auto knobs: ``np`` =
+    ``similarity.auto_n_planes(count of valid vectors)`` evaluated in
+    SQL (both engines: GREATEST/LEAST/CEIL/LOG2 of the same IEEE
+    double — n/32 powers of two are exact in both), and ``L`` =
+    ``auto_n_tables(np)`` emitted as an integer CASE lookup, so no
+    float log-ratio has to agree at a ceil boundary across engines."""
+    from sensomics_data_pipeline_spark.operators.similarity import auto_n_tables
+
+    l_case = " ".join(f"WHEN {b} THEN {auto_n_tables(b)}" for b in range(4, 25))
+    return (
+        "SELECT np, (CASE np " + l_case + " END) AS L FROM ("
+        "SELECT GREATEST(4, LEAST(24, CEIL(LOG2(GREATEST(n, 2) / 32.0))))::INT AS np "
+        f"FROM (SELECT count(*) AS n FROM embeddings WHERE {_d_valid_vec()}))"
+    )
+
+
+def _d_bucket_expr(seed_base: int) -> str:
+    """Dynamic-plane-count LSH bucket id: all 24 possible plane weight
+    arrays for this seed are emitted as fixed literals (the md5 seed
+    of plane p is ``seed_base + p`` — independent of the plane count,
+    so the arrays never shift), and plane p contributes its bit only
+    when ``p < params.np``."""
     from sensomics_data_pipeline_spark.operators.similarity import plane_weights
 
-    n_planes, n_tables = 6, 3
+    weights = plane_weights(24, 64, seed_base=seed_base)
+    terms = []
+    for p, w in enumerate(weights):
+        arr = "[" + ",".join(str(x) for x in w) + "]"
+        terms.append(
+            f"(CASE WHEN {p} < params.np AND "
+            f"list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[]) >= 0 "
+            f"THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
+        )
+    return " + ".join(terms)
+
+
+def _sql_embedding_near_dup() -> str:
+    """DuckDB mirror of the banded-LSH near-dup: same ±1 plane weights
+    (portable md5 derivation, seed stride 24 per table), same per-table
+    bucket ids, union of per-table same-bucket pairs, exact cosine
+    rescore at ≥ 0.4. Knobs (plane count np, table count L) are
+    computed IN SQL from the valid-vector count via the same formulas
+    the Spark side auto-sizes with — table t contributes candidates
+    only when ``t < L``."""
+    from sensomics_data_pipeline_spark.operators.similarity import (
+        _SEED_STRIDE,
+        auto_n_tables,
+    )
+
+    # only as many table CTEs as the L lookup can ever request
+    max_l = max(auto_n_tables(b) for b in range(4, 25))
+    ctes = [f"params AS ({_d_auto_params()})"]
     table_sqls = []
-    for t in range(n_tables):
-        weights = plane_weights(n_planes, 64, seed_base=1 + t * n_planes)
-        terms = []
-        for p, w in enumerate(weights):
-            arr = "[" + ",".join(str(x) for x in w) + "]"
-            terms.append(
-                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[]) >= 0 "
-                f"THEN {1 << p}::BIGINT ELSE 0 END)"
-            )
-        bucket = " + ".join(terms)
+    for t in range(max_l):
+        bucket = _d_bucket_expr(seed_base=1 + t * _SEED_STRIDE)
+        ctes.append(
+            f"bt{t} AS (SELECT vec_id, {bucket} AS bucket\n"
+            f"  FROM embeddings, params WHERE {_d_valid_vec()} AND {t} < params.L)"
+        )
         table_sqls.append(
             f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b\n"
-            f"  FROM (SELECT vec_id, {bucket} AS bucket FROM embeddings\n"
-            f"        WHERE {_d_valid_vec()}) a\n"
-            f"  JOIN (SELECT vec_id, {bucket} AS bucket FROM embeddings\n"
-            f"        WHERE {_d_valid_vec()}) b\n"
+            f"  FROM bt{t} a JOIN bt{t} b\n"
             f"    ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
         )
     cand = "\n  UNION\n".join(table_sqls)
+    with_ctes = ",\n".join(ctes)
     return f"""
-WITH cand AS (
+WITH {with_ctes},
+cand AS (
   {cand}
 )
 SELECT c.vec_a, c.vec_b,
@@ -2737,33 +2779,34 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
 
 def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-5 (hyperplane sign buckets, exact cosine
-    within buckets) — the 100-TB scale path."""
+    within buckets) — the 100-TB scale path. ``n_planes`` auto-sizes
+    from a cheap count (since r6; the r5 rehearsal measured the pinned
+    6-plane default at slope 23 at 10× data); the oracle evaluates the
+    same plane-count formula in SQL."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = sim_ops.lsh_topk(emb, dim=64, k=5, n_planes=6)
+    out = sim_ops.lsh_topk(emb, dim=64, k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def _sql_embedding_lsh() -> str:
-    from sensomics_data_pipeline_spark.operators.similarity import plane_weights
-
-    weights = plane_weights(6, 64)
-    terms = []
-    for p, w in enumerate(weights):
-        arr = "[" + ",".join(str(x) for x in w) + "]"
-        terms.append(
-            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[]) >= 0 "
-            f"THEN {1 << p}::BIGINT ELSE 0 END)"
-        )
-    bucket = " + ".join(terms)
-    probe_list = "[bucket, " + ", ".join(
-        f"xor(bucket, {1 << p}::BIGINT)" for p in range(6)
-    ) + "]"
+    """DuckDB mirror of the auto-sized multi-probe LSH top-k: the
+    24 possible plane arrays are fixed literals (seed of plane p is
+    ``1 + p`` regardless of plane count), the active count ``np`` is
+    computed in SQL from the valid-vector count, and the probe list
+    (own bucket + every 1-bit flip) is built dynamically with
+    ``list_transform(range(np), …)``."""
+    bucket = _d_bucket_expr(seed_base=1)
+    probe_list = (
+        "list_concat([bucket], "
+        "list_transform(range(params.np), p -> xor(bucket, (1::BIGINT << p))))"
+    )
     return f"""
-WITH b AS (
-  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+WITH params AS ({_d_auto_params()}),
+b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings, params
   WHERE {_d_valid_vec()}
 ), probes AS (
-  SELECT vec_id AS query_id, unnest({probe_list}) AS bucket FROM b
+  SELECT vec_id AS query_id, unnest({probe_list}) AS bucket FROM b, params
 ), pairs AS (
   SELECT DISTINCT p.query_id, n.vec_id AS neighbor_id
   FROM probes p JOIN b n ON p.bucket = n.bucket
@@ -2784,11 +2827,12 @@ SELECT query_id, bucket, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
 
 
 def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5 (k-means coarse quantizer + n_probe=2). Iterative
-    training is not SQL-expressible — rows-only check; recall vs the
-    brute-force baseline is pytest-verified."""
+    """IVF ANN top-5 (k-means coarse quantizer + n_probe=2; n_lists
+    auto-sizes to ⌈√n⌉ since r6). Iterative training is not
+    SQL-expressible — rows-only check; recall vs the brute-force
+    baseline is pytest-verified."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = sim_ops.ivf_topk(emb, k=5, n_lists=16, n_probe=2)
+    out = sim_ops.ivf_topk(emb, k=5, n_probe=2)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -2806,14 +2850,12 @@ def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN top-5: IVF prunes which lists to scan (n_probe=2 of
-    16), PQ compresses how they're scored (16x32 ADC codes) — the
-    production composition at 10^8+ vectors. Rows-only (iterative
-    training); the n_probe=n_lists ≡ pq_topk equivalence and recall
-    are pytest-pinned."""
+    ⌈√n⌉ auto-sized lists since r6), PQ compresses how they're scored
+    (16x32 ADC codes) — the production composition at 10^8+ vectors.
+    Rows-only (iterative training); the n_probe=n_lists ≡ pq_topk
+    equivalence and recall are pytest-pinned."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = sim_ops.ivf_pq_topk(
-        emb, k=5, n_lists=16, n_probe=2, m=16, n_codes=32
-    )
+    out = sim_ops.ivf_pq_topk(emb, k=5, n_probe=2, m=16, n_codes=32)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -3576,9 +3618,11 @@ def q_ann_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_operators.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     k = 5
+    # n_lists left to the r6 auto-sizer — the structural laws hold for
+    # any capacity knobs, so certify the path users actually get
     parts = [
         _ann_violation_aggs(
-            sim_ops.ivf_topk(emb, k=k, n_lists=16, n_probe=2), "ivf", k
+            sim_ops.ivf_topk(emb, k=k, n_probe=2), "ivf", k
         ),
         _ann_violation_aggs(
             sim_ops.pq_topk(emb, k=k, m=16, n_codes=32),
@@ -3587,9 +3631,7 @@ def q_ann_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim_col="adc_sim",
         ),
         _ann_violation_aggs(
-            sim_ops.ivf_pq_topk(
-                emb, k=k, n_lists=16, n_probe=2, m=16, n_codes=32
-            ),
+            sim_ops.ivf_pq_topk(emb, k=k, n_probe=2, m=16, n_codes=32),
             "ivfpq",
             k,
             sim_col="adc_sim",

@@ -51,6 +51,75 @@ def _norms_guarded(mat):
     return np.maximum(np.linalg.norm(mat, axis=1), 1e-30)
 
 
+def _block_topk(qids, ids, sims, k: int):
+    """Exact per-query top-k over a scored block, fully vectorized.
+
+    Replaces the per-query ``np.lexsort`` Python loop every scoring
+    cell used to run (the loop was the measured hot spot at 10× data:
+    ~100 µs of interpreter overhead per query × n_queries × n_chunks
+    dominated the BLAS matmul itself). Ordering is EXACTLY the loop's
+    ``(sim desc, id asc)``: sims are pre-rounded to 6 decimals, so
+    ``rint(sim·1e6)`` is integer-exact and the composite int64 key
+    ``rint(sim·1e6)·2^36 − id`` sorts identically — and since ids are
+    unique within a block, every key in a row is distinct, making
+    ``argpartition`` deterministic. Self-pairs are pushed to int64 min
+    and filtered. Falls back to the loop if ids ≥ 2^36 or |sim| ≥ 100
+    would overflow the packing (never at cosine/ADC magnitudes).
+
+    Returns ``(query_ids, neighbor_ids, sims)`` flat arrays.
+    """
+    import numpy as np
+
+    nq, n = sims.shape
+    empty = (
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.float64),
+    )
+    if nq == 0 or n == 0:
+        return empty
+    if ids.max(initial=0) >= (1 << 36) or not np.all(np.abs(sims) < 100.0):
+        rq, ri, rs = [], [], []
+        for row_i, qid in enumerate(qids):
+            mask = ids != qid
+            cand_ids = ids[mask]
+            cand_s = sims[row_i][mask]
+            for j in np.lexsort((cand_ids, -cand_s))[:k]:
+                rq.append(qid)
+                ri.append(cand_ids[j])
+                rs.append(cand_s[j])
+        return (
+            np.asarray(rq, np.int64),
+            np.asarray(ri, np.int64),
+            np.asarray(rs, np.float64),
+        )
+    # min+1, not min: the sort/partition below negates keys and
+    # -int64.min overflows back to itself (the sentinel would then
+    # rank FIRST instead of last)
+    sentinel = np.iinfo(np.int64).min + 1
+    key = np.rint(sims * 1e6).astype(np.int64) * (1 << 36) - ids[None, :]
+    key[qids[:, None] == ids[None, :]] = sentinel
+    # keep k+1 through the partition: the (at most one) self-pair
+    # sentinel per row must not evict a real top-k candidate
+    kk = min(k + 1, n)
+    if kk < n:
+        sel = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+        selkey = np.take_along_axis(key, sel, axis=1)
+    else:
+        sel = np.broadcast_to(np.arange(n), (nq, n))
+        selkey = key
+    order = np.argsort(-selkey, axis=1)
+    sel = np.take_along_axis(sel, order, axis=1)[:, :k]
+    selkey = np.take_along_axis(selkey, order, axis=1)[:, :k]
+    valid = (selkey != sentinel).ravel()
+    kept = sel.shape[1]
+    return (
+        np.repeat(qids, kept)[valid],
+        ids[sel.ravel()[valid]],
+        np.take_along_axis(sims, sel, axis=1).ravel()[valid],
+    )
+
+
 def valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     """Drop rows whose vector is NULL or empty — unscorable by any
     similarity op (numpy cannot even build the batch matrix). Applied
@@ -71,6 +140,42 @@ def auto_n_planes(n_vectors: int) -> int:
     import math
 
     return max(4, min(24, math.ceil(math.log2(max(n_vectors, 2) / 32))))
+
+
+#: Seed stride between the independent plane sets (LSH tables) of the
+#: banded near-dup family: table t draws planes with seed_base
+#: ``1 + t * _SEED_STRIDE``. A FIXED stride (≥ the 24-plane clamp of
+#: :func:`auto_n_planes`, so seed ranges never overlap) rather than the
+#: old ``1 + t * n_planes`` coupling — with auto-sized ``n_planes`` the
+#: plane weights must not shift when the count changes, or the DuckDB
+#: oracle could not emit them as fixed arrays guarded by a dynamic
+#: plane count.
+_SEED_STRIDE = 24
+
+#: Max tables the auto-sizer will request (bounds oracle SQL size and
+#: candidate volume; recall@0.99 stays ≥ 0.9 across the whole
+#: ``auto_n_planes`` range with ≤ 6 tables).
+_MAX_TABLES = 8
+
+
+def auto_n_tables(n_planes: int) -> int:
+    """Default OR-amplification table count for ``n_planes``-bit
+    bucket ids: the smallest L with banded-LSH recall ≥ 0.9 for true
+    near-duplicates (cosine ≥ 0.99, collision prob per plane
+    p = 1 − acos(0.99)/π ≈ 0.955), clamped to [2, 8]. More planes per
+    table (the occupancy-driven :func:`auto_n_planes` growth) cut
+    per-table recall, so L must grow with b to hold the dedup-recall
+    contract; candidate volume stays ~n·occupancy·L — linear.
+
+    Integer-in/integer-out so the DuckDB oracle replicates it as a
+    CASE lookup instead of matching float ``ceil(log/log)`` at
+    engine boundaries."""
+    import math
+
+    p = 1.0 - math.acos(0.99) / math.pi
+    miss = 1.0 - p**n_planes
+    ln = math.log(0.1) / math.log(miss)
+    return max(2, min(_MAX_TABLES, math.ceil(round(ln, 9))))
 
 
 def auto_n_lists(n_vectors: int, train_sample: int = 4096) -> int:
@@ -200,16 +305,9 @@ def brute_force_topk(
         sims = np.round(
             (q @ mat.T) / (_norms_guarded(q)[:, None] * norms[None, :]), 6
         )
-        res = []
-        for row_i, qid in enumerate(qids):
-            mask = ids != qid
-            cand_ids = ids[mask]
-            cand_s = sims[row_i][mask]
-            # block top-k by (sim desc, id asc): lexsort on (id, -sim)
-            sel = np.lexsort((cand_ids, -cand_s))[:k]
-            for j in sel:
-                res.append((qid, cand_ids[j], cand_s[j]))
-        out = pd.DataFrame(res, columns=out_cols[:3])
+        # block top-k by (sim desc, id asc), vectorized — see _block_topk
+        rq, ri, rs = _block_topk(qids, ids, sims, k)
+        out = pd.DataFrame({"query_id": rq, "neighbor_id": ri, "cos_sim": rs})
         out["rank"] = 0  # overwritten by the global window
         return out
 
@@ -233,8 +331,8 @@ def cosine_near_dup_pairs(
     threshold: float = 0.4,
     method: str = "lsh",
     dim: int = 64,
-    n_planes: int = 6,
-    n_tables: int = 3,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     n_chunks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (a < b) pairs with cosine ≥
@@ -247,8 +345,15 @@ def cosine_near_dup_pairs(
     candidates are exact-cosine rescored and thresholded. Deterministic
     and oracle-reproducible (the DuckDB oracle re-derives the same
     plane weights symbolically). Recall for a pair at cosine c is
-    1-(1-p^b)^L with p = 1-acos(c)/π: ≈0.9 for true near-dups
-    (c ≥ 0.95) and intentionally partial for weakly-similar pairs.
+    1-(1-p^b)^L with p = 1-acos(c)/π — high for true near-dups and
+    intentionally partial for weakly-similar pairs.
+
+    ``n_planes=None`` / ``n_tables=None`` (defaults) auto-size from a
+    cheap count: planes via :func:`auto_n_planes` (constant ~32-row
+    bucket occupancy ⇒ candidate volume ~n·32·L, LINEAR in n — a
+    pinned plane count measured quadratic at 10×), tables via
+    :func:`auto_n_tables` (recall@0.99 ≥ 0.9 at that plane count).
+    Pass explicit values to skip the count job or pin buckets.
 
     ``method="exact"``: chunked block scoring (same distributed shape
     as ``brute_force_topk``, no driver collect) emitting every
@@ -262,6 +367,11 @@ def cosine_near_dup_pairs(
 
     from sensomics_data_pipeline_spark.util import fan_out
 
+    if n_planes is None:
+        n_planes = auto_n_planes(valid_vectors(df, vec_col).count())
+    if n_tables is None:
+        n_tables = auto_n_tables(n_planes)
+
     # one projection computes every table's bucket id (an array), then
     # posexplode → a single (table, bucket) equi-join builds candidates
     # for all tables at once; fan_out so the 18 interpreted dot
@@ -274,7 +384,9 @@ def cosine_near_dup_pairs(
     df = fan_out(valid_vectors(df, vec_col))
     buckets = F.array(
         *[
-            hyperplane_bucket(F.col(vec_col), dim, n_planes, seed_base=1 + t * n_planes)
+            hyperplane_bucket(
+                F.col(vec_col), dim, n_planes, seed_base=1 + t * _SEED_STRIDE
+            )
             for t in range(n_tables)
         ]
     )
@@ -345,14 +457,16 @@ def _near_dup_exact(
         sims = np.round(
             (q @ mat.T) / (_norms_guarded(q)[:, None] * norms[None, :]), 6
         )
-        res = []
-        for row_i, qid in enumerate(qids):
-            # each unordered pair is seen exactly once: in the chunk
-            # that owns the larger id
-            mask = (ids > qid) & (sims[row_i] >= threshold)
-            for j in np.nonzero(mask)[0]:
-                res.append((qid, ids[j], sims[row_i][j]))
-        return pd.DataFrame(res, columns=out_cols)
+        # each unordered pair is seen exactly once: in the chunk that
+        # owns the larger id; one vectorized nonzero over the block
+        rows, cols = np.nonzero((ids[None, :] > qids[:, None]) & (sims >= threshold))
+        return pd.DataFrame(
+            {
+                "vec_a": qids[rows],
+                "vec_b": ids[cols],
+                "cos_sim": sims[rows, cols],
+            }
+        )
 
     return _chunked_block_pairs(
         valid_vectors(df, vec_col), key_col, vec_col, n_chunks
@@ -639,15 +753,8 @@ def ivf_topk(
         qn = q / _norms_guarded(q)[:, None]
         qids = qpdf["query_id"].to_numpy(dtype=np.int64)
         sims = np.round(qn @ mat_n.T, 6)
-        res = []
-        for row_i, qid in enumerate(qids):
-            mask = ids != qid
-            cand_ids = ids[mask]
-            cand_s = sims[row_i][mask]
-            sel = np.lexsort((cand_ids, -cand_s))[:k]
-            for j in sel:
-                res.append((qid, cand_ids[j], cand_s[j]))
-        out = pd.DataFrame(res, columns=out_cols[:3])
+        rq, ri, rs = _block_topk(qids, ids, sims, k)
+        out = pd.DataFrame({"query_id": rq, "neighbor_id": ri, "cos_sim": rs})
         out["rank"] = 0
         return out
 
@@ -896,15 +1003,8 @@ def pq_topk(
             lut = qn[:, j * dsub : (j + 1) * dsub] @ books[j].T
             sims += lut[:, codes[:, j]]
         sims = np.round(sims, 6)
-        res = []
-        for row_i, qid in enumerate(qids):
-            mask = ids != qid
-            cand_ids = ids[mask]
-            cand_s = sims[row_i][mask]
-            sel = np.lexsort((cand_ids, -cand_s))[:k]
-            for j in sel:
-                res.append((qid, cand_ids[j], cand_s[j]))
-        out = pd.DataFrame(res, columns=out_cols[:3])
+        rq, ri, rs = _block_topk(qids, ids, sims, k)
+        out = pd.DataFrame({"query_id": rq, "neighbor_id": ri, "adc_sim": rs})
         out["rank"] = 0
         return out
 
@@ -929,8 +1029,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     dim: int = 64,
-    n_planes: int = 6,
-    n_tables: int = 3,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: drop all but one
     representative of every cluster of embedding-space near-duplicates
@@ -1095,15 +1195,8 @@ def ivf_pq_topk(
             lut = qn[:, j * dsub : (j + 1) * dsub] @ books[j].T
             sims += lut[:, codes[:, j]]
         sims = np.round(sims, 6)
-        res = []
-        for row_i, qid in enumerate(qids):
-            mask = ids != qid
-            cand_ids = ids[mask]
-            cand_s = sims[row_i][mask]
-            sel = np.lexsort((cand_ids, -cand_s))[:k]
-            for j in sel:
-                res.append((qid, cand_ids[j], cand_s[j]))
-        out = pd.DataFrame(res, columns=out_cols[:3])
+        rq, ri, rs = _block_topk(qids, ids, sims, k)
+        out = pd.DataFrame({"query_id": rq, "neighbor_id": ri, "adc_sim": rs})
         out["rank"] = 0
         return out
 

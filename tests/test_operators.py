@@ -213,11 +213,46 @@ def test_similarity_ops_have_no_eager_collect(spark, sf_dir):
     tracker = spark.sparkContext.statusTracker()
     before = len(tracker.getJobIdsForGroup() or [])
     sim_ops.brute_force_topk(emb, k=5)
-    sim_ops.cosine_near_dup_pairs(emb, method="lsh")
+    sim_ops.cosine_near_dup_pairs(emb, method="lsh", n_planes=6, n_tables=3)
     sim_ops.cosine_near_dup_pairs(emb, method="exact")
     sim_ops.lsh_topk(emb, dim=64, k=5, n_planes=6)
     after = len(tracker.getJobIdsForGroup() or [])
     assert after == before, "similarity construction launched a Spark job"
+
+
+def test_block_topk_matches_lexsort_loop():
+    """The vectorized composite-key top-k (similarity._block_topk, the
+    r6 replacement for the per-query lexsort loop every ANN scoring
+    cell ran) must return EXACTLY the loop's (sim desc, id asc) top-k —
+    including heavy rounded-sim ties, self-pair exclusion, duplicate
+    query ids, rows with < k candidates, and the big-id fallback."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for trial in range(60):
+        nq = int(rng.integers(1, 20))
+        n = int(rng.integers(1, 30))
+        k = int(rng.integers(1, 8))
+        ids = rng.choice(10**6, size=n, replace=False).astype(np.int64)
+        if trial == 0:  # exercise the > 2^36 id fallback path
+            ids = ids + (1 << 37)
+        qids = rng.choice(
+            np.concatenate([ids, rng.choice(10**6, 5)]), size=nq
+        ).astype(np.int64)
+        if trial % 2:
+            sims = np.round(
+                rng.choice([0.0, -0.0, 0.5, -0.5, 1.0, -1.0, 0.999999], size=(nq, n)), 6
+            )
+        else:
+            sims = np.round(rng.uniform(-1, 1, size=(nq, n)), 6)
+        ref = []
+        for row_i, qid in enumerate(qids):
+            mask = ids != qid
+            ci, cs = ids[mask], sims[row_i][mask]
+            for j in np.lexsort((ci, -cs))[:k]:
+                ref.append((int(qid), int(ci[j]), float(cs[j])))
+        rq, ri, rs = sim_ops._block_topk(qids, ids, sims, k)
+        assert list(zip(rq.tolist(), ri.tolist(), rs.tolist())) == ref
 
 
 def test_ann_auto_capacity_knobs(spark, sf_dir):
@@ -232,6 +267,16 @@ def test_ann_auto_capacity_knobs(spark, sf_dir):
     assert sim_ops.auto_n_lists(1) == 4
     assert sim_ops.auto_n_lists(2_500) == 50
     assert sim_ops.auto_n_lists(10**9) == 4096  # clamped to sample
+    # table count grows with plane count to hold recall@0.99 >= 0.9
+    assert sim_ops.auto_n_tables(4) == 2
+    assert sim_ops.auto_n_tables(11) == 3
+    assert sim_ops.auto_n_tables(24) == 6
+    import math
+
+    p99 = 1.0 - math.acos(0.99) / math.pi
+    for b in range(4, 25):
+        L = sim_ops.auto_n_tables(b)
+        assert 1.0 - (1.0 - p99**b) ** L >= 0.9 or L == sim_ops._MAX_TABLES
     emb = readers.load_table(spark, sf_dir, "embeddings")
     exact = sim_ops.brute_force_topk(emb, k=1).toPandas()
     truth = dict(zip(exact["query_id"], exact["neighbor_id"]))
