@@ -78,6 +78,18 @@ def _block_topk(qids, ids, sims, k: int):
     )
     if nq == 0 or n == 0:
         return empty
+    # process query rows in slabs: the int64 key and self-pair mask
+    # temporaries are (rows × n) — unslabbed, a 50k×6k scoring cell
+    # would allocate multi-GB intermediates (measured SLOWER than the
+    # old per-row loop from allocation bandwidth alone); ~8M-element
+    # slabs keep them cache-friendly at ~64 MB
+    slab = max(1, 8_000_000 // n)
+    if nq > slab:
+        parts = [
+            _block_topk(qids[i : i + slab], ids, sims[i : i + slab], k)
+            for i in range(0, nq, slab)
+        ]
+        return tuple(np.concatenate(x) for x in zip(*parts))
     if ids.max(initial=0) >= (1 << 36) or not np.all(np.abs(sims) < 100.0):
         rq, ri, rs = [], [], []
         for row_i, qid in enumerate(qids):
