@@ -135,6 +135,57 @@ def _pair_combos(ds_col):
     )
 
 
+def _packed_pairs_arrow(posting: DataFrame) -> DataFrame:
+    """All (i < j) combinations of each sorted packed-long posting list
+    (single ``ds array<bigint>`` column), generated in one Arrow pass.
+
+    The nested-transform HOF (``explode(_pair_combos(ds))``) is
+    evaluated interpreted with a suffix-slice allocation per element —
+    the measured hot spot of the 10× ngram_jaccard rehearsal (~13 s of
+    a 15 s wall for 12.7M pairs). Here lists are grouped BY LENGTH and
+    each length's pairs come from one cached ``triu_indices`` gather
+    over a stacked (lists × d) matrix — no per-pair or per-list Python
+    in the hot path. Output is the same pair SET (a < b holds because
+    lists are sorted); the downstream groupBy is order-insensitive.
+    Equivalence pinned by tests/test_operators.py."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches: "Iterator[pd.DataFrame]"):
+        templates: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ds = pdf["ds"]
+            lens = np.fromiter(
+                (len(v) for v in ds), dtype=np.int64, count=len(ds)
+            )
+            if lens.max(initial=0) < 2:
+                continue
+            vals = np.concatenate(
+                [np.asarray(v, dtype=np.int64) for v in ds]
+            )
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            outs_a, outs_b = [], []
+            for d in np.unique(lens):
+                if d < 2:
+                    continue
+                rows = np.nonzero(lens == d)[0]
+                mat = vals[starts[rows][:, None] + np.arange(d)[None, :]]
+                if d not in templates:
+                    templates[d] = np.triu_indices(int(d), 1)
+                ti, tj = templates[d]
+                outs_a.append(mat[:, ti].ravel())
+                outs_b.append(mat[:, tj].ravel())
+            if outs_a:
+                yield pd.DataFrame(
+                    {"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)}
+                )
+
+    return posting.mapInPandas(gen, "a long, b long")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -181,6 +232,12 @@ def ngram_jaccard_pairs(
       intersection counts are then recomputed from the FULL sets for
       the surviving candidates only. Raises for θ ≤ 2/3 where the
       bound is vacuous.
+
+    ``engine_exact=False`` swaps BOTH interpreted hot spots for
+    Arrow/numpy kernels producing identical results (pinned by
+    equivalence tests): the shingle HOF for the hashlib gram kernel
+    (``hashed_shingle_sets``) and — when the key is integral — the
+    pair-combination HOF for :func:`_packed_pairs_arrow`.
     """
     sets = hashed_shingle_sets(
         df, key_col, text_col, n, engine_exact=engine_exact
@@ -252,12 +309,18 @@ def ngram_jaccard_pairs(
     )
     if max_df is not None and not safe_df_cap:
         posting = posting.filter(F.size("ds") <= max_df)
-    pairs = posting.filter(F.size("ds") > 1).select(
-        F.explode(_pair_combos(F.col("ds"))).alias("p")
-    )
+    pair_src = posting.filter(F.size("ds") > 1)
     if integral_key:
+        if engine_exact:
+            pairs_ab = pair_src.select(
+                F.explode(_pair_combos(F.col("ds"))).alias("p")
+            ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        else:
+            # Arrow kernel for the pair explosion — the interpreted
+            # HOF was the measured 10×-rehearsal hot spot
+            pairs_ab = _packed_pairs_arrow(pair_src.select("ds"))
         common = (
-            pairs.groupBy("p.a", "p.b")
+            pairs_ab.groupBy("a", "b")
             .agg(F.count("*").alias("n_common"))
             .select(
                 F.expr(f"a DIV {cap}").alias("doc_a"),
@@ -268,6 +331,9 @@ def ngram_jaccard_pairs(
             )
         )
     else:
+        pairs = pair_src.select(
+            F.explode(_pair_combos(F.col("ds"))).alias("p")
+        )
         common = pairs.groupBy(
             F.col("p.a.doc_id").alias("doc_a"),
             F.col("p.b.doc_id").alias("doc_b"),

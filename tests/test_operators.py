@@ -684,6 +684,26 @@ def test_ngram_jaccard_prefix_filter_rejects_low_threshold(spark):
         dedup_ops.ngram_jaccard_pairs(df, threshold=0.5, prefix_filter=True)
 
 
+def test_ngram_pair_kernel_equivalence(spark, sf_dir):
+    """``engine_exact=False`` (hashlib shingles + Arrow pair kernel)
+    must return EXACTLY the HOF path's pairs and values on the real
+    documents table — same (doc_a, doc_b) set, same n_common/jaccard."""
+    docs = readers.load_table(spark, sf_dir, "documents")
+    hof = dedup_ops.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.05, max_df=100, engine_exact=True
+    ).toPandas()
+    arrow = dedup_ops.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.05, max_df=100, engine_exact=False
+    ).toPandas()
+    key = ["doc_a", "doc_b"]
+    assert sorted(map(tuple, hof[key].values.tolist())) == sorted(
+        map(tuple, arrow[key].values.tolist())
+    )
+    merged = hof.merge(arrow, on=key, suffixes=("_h", "_a"))
+    assert (merged.n_common_h == merged.n_common_a).all()
+    assert (merged.jaccard_h - merged.jaccard_a).abs().max() < 1e-12
+
+
 def test_ngram_jaccard_string_keys_fall_back_to_struct_path(spark):
     docs = {
         "a": "alpha beta gamma delta epsilon zeta",
