@@ -1806,6 +1806,43 @@ WHERE d.source <> 'src0'
 """
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span detection (16-token windows,
+    stride 1, shared by ≥ 2 docs) — substring-grain dedup signal, the
+    regime whole-doc/near-dup/paragraph dedup miss; hashlib Arrow gram
+    kernel (``engine_exact=False``, hex-identical to the HOF chain)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.duplicate_spans(
+        docs, span_tokens=16, min_docs=2, engine_exact=False
+    )
+
+
+_SQL_DUPLICATE_SPANS = f"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS l FROM documents
+), pos AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM t
+), sp AS (
+  SELECT DISTINCT doc_id,
+         substr(md5(array_to_string(l[i:i+15], ' ')), 1, 15) AS g
+  FROM pos WHERE i + 15 <= len(l)
+), dfreq AS (
+  SELECT g, count(*) AS df FROM sp GROUP BY g
+), per AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_spans
+  FROM sp JOIN dfreq USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(per.dup_spans, 0)::BIGINT AS dup_spans,
+       round(CASE WHEN coalesce(per.n_spans, 0) > 0
+             THEN coalesce(per.dup_spans, 0)::DOUBLE / per.n_spans
+             ELSE 0.0 END + 0.0, 6) AS dup_span_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-50: token occurrence + document frequency,
     deterministic (count desc, token) order."""
@@ -4036,7 +4073,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "overlap_join": q_overlap_join,
         "trend_slope": q_trend_slope,
-        "weighted_sample": q_weighted_sample,
+        # ---- NEW in r6 (never driver-checked — must sit in the first
+        # 50; displaces weighted_sample, r4-checked, to the tail) ----
+        "duplicate_spans": q_duplicate_spans,
         # ---- r5-checked but implementation CHANGED this round ----
         "dedup_incremental": q_dedup_incremental,
         "pack_invariants": q_pack_invariants,
@@ -4046,7 +4085,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- positions 51+: every entry below was hash-green in the
         # ROUND-5 driver CORRECTNESS check (the freshest possible row)
         # and keeps an in-set family twin exercising the same operator
-        # path. ----
+        # path (weighted_sample: r4-checked, displaced by the new
+        # duplicate_spans; its operator family stays covered in-set by
+        # stratified_sample / domain_mix / holdout_split). ----
+        "weighted_sample": q_weighted_sample,
         "pricing_summary": q_pricing_summary,
         "agg_suite": q_agg_suite,
         "quantiles": q_quantiles,
@@ -4155,6 +4197,7 @@ def oracle_sql() -> dict[str, str]:
         "interpolate_linear": _SQL_INTERPOLATE,
         "repetition_signals": _SQL_REPETITION,
         "decontaminate": _SQL_DECONTAMINATE,
+        "duplicate_spans": _SQL_DUPLICATE_SPANS,
         "quality_gate": _SQL_QUALITY_GATE,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "chunk_documents": _SQL_CHUNKS,

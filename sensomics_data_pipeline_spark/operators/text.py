@@ -737,6 +737,81 @@ def ngram_contamination(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 16,
+    min_docs: int = 2,
+    engine_exact: bool = True,
+) -> DataFrame:
+    """Cross-document duplicated-span detection — the detection core of
+    substring-level dedup (the regime whole-doc, near-dup, and
+    paragraph dedup all miss: licence blocks, navigation chrome, and
+    quoted passages repeated inside otherwise-unique documents; the
+    training-data case for removing them is Lee et al., ACL 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    A span is a ``span_tokens``-word window at every token position
+    (stride 1); it is DUPLICATED when its portable 60-bit hash occurs
+    in ≥ ``min_docs`` distinct documents. One row per input document
+    over the doc's DISTINCT span set:
+
+    ``(key, n_spans, dup_spans, dup_span_frac)``
+
+    Plan (2 shuffles, skew-safe): per-doc distinct span hashes are a
+    map-side projection (builtin HOF chain; ``engine_exact=False``
+    swaps in the hashlib Arrow kernel — identical hex values); the
+    exploded (doc, hash) rows are already distinct, so one
+    ``groupBy(hash).count()`` IS the document frequency with map-side
+    partial aggregation — a boilerplate span hot across millions of
+    documents moves per-partition COUNTS, never a posting list. The
+    (hash, df) side joins back and reduces per document. Documents
+    with no span (short/NULL text) surface as ``n_spans = 0`` /
+    ``dup_span_frac = 0.0`` on both engines.
+    """
+    from sensomics_data_pipeline_spark.util import fan_out, materialize
+
+    if engine_exact:
+        sh = shingles_of(tokens(F.col(text_col)), span_tokens)
+        grams = materialize(
+            fan_out(df),
+            _g=F.array_distinct(
+                F.transform(sh, lambda s: F.substring(F.md5(s), 1, 15))
+            ),
+        )
+    else:
+        grams = _gram_hashes_arrow(fan_out(df), text_col, span_tokens)
+    rows = grams.select(F.col(key_col), F.explode("_g").alias("g"))
+    doc_freq = rows.groupBy("g").agg(F.count("*").alias("_df"))
+    per_doc = (
+        rows.join(doc_freq, "g")
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("_df") >= min_docs, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_spans"),
+        )
+    )
+    ns = F.coalesce(F.col("n_spans"), F.lit(0).cast("bigint"))
+    ds = F.coalesce(F.col("dup_spans"), F.lit(0).cast("bigint"))
+    return (
+        df.select(key_col)
+        .join(per_doc, key_col, "left")
+        .select(
+            key_col,
+            ns.alias("n_spans"),
+            ds.alias("dup_spans"),
+            F.round(
+                F.when(ns > 0, ds.cast("double") / ns).otherwise(F.lit(0.0))
+                + 0.0,
+                6,
+            ).alias("dup_span_frac"),
+        )
+    )
+
+
 #: PII surface patterns — RE2-compatible (no lookaround), so the DuckDB
 #: oracle evaluates the IDENTICAL regex; email before phone so the
 #: digits in a redacted email can't re-match as a phone number.

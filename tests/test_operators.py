@@ -684,6 +684,50 @@ def test_ngram_jaccard_prefix_filter_rejects_low_threshold(spark):
         dedup_ops.ngram_jaccard_pairs(df, threshold=0.5, prefix_filter=True)
 
 
+def test_duplicate_spans_semantics(spark):
+    """A 5-token span shared verbatim by two docs inside otherwise
+    unique text is flagged in BOTH; unique docs, short docs (< span
+    width), and NULL text pin to zero counts with frac 0.0."""
+    from sensomics_data_pipeline_spark.operators.text import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"seven eight {shared} nine ten eleven twelve"),
+        (3, "totally unrelated words that repeat nothing at all here"),
+        (4, "tiny doc"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        duplicate_spans(df, span_tokens=5, min_docs=2)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 5
+    # doc1: 11 tokens -> 7 distinct 5-token windows; exactly one shared
+    assert out.loc[1, "n_spans"] == 7 and out.loc[1, "dup_spans"] == 1
+    assert abs(out.loc[1, "dup_span_frac"] - round(1 / 7, 6)) < 1e-9
+    assert out.loc[2, "dup_spans"] == 1
+    assert out.loc[3, "dup_spans"] == 0 and out.loc[3, "n_spans"] > 0
+    assert out.loc[4, "n_spans"] == 0 and out.loc[4, "dup_span_frac"] == 0.0
+    assert out.loc[5, "n_spans"] == 0 and out.loc[5, "dup_span_frac"] == 0.0
+
+
+def test_duplicate_spans_kernel_equivalence(spark, sf_dir):
+    """HOF chain (engine_exact=True) and hashlib Arrow kernel must
+    agree row-for-row on the real documents table."""
+    from sensomics_data_pipeline_spark.operators.text import duplicate_spans
+
+    docs = readers.load_table(spark, sf_dir, "documents")
+    a = duplicate_spans(docs, engine_exact=True).toPandas()
+    b = duplicate_spans(docs, engine_exact=False).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_ngram_pair_kernel_equivalence(spark, sf_dir):
     """``engine_exact=False`` (hashlib shingles + Arrow pair kernel)
     must return EXACTLY the HOF path's pairs and values on the real
