@@ -137,6 +137,26 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_spans(args) -> int:
+    from sensomics_data_pipeline_spark.operators.text import duplicate_spans
+
+    spark = _spark()
+    docs = spark.read.parquet(args.input)
+    out = duplicate_spans(
+        docs,
+        span_tokens=args.span_tokens,
+        min_docs=args.min_docs,
+        engine_exact=False,
+    )
+    if args.min_frac is not None:
+        from pyspark.sql import functions as F
+
+        out = out.filter(F.col("dup_span_frac") >= args.min_frac)
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {args.out}")
+    return 0
+
+
 def cmd_analytics(args) -> int:
     from sensomics_data_pipeline_spark.operators.analytics import (
         cohort_retention,
@@ -259,6 +279,21 @@ def main(argv=None) -> int:
     k.add_argument("--mix", default=None,
                    help="target domain mix, e.g. 'web=3,books=1'")
     k.set_defaults(fn=cmd_corpus)
+
+    sp = sub.add_parser(
+        "spans",
+        help="cross-document duplicated-span report (substring-grain "
+             "dedup signal)",
+    )
+    sp.add_argument("-i", "--input", required=True, help="documents parquet")
+    sp.add_argument("-o", "--out", required=True)
+    sp.add_argument("--span-tokens", type=int, default=16,
+                    help="span window width in tokens")
+    sp.add_argument("--min-docs", type=int, default=2,
+                    help="doc frequency at which a span counts as duplicated")
+    sp.add_argument("--min-frac", type=float, default=None,
+                    help="only emit docs with dup_span_frac >= this")
+    sp.set_defaults(fn=cmd_spans)
 
     an = sub.add_parser(
         "analytics",

@@ -102,6 +102,30 @@ def test_cli_corpus(spark, tmp_path):
     assert 99 not in ids and ids <= {r[0] for r in rows}
 
 
+def test_cli_spans(spark, tmp_path):
+    docs_path = str(tmp_path / "docs_spans")
+    out = str(tmp_path / "spans_out")
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, "s0", f"one two three {shared} four five six"),
+        (2, "s0", f"seven eight {shared} nine ten eleven"),
+        (3, "s0", "totally unrelated words repeating nothing at all"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(docs_path)
+    assert cli.main(
+        ["spans", "-i", docs_path, "-o", out,
+         "--span-tokens", "5", "--min-frac", "0.01"]
+    ) == 0
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {
+        "doc_id", "n_spans", "dup_spans", "dup_span_frac"
+    }
+    ids = {r["doc_id"] for r in got.collect()}
+    assert ids == {1, 2}  # doc 3 filtered by --min-frac
+
+
 def test_cli_corpus_dedup_max_bucket(spark, tmp_path):
     """--dedup-max-bucket reaches the minhash skew guard; rejecting it
     for dedup methods without a bucket cap."""

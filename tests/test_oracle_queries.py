@@ -104,7 +104,7 @@ _DOC_FAMILY = [
     "dedup_incremental", "char_diversity", "pack_invariants",
     "corpus_invariants", "decontaminate", "multimodal_frames",
     "simhash", "streaming_corpus", "streaming_ingest",
-    "lexical_stats", "weighted_sample",
+    "lexical_stats", "weighted_sample", "duplicate_spans",
 ]
 
 #: the degenerate documents rows a future driver testdata revision

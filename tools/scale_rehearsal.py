@@ -78,6 +78,7 @@ QUERIES = [
     # new in round-4 build
     "lexical_stats",
     "weighted_sample",
+    "duplicate_spans",
 ]
 
 
