@@ -876,6 +876,37 @@ def test_duplicate_clusters_matches_union_find_random(spark):
     }
     assert got == want
 
+    # the distributed pointer-jumping path (what runs above the
+    # local_cap gate) must produce identical components
+    got_dist = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_ops.duplicate_clusters(pairs, local_cap=None).collect()
+    }
+    assert got_dist == want
+
+
+def test_duplicate_clusters_string_ids_both_paths(spark):
+    """Entity resolution clusters STRING names — both the gated local
+    path and the distributed path must handle non-numeric ids and
+    agree (regression: the first local solve assumed int64)."""
+    pairs = spark.createDataFrame(
+        [("old rod", "olde rod"), ("olde rod", "old rodd"), ("ax", "axe")],
+        "doc_a string, doc_b string",
+    )
+    want = {
+        "old rod": "old rod",
+        "olde rod": "old rod",
+        "old rodd": "old rod",
+        "ax": "ax",
+        "axe": "ax",
+    }
+    for cap in (None, 2_000_000):
+        got = {
+            r["doc_id"]: r["canonical_id"]
+            for r in dedup_ops.duplicate_clusters(pairs, local_cap=cap).collect()
+        }
+        assert got == want, cap
+
 
 def test_dedup_corpus_exact_and_minhash(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5

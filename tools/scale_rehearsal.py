@@ -382,16 +382,26 @@ def cc_rehearsal(spark) -> list[tuple]:
         n_edges = pairs.count()
         stats: dict = {}
         t0 = time.time()
-        out = duplicate_clusters(pairs, stats=stats)
+        # local_cap=None: measure the DISTRIBUTED pointer-jumping path
+        # (the claim under test); the r6 default gates graphs this size
+        # to the driver-side solve
+        out = duplicate_clusters(pairs, stats=stats, local_cap=None)
         # correctness probe rides along: every chain collapses to its
         # head, every clique to its smallest member
         n_comp = out.select("canonical_id").distinct().count()
         el = time.time() - t0
         assert n_comp == n_chains + n_cliques, (n_comp, n_chains, n_cliques)
-        rows.append((name, n_edges, stats["rounds"], el))
+        # gated default (r6): bounded driver-side union-find under the
+        # 2M-edge cap — same components, scheduler jobs collapsed
+        t1 = time.time()
+        out2 = duplicate_clusters(pairs)
+        n2 = out2.select("canonical_id").distinct().count()
+        el2 = time.time() - t1
+        assert n2 == n_comp, (n2, n_comp)
+        rows.append((name, n_edges, stats["rounds"], el, el2))
         print(
             f"{name:10s} edges {n_edges:8d}  rounds {stats['rounds']:2d}  "
-            f"{el:6.2f}s",
+            f"{el:6.2f}s  gated {el2:6.2f}s",
             flush=True,
         )
     return rows
@@ -482,10 +492,13 @@ def main() -> None:
                 "pointer-jumping O(log d) claim holds iff rounds is a "
                 "function of DIAMETER, not edge count — i.e. identical "
                 "at 1x and 100x.\n\n"
-                "| graph | edges | rounds | seconds |\n|---|---|---|---|\n"
+                "| graph | edges | rounds | distributed (s) | gated default (s) |\n"
+                "|---|---|---|---|---|\n"
             )
-            for name, n_edges, rounds, el in cc_rows:
-                f.write(f"| {name} | {n_edges} | {rounds} | {el:.2f} |\n")
+            for name, n_edges, rounds, el, el2 in cc_rows:
+                f.write(
+                    f"| {name} | {n_edges} | {rounds} | {el:.2f} | {el2:.2f} |\n"
+                )
         print(f"appended CC table to {out_md}")
         return
 
