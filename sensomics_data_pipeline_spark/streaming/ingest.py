@@ -69,8 +69,11 @@ def gate_thresholds(
     scrubbed = scrub_pii(docs, text_col).select(
         key_col, source_col, F.col("scrubbed_text").alias(text_col)
     )
+    # engine_exact=False: the bit-identical Arrow counts kernel (same
+    # integer counts, same ratio expressions — full-table equivalence
+    # pinned in tests); the interpreted fold dominated this prepass
     nonrep = (
-        repetition_signals(scrubbed, text_col)
+        repetition_signals(scrubbed, text_col, engine_exact=False)
         .filter(~F.col("repetitious"))
         .select(key_col, source_col, text_col)
     )
@@ -102,19 +105,14 @@ def eval_gram_hashes(
     in batch instead.
     """
     from sensomics_data_pipeline_spark.operators.text import (
-        shingles_of,
-        tokens,
+        _gram_hashes_arrow,
     )
-    from sensomics_data_pipeline_spark.util import fan_out, materialize
+    from sensomics_data_pipeline_spark.util import fan_out
 
-    sh = shingles_of(tokens(F.col(text_col)), n)
+    # same hashlib-in-C kernel the batch decontaminate fast path uses;
+    # values are identical to the HOF transform(md5-substr) chain
     grams = (
-        materialize(
-            fan_out(eval_df),
-            _g=F.array_distinct(
-                F.transform(sh, lambda s: F.substring(F.md5(s), 1, 15))
-            ),
-        )
+        _gram_hashes_arrow(fan_out(eval_df), text_col, n)
         .select(F.explode("_g").alias("g"))
         .distinct()
     )
@@ -139,17 +137,15 @@ def corpus_ingest_stream(
     periodic jobs that refresh the stream's static sides.
     """
     from sensomics_data_pipeline_spark.operators.text import (
+        _gram_hashes_arrow,
         quality_score,
         repetition_signals,
         scrub_pii,
-        shingles_of,
-        tokens,
     )
     from sensomics_data_pipeline_spark.sources.readers import (
         ensure_session_confs,
     )
     from sensomics_data_pipeline_spark.streaming.demo import run_bounded
-    from sensomics_data_pipeline_spark.util import materialize
 
     ensure_session_confs(spark)
     docs = (
@@ -177,8 +173,11 @@ def corpus_ingest_stream(
     scrubbed = scrub_pii(stream).select(
         "doc_id", "source", F.col("scrubbed_text").alias("text")
     )
+    # Arrow twins on the stream side too (mapInPandas is a stateless
+    # stream-supported op): bit-identical counts kernel for the
+    # repetition stage, hashlib gram kernel for the probe input
     nonrep = (
-        repetition_signals(scrubbed, "text")
+        repetition_signals(scrubbed, "text", engine_exact=False)
         .filter(~F.col("repetitious"))
         .select("doc_id", "source", "text")
     )
@@ -186,12 +185,8 @@ def corpus_ingest_stream(
     gated = scored.join(F.broadcast(thresholds), "source").filter(
         F.col("quality_score") >= F.col("gate_threshold")
     )
-    sh = shingles_of(tokens(F.col("text")), contamination_ngram)
-    grams = F.array_distinct(
-        F.transform(sh, lambda s: F.substring(F.md5(s), 1, 15))
-    )
     clean = (
-        materialize(gated, _g=grams)
+        _gram_hashes_arrow(gated, "text", contamination_ngram)
         .filter(~_contaminated(F.col("_g")))
         .select(
             "doc_id",
