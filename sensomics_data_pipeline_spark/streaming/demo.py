@@ -210,7 +210,9 @@ def corpus_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     scrubbed = scrub_pii(stream).withColumn("text", F.col("scrubbed_text"))
-    sigs = repetition_signals(scrubbed, "text")
+    # engine_exact=False: the bit-identical Arrow counts kernel (same
+    # stream-stateless mapInPandas shape as the ingest flow)
+    sigs = repetition_signals(scrubbed, "text", engine_exact=False)
     out = sigs.select(
         "doc_id", "n_email", "n_ipv4", "n_phone", "n_tokens", "repetitious"
     )
