@@ -4012,13 +4012,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in rounds 1-2: CORRECTNESS rows exist for exactly positions 1-50).
     # Rotation policy (r6+): every registered query now has at least one
     # driver CORRECTNESS row (r5 closed the last gap), so the window
-    # rotates by STALENESS — the first 50 are the entries whose most
-    # recent driver row is oldest (16 last checked r2, 24 last checked
-    # r3, 5 last checked r4) plus the five r5-checked entries whose
-    # implementation changed THIS round (dedup_incremental capped-band
-    # rewrite; corpus_pipeline / corpus_invariants memo repair;
-    # pack_sequences / pack_invariants auto n_groups) and therefore need
-    # fresh driver certification. The guard test
+    # rotates by STALENESS, with CHANGED-THIS-ROUND taking precedence —
+    # the first 50 are the 16 r2-checked + 21 r3-checked stalest
+    # entries, the never-checked duplicate_spans, and the 12 entries
+    # whose implementation changed in round 6 and therefore need fresh
+    # driver certification (see the inline note at that block). The
+    # guard test
     # (tests/test_oracle_queries.py) derives the never-checked set from
     # the committed CORRECTNESS_r*.json files rather than a hard-coded
     # list, so this rotation cannot silently strand an unchecked query.
@@ -4052,9 +4051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
         "exact_dedup": q_exact_dedup,
-        "histogram": q_histogram,
         "join_revenue_by_nation": q_join_revenue_by_nation,
-        "lang_id": q_lang_id,
         "multimodal_frames": q_multimodal_frames,
         "pivot_wide": q_pivot_wide,
         "posexplode_resample": q_posexplode_resample,
@@ -4066,28 +4063,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_stats": q_token_stats,
-        "topk_per_group": q_topk_per_group,
         "vocab_topk": q_vocab_topk,
-        # ---- last driver-checked r4 ----
-        "funnel": q_funnel,
-        "mad_outliers": q_mad_outliers,
-        "overlap_join": q_overlap_join,
-        "trend_slope": q_trend_slope,
         # ---- NEW in r6 (never driver-checked — must sit in the first
         # 50; displaces weighted_sample, r4-checked, to the tail) ----
         "duplicate_spans": q_duplicate_spans,
-        # ---- r5-checked but implementation CHANGED this round ----
+        # ---- implementation CHANGED this round, so they take the
+        # remaining window slots ahead of unchanged r3/r4-checked
+        # entries (changed code needs driver certification more than an
+        # unchanged query needs a staleness refresh; the displaced
+        # entries — histogram, lang_id, topk_per_group, funnel,
+        # mad_outliers, overlap_join, trend_slope — all hold r3/r4
+        # driver rows, stay bit-exact in the committed local sweeps at
+        # sf0.01 AND sf0.1, and keep in-set family twins: stats_suite /
+        # text_quality / top1_per_group / cohort-family analytics).
+        # Changes certified here: capped-band dedup_incremental; memo
+        # repair + auto n_groups (corpus_* / pack_*); Arrow pair kernel
+        # (ngram_jaccard); local_cap gated CC (dedup_clusters,
+        # semantic_dedup, entity_resolution); slab-vectorized ANN top-k
+        # (ann_invariants, with embedding_lsh/near_dup/topk already
+        # in-window); streaming Arrow twins (streaming_ingest,
+        # streaming_corpus). ----
         "dedup_incremental": q_dedup_incremental,
         "pack_invariants": q_pack_invariants,
         "corpus_invariants": q_corpus_invariants,
         "corpus_pipeline": q_corpus_pipeline,
         "pack_sequences": q_pack_sequences,
-        # ---- positions 51+: every entry below was hash-green in the
-        # ROUND-5 driver CORRECTNESS check (the freshest possible row)
-        # and keeps an in-set family twin exercising the same operator
-        # path (weighted_sample: r4-checked, displaced by the new
-        # duplicate_spans; its operator family stays covered in-set by
-        # stratified_sample / domain_mix / holdout_split). ----
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        "entity_resolution": q_entity_resolution,
+        "streaming_ingest": q_streaming_ingest,
+        "streaming_corpus": q_streaming_corpus,
+        "ann_invariants": q_ann_invariants,
+        # ---- positions 51+: every entry below holds a driver
+        # CORRECTNESS row (r3-r5) and keeps an in-set family twin
+        # exercising the same operator path (weighted_sample:
+        # r4-checked, displaced by the new duplicate_spans; its
+        # operator family stays covered in-set by stratified_sample /
+        # domain_mix / holdout_split; histogram/lang_id/topk_per_group/
+        # funnel/mad_outliers/overlap_join/trend_slope: displaced by
+        # the changed-this-round block above). ----
+        "histogram": q_histogram,
+        "lang_id": q_lang_id,
+        "topk_per_group": q_topk_per_group,
+        "funnel": q_funnel,
+        "mad_outliers": q_mad_outliers,
+        "overlap_join": q_overlap_join,
+        "trend_slope": q_trend_slope,
         "weighted_sample": q_weighted_sample,
         "pricing_summary": q_pricing_summary,
         "agg_suite": q_agg_suite,
@@ -4107,24 +4129,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_wide": q_unpivot_wide,
         "streaming_anomalies": q_streaming_anomalies,
         "fuzzy_match": q_fuzzy_match,
-        "entity_resolution": q_entity_resolution,
         "json_extract": q_json_extract,
         "cohort_retention": q_cohort_retention,
         "cusum_changepoint": q_cusum_changepoint,
-        "ann_invariants": q_ann_invariants,
         "bitmap_distinct": q_bitmap_distinct,
         "lexical_stats": q_lexical_stats,
         "minhash_lsh": q_minhash_lsh,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
-        "semantic_dedup": q_semantic_dedup,
         "interpolate_linear": q_interpolate_linear,
         "quality_gate": q_quality_gate,
         "distribution_drift": q_distribution_drift,
         "chunk_documents": q_chunk_documents,
-        "streaming_ingest": q_streaming_ingest,
-        "streaming_corpus": q_streaming_corpus,
         "stratified_sample": q_stratified_sample,
         "paragraph_dedup": q_paragraph_dedup,
         "domain_mix": q_domain_mix,
