@@ -4013,8 +4013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotation policy (r6+): every registered query now has at least one
     # driver CORRECTNESS row (r5 closed the last gap), so the window
     # rotates by STALENESS, with CHANGED-THIS-ROUND taking precedence —
-    # the first 50 are the 16 r2-checked + 21 r3-checked stalest
-    # entries, the never-checked duplicate_spans, and the 12 entries
+    # the first 50 are the 16 r2-checked + 20 r3-checked stalest
+    # entries, the never-checked duplicate_spans, and the 13 entries
     # whose implementation changed in round 6 and therefore need fresh
     # driver certification (see the inline note at that block). The
     # guard test
@@ -4056,7 +4056,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_wide": q_pivot_wide,
         "posexplode_resample": q_posexplode_resample,
         "repetition_signals": q_repetition_signals,
-        "semi_anti_join": q_semi_anti_join,
         "stats_suite": q_stats_suite,
         "streaming_sessions": q_streaming_sessions,
         "streaming_stateful_dedup": q_streaming_stateful_dedup,
@@ -4071,14 +4070,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remaining window slots ahead of unchanged r3/r4-checked
         # entries (changed code needs driver certification more than an
         # unchanged query needs a staleness refresh; the displaced
-        # entries — histogram, lang_id, topk_per_group, funnel,
-        # mad_outliers, overlap_join, trend_slope — all hold r3/r4
+        # entries — histogram, lang_id, topk_per_group, semi_anti_join,
+        # funnel, mad_outliers, overlap_join, trend_slope — all hold r3/r4
         # driver rows, stay bit-exact in the committed local sweeps at
         # sf0.01 AND sf0.1, and keep in-set family twins: stats_suite /
-        # text_quality / top1_per_group / cohort-family analytics).
+        # text_quality / top1_per_group / above_cust_avg-join-family /
+        # cohort-family analytics).
         # Changes certified here: capped-band dedup_incremental; memo
         # repair + auto n_groups (corpus_* / pack_*); Arrow pair kernel
-        # (ngram_jaccard); local_cap gated CC (dedup_clusters,
+        # (ngram_jaccard); pre-shuffle hamming collapse (simhash_pairs);
+        # local_cap gated CC (dedup_clusters,
         # semantic_dedup, entity_resolution); slab-vectorized ANN top-k
         # (ann_invariants, with embedding_lsh/near_dup/topk already
         # in-window); streaming Arrow twins (streaming_ingest,
@@ -4095,6 +4096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest": q_streaming_ingest,
         "streaming_corpus": q_streaming_corpus,
         "ann_invariants": q_ann_invariants,
+        "simhash_pairs": q_simhash_pairs,
         # ---- positions 51+: every entry below holds a driver
         # CORRECTNESS row (r3-r5) and keeps an in-set family twin
         # exercising the same operator path (weighted_sample:
@@ -4106,6 +4108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "lang_id": q_lang_id,
         "topk_per_group": q_topk_per_group,
+        "semi_anti_join": q_semi_anti_join,
         "funnel": q_funnel,
         "mad_outliers": q_mad_outliers,
         "overlap_join": q_overlap_join,
@@ -4135,7 +4138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_distinct": q_bitmap_distinct,
         "lexical_stats": q_lexical_stats,
         "minhash_lsh": q_minhash_lsh,
-        "simhash_pairs": q_simhash_pairs,
         "interpolate_linear": q_interpolate_linear,
         "quality_gate": q_quality_gate,
         "distribution_drift": q_distribution_drift,

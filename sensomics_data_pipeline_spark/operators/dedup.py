@@ -1146,14 +1146,19 @@ def simhash_pairs(
         pair_src = _capped_bucket_pairs(
             banded, ["band", "bv"], "simhash", max_bucket
         ).withColumnsRenamed({"_pa": "_sa", "_pb": "_sb"})
-    pairs = pair_src.groupBy("doc_a", "doc_b").agg(
-        F.first("_sa").alias("_sa"), F.first("_sb").alias("_sb")
-    )
+    # hamming + threshold BEFORE the (doc_a, doc_b) dedup shuffle:
+    # the distance is a function of the pair, so filtering the banded
+    # duplicates first is semantically identical — and the shuffle
+    # then moves one small int per SURVIVING candidate instead of two
+    # 64-bit signatures per candidate (same pre-shuffle collapse the
+    # incremental-dedup path uses; first() keeps map-side partials).
     return (
-        pairs.withColumn(
+        pair_src.withColumn(
             "hamming", F.bit_count(F.expr("_sa ^ _sb")).cast("int")
         )
         .filter(F.col("hamming") <= max_hamming)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("hamming").alias("hamming"))
         .select("doc_a", "doc_b", "hamming")
     )
 
