@@ -135,7 +135,9 @@ def _pair_combos(ds_col):
     )
 
 
-def _packed_pairs_arrow(posting: DataFrame) -> DataFrame:
+def _packed_pairs_arrow(
+    posting: DataFrame, pair_chunk: int = 4_000_000
+) -> DataFrame:
     """All (i < j) combinations of each sorted packed-long posting list
     (single ``ds array<bigint>`` column), generated in one Arrow pass.
 
@@ -147,7 +149,16 @@ def _packed_pairs_arrow(posting: DataFrame) -> DataFrame:
     over a stacked (lists × d) matrix — no per-pair or per-list Python
     in the hot path. Output is the same pair SET (a < b holds because
     lists are sorted); the downstream groupBy is order-insensitive.
-    Equivalence pinned by tests/test_operators.py."""
+    Peak memory is BOUNDED regardless of posting-list skew: pairs are
+    emitted in ≤ ``pair_chunk`` chunks (default 4M pairs ≈ 64 MB of
+    int64 a/b), chunking across same-length lists AND — for one giant
+    list whose own pair count exceeds the cap (a hot shingle with
+    ``max_df=None``: d = 50k docs means 1.25B pairs) — within that
+    single list's ``triu`` index template. The old whole-batch
+    concatenation materialized every posting list's full explosion at
+    once, an OOM regression vs the interpreted HOF's incremental
+    evaluation on skewed corpora. Equivalence pinned by
+    tests/test_operators.py."""
     import numpy as np
     import pandas as pd
 
@@ -167,20 +178,51 @@ def _packed_pairs_arrow(posting: DataFrame) -> DataFrame:
             )
             ends = np.cumsum(lens)
             starts = ends - lens
-            outs_a, outs_b = [], []
+            pend_a: list = []
+            pend_b: list = []
+            pend_n = 0
             for d in np.unique(lens):
                 if d < 2:
                     continue
                 rows = np.nonzero(lens == d)[0]
-                mat = vals[starts[rows][:, None] + np.arange(d)[None, :]]
+                per_list = int(d) * (int(d) - 1) // 2
+                if per_list > pair_chunk:
+                    # one list alone overflows the cap: gather its row
+                    # once, slice the triu template into cap-sized
+                    # segments (no per-d template cache — a giant d is
+                    # rare and its template is itself the memory hazard)
+                    ti, tj = np.triu_indices(int(d), 1)
+                    for r in rows:
+                        lst = vals[starts[r] : ends[r]]
+                        for s in range(0, per_list, pair_chunk):
+                            sl = slice(s, s + pair_chunk)
+                            yield pd.DataFrame(
+                                {"a": lst[ti[sl]], "b": lst[tj[sl]]}
+                            )
+                    del ti, tj
+                    continue
                 if d not in templates:
                     templates[d] = np.triu_indices(int(d), 1)
                 ti, tj = templates[d]
-                outs_a.append(mat[:, ti].ravel())
-                outs_b.append(mat[:, tj].ravel())
-            if outs_a:
+                # chunk rows so each emitted frame stays under the cap
+                rows_per = max(1, pair_chunk // per_list)
+                for c in range(0, len(rows), rows_per):
+                    sub = rows[c : c + rows_per]
+                    mat = vals[starts[sub][:, None] + np.arange(d)[None, :]]
+                    pend_a.append(mat[:, ti].ravel())
+                    pend_b.append(mat[:, tj].ravel())
+                    pend_n += len(sub) * per_list
+                    if pend_n >= pair_chunk:
+                        yield pd.DataFrame(
+                            {
+                                "a": np.concatenate(pend_a),
+                                "b": np.concatenate(pend_b),
+                            }
+                        )
+                        pend_a, pend_b, pend_n = [], [], 0
+            if pend_n:
                 yield pd.DataFrame(
-                    {"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)}
+                    {"a": np.concatenate(pend_a), "b": np.concatenate(pend_b)}
                 )
 
     return posting.mapInPandas(gen, "a long, b long")
@@ -394,8 +436,12 @@ def _minhash_wide_arrow(
     Bit-identical by construction: the ``_py_tokens`` tokenizer replica
     (Java-``\\s`` semantics, guarded by the fingerprint edge tests),
     the same ``md5[:15] mod p`` base hash, the same integer coefficient
-    math — all exact int64 arithmetic."""
+    math — all exact int64 arithmetic. The key column passes through
+    with its INPUT type (schema derived from ``df.schema`` like
+    ``_gram_hashes_arrow``), so string-keyed callers take this fast
+    path too instead of silently coercing to int64."""
     import numpy as np
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
     from sensomics_data_pipeline_spark.operators.text import _py_tokens
     from sensomics_data_pipeline_spark.util import fan_out
@@ -405,6 +451,14 @@ def _minhash_wide_arrow(
     a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
     b_vec = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
 
+    src = fan_out(df).select(F.col(key_col).alias("doc_id"), text_col)
+    out_schema = StructType(
+        [
+            StructField("doc_id", src.schema["doc_id"].dataType),
+            StructField("mhs", ArrayType(LongType())),
+        ]
+    )
+
     def run(batches):
         import hashlib
 
@@ -412,9 +466,9 @@ def _minhash_wide_arrow(
 
         md5 = hashlib.md5
         for pdf in batches:
-            ids: list[int] = []
+            keep: list[int] = []
             sigs: list = []
-            for key, t in zip(pdf["doc_id"], pdf[text_col]):
+            for pos, t in enumerate(pdf[text_col]):
                 toks = _py_tokens(t)
                 if len(toks) < n:
                     continue  # no shingles — dropped, like the HOF form
@@ -432,21 +486,19 @@ def _minhash_wide_arrow(
                     dtype=np.int64,
                 )
                 sigs.append((a_vec * hs[None, :] + b_vec) % p)
-                ids.append(key)
+                keep.append(pos)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    # .iloc keeps the key column's incoming dtype —
+                    # int64 stays int64, strings stay strings
+                    "doc_id": pdf["doc_id"].iloc[keep].reset_index(drop=True),
                     "mhs": pd.Series(
                         [s.min(axis=1) for s in sigs], dtype="object"
                     ),
                 }
             )
 
-    return (
-        fan_out(df)
-        .select(F.col(key_col).alias("doc_id"), text_col)
-        .mapInPandas(run, "doc_id long, mhs array<long>")
-    )
+    return src.mapInPandas(run, out_schema)
 
 
 def minhash_wide(

@@ -63,8 +63,10 @@ def _block_topk(qids, ids, sims, k: int):
     ``rint(sim·1e6)·2^36 − id`` sorts identically — and since ids are
     unique within a block, every key in a row is distinct, making
     ``argpartition`` deterministic. Self-pairs are pushed to int64 min
-    and filtered. Falls back to the loop if ids ≥ 2^36 or |sim| ≥ 100
-    would overflow the packing (never at cosine/ADC magnitudes).
+    and filtered. Falls back to the loop if ids are negative or ≥ 2^36,
+    or |sim| ≥ 100 would overflow the packing (never at cosine/ADC
+    magnitudes) — a negative id flips the ``− id`` term's direction and
+    could cross into the adjacent sim bucket.
 
     Returns ``(query_ids, neighbor_ids, sims)`` flat arrays.
     """
@@ -90,7 +92,11 @@ def _block_topk(qids, ids, sims, k: int):
             for i in range(0, nq, slab)
         ]
         return tuple(np.concatenate(x) for x in zip(*parts))
-    if ids.max(initial=0) >= (1 << 36) or not np.all(np.abs(sims) < 100.0):
+    if (
+        ids.min(initial=0) < 0
+        or ids.max(initial=0) >= (1 << 36)
+        or not np.all(np.abs(sims) < 100.0)
+    ):
         rq, ri, rs = [], [], []
         for row_i, qid in enumerate(qids):
             mask = ids != qid

@@ -236,6 +236,10 @@ def test_block_topk_matches_lexsort_loop():
         ids = rng.choice(10**6, size=n, replace=False).astype(np.int64)
         if trial == 0:  # exercise the > 2^36 id fallback path
             ids = ids + (1 << 37)
+        if trial == 1:  # negative ids must ALSO take the exact fallback
+            # (packed key −id flips direction: a negative id crosses
+            # into the adjacent sim bucket and corrupts the ranking)
+            ids = ids - 500_000
         qids = rng.choice(
             np.concatenate([ids, rng.choice(10**6, 5)]), size=nq
         ).astype(np.int64)
@@ -746,6 +750,36 @@ def test_ngram_pair_kernel_equivalence(spark, sf_dir):
     merged = hof.merge(arrow, on=key, suffixes=("_h", "_a"))
     assert (merged.n_common_h == merged.n_common_a).all()
     assert (merged.jaccard_h - merged.jaccard_a).abs().max() < 1e-12
+
+
+def test_packed_pairs_arrow_chunked_yields_same_pairs(spark):
+    """With a tiny ``pair_chunk`` the kernel must emit the identical
+    pair MULTISET through all three chunking regimes: per-list-overflow
+    (one list whose own pair count exceeds the cap), row-chunking
+    within a length group, and the pending-buffer flush across length
+    groups. Pins the bounded-memory rewrite (a hot posting list used to
+    materialize its full d²/2 explosion in one frame)."""
+    from collections import Counter
+
+    rows = [
+        ([1, 2, 3, 4, 5, 6, 7, 8, 9, 10],),  # 45 pairs > chunk: triu slicing
+        ([11, 12, 13],),
+        ([14, 15, 16],),
+        ([17, 18, 19],),  # same-length group row-chunked (3 pairs each)
+        ([20, 21],),
+        ([22, 23],),
+    ]
+    posting = spark.createDataFrame(rows, "ds array<bigint>")
+    want = Counter()
+    for (lst,) in rows:
+        for i in range(len(lst)):
+            for j in range(i + 1, len(lst)):
+                want[(lst[i], lst[j])] += 1
+    for chunk in (5, 7, 10**9):
+        got = dedup_ops._packed_pairs_arrow(
+            posting, pair_chunk=chunk
+        ).toPandas()
+        assert Counter(zip(got.a, got.b)) == want
 
 
 def test_ngram_jaccard_string_keys_fall_back_to_struct_path(spark):
@@ -2146,6 +2180,50 @@ def test_minhash_wide_arrow_matches_hof(spark, sf_dir):
         assert list(a["doc_id"]) == list(b["doc_id"])
         for x, y in zip(a["mhs"], b["mhs"]):
             assert list(x) == list(y)
+
+
+def test_minhash_string_keys_arrow_and_lsh_and_incremental(spark):
+    """String-keyed callers must work on the Arrow minhash kernel (it
+    derives the key type from df.schema rather than pinning int64) and
+    through the two pipelines that hardcode ``engine_exact=False``:
+    ``minhash_lsh_dedup`` and ``dedup_incremental``. Signatures must be
+    value-identical to the HOF path, and the planted near-dup must
+    surface with its string ids intact."""
+    from sensomics_data_pipeline_spark.operators import dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        ("doc-a", base),
+        ("doc-b", base.replace("kappa", "lambda", 1)),
+        ("doc-c", "one two three four five six seven eight nine ten " * 4),
+        ("doc-d", "xy"),  # < n tokens — dropped on both paths
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    a = dd.minhash_wide(df, n=3, num_hashes=16).orderBy("doc_id").toPandas()
+    b = (
+        dd.minhash_wide(df, n=3, num_hashes=16, engine_exact=False)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(a["doc_id"]) == list(b["doc_id"]) == ["doc-a", "doc-b", "doc-c"]
+    for x, y in zip(a["mhs"], b["mhs"]):
+        assert list(x) == list(y)
+
+    pairs = dd.minhash_lsh_dedup(df).toPandas()
+    assert ("doc-a", "doc-b") in set(zip(pairs.doc_a, pairs.doc_b))
+
+    new_df = spark.createDataFrame(
+        [("new-1", base), ("new-2", "totally fresh words never seen before ok")],
+        "doc_id string, text string",
+    )
+    inc = (
+        dd.dedup_incremental(new_df, df, threshold=0.5)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(inc.doc_id) == ["new-1", "new-2"]
+    assert bool(inc.is_exact_dup[0]) and inc.near_dup_of[0] == "doc-a"
+    assert not bool(inc.is_exact_dup[1]) and inc.near_dup_of[1] is None
 
 
 def test_repetition_counts_arrow_matches_hof(spark, sf_dir):
