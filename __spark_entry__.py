@@ -2864,12 +2864,13 @@ SELECT query_id, bucket, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
 
 
 def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5 (k-means coarse quantizer + n_probe=2; n_lists
-    auto-sizes to ⌈√n⌉ since r6). Iterative training is not
-    SQL-expressible — rows-only check; recall vs the brute-force
-    baseline is pytest-verified."""
+    """IVF ANN top-5 (k-means coarse quantizer; n_lists auto-sizes to
+    ⌈√n⌉ since r6 and n_probe to ⌈n_lists/8⌉ since r7, so the probed
+    fraction — and recall — stays scale-stable with zero knobs).
+    Iterative training is not SQL-expressible — rows-only check;
+    recall vs the brute-force baseline is pytest-verified."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = sim_ops.ivf_topk(emb, k=5, n_probe=2)
+    out = sim_ops.ivf_topk(emb, k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -2886,13 +2887,14 @@ def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ ANN top-5: IVF prunes which lists to scan (n_probe=2 of
-    ⌈√n⌉ auto-sized lists since r6), PQ compresses how they're scored
-    (16x32 ADC codes) — the production composition at 10^8+ vectors.
-    Rows-only (iterative training); the n_probe=n_lists ≡ pq_topk
-    equivalence and recall are pytest-pinned."""
+    """IVF-PQ ANN top-5: IVF prunes which lists to scan (auto
+    n_probe = ⌈n_lists/8⌉ of ⌈√n⌉ auto-sized lists since r7), PQ
+    compresses how they're scored (16x32 ADC codes) — the production
+    composition at 10^8+ vectors. Rows-only (iterative training); the
+    n_probe=n_lists ≡ pq_topk equivalence and recall are
+    pytest-pinned."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = sim_ops.ivf_pq_topk(emb, k=5, n_probe=2, m=16, n_codes=32)
+    out = sim_ops.ivf_pq_topk(emb, k=5, m=16, n_codes=32)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -3659,7 +3661,7 @@ def q_ann_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     # any capacity knobs, so certify the path users actually get
     parts = [
         _ann_violation_aggs(
-            sim_ops.ivf_topk(emb, k=k, n_probe=2), "ivf", k
+            sim_ops.ivf_topk(emb, k=k), "ivf", k
         ),
         _ann_violation_aggs(
             sim_ops.pq_topk(emb, k=k, m=16, n_codes=32),
@@ -3668,7 +3670,7 @@ def q_ann_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim_col="adc_sim",
         ),
         _ann_violation_aggs(
-            sim_ops.ivf_pq_topk(emb, k=k, n_probe=2, m=16, n_codes=32),
+            sim_ops.ivf_pq_topk(emb, k=k, m=16, n_codes=32),
             "ivfpq",
             k,
             sim_col="adc_sim",

@@ -209,6 +209,20 @@ def auto_n_lists(n_vectors: int, train_sample: int = 4096) -> int:
     return max(4, min(root, train_sample))
 
 
+def auto_n_probe(n_lists: int) -> int:
+    """Default IVF probe count for ``n_lists`` inverted lists:
+    ``max(2, ⌈n_lists/8⌉)`` — a CONSTANT FRACTION of the lists instead
+    of a pinned absolute. With :func:`auto_n_lists` growing as √n, a
+    pinned ``n_probe=2`` silently shrinks the probed fraction (2/√n →
+    0) and recall decays as data grows; probing n_lists/8 keeps the
+    scanned fraction — and therefore recall — scale-stable while the
+    per-query scan cost stays ~n/8 of a flat scan (√n lists × √n/8
+    probes × √n-sized lists ≈ n/8 candidate rows, each PQ/float scored
+    cheaply). Recall floors at 1× and 10× are pytest-pinned with no
+    explicit knobs."""
+    return max(2, -(-n_lists // 8))
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y),
@@ -656,7 +670,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_lists: int | None = None,
-    n_probe: int = 2,
+    n_probe: int | None = None,
     n_iter: int = 3,
     train_sample: int = 4096,
     centroids=None,
@@ -670,7 +684,10 @@ def ivf_topk(
     ~√n·n_probe as data grows instead of n/n_lists blowing up under a
     pinned list count; pass an explicit value to skip the count job
     (required when reusing pre-trained ``centroids``, whose row count
-    must equal ``n_lists``).
+    must equal ``n_lists``). ``n_probe=None`` (default) auto-sizes to
+    ``max(2, ⌈n_lists/8⌉)`` (:func:`auto_n_probe`) so the PROBED
+    FRACTION — and recall — stays constant as ``n_lists`` grows with
+    data; a pinned probe count decays recall at scale.
 
     Scale shape — no full-table collect anywhere:
 
@@ -705,6 +722,8 @@ def ivf_topk(
             n_lists = auto_n_lists(
                 valid_vectors(df, vec_col).count(), train_sample
             )
+    if n_probe is None:
+        n_probe = auto_n_probe(n_lists)
     if centroids is None:
         cent = ivf_train(df, key_col, vec_col, n_lists, n_iter, train_sample)
     else:
@@ -1100,7 +1119,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_lists: int | None = None,
-    n_probe: int = 2,
+    n_probe: int | None = None,
     m: int = 8,
     n_codes: int = 32,
     n_iter: int = 3,
@@ -1136,6 +1155,8 @@ def ivf_pq_topk(
             n_lists = auto_n_lists(
                 valid_vectors(df, vec_col).count(), train_sample
             )
+    if n_probe is None:
+        n_probe = auto_n_probe(n_lists)
     if centroids is None:
         cent = ivf_train(df, key_col, vec_col, n_lists, n_iter, train_sample)
     else:

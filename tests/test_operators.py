@@ -288,10 +288,57 @@ def test_ann_auto_capacity_knobs(spark, sf_dir):
     got = dict(zip(lsh["query_id"], lsh["neighbor_id"]))
     hits = sum(got.get(q) == n for q, n in truth.items())
     assert hits / len(truth) >= 0.5, "auto-planes LSH top-1 recall"
-    ivf = sim_ops.ivf_topk(emb, k=1, n_probe=4).toPandas()  # auto lists
+    ivf = sim_ops.ivf_topk(emb, k=1).toPandas()  # auto lists AND probes
     got = dict(zip(ivf["query_id"], ivf["neighbor_id"]))
     hits = sum(got.get(q) == n for q, n in truth.items())
-    assert hits / len(truth) >= 0.5, "auto-lists IVF top-1 recall"
+    assert hits / len(truth) >= 0.5, "fully-auto IVF top-1 recall"
+    # probe count is a constant fraction of the lists (ceil(n_lists/8)),
+    # floored at 2 — a pinned absolute would decay recall as √n lists grow
+    assert sim_ops.auto_n_probe(4) == 2
+    assert sim_ops.auto_n_probe(23) == 3
+    assert sim_ops.auto_n_probe(71) == 9
+    assert sim_ops.auto_n_probe(4096) == 512
+
+
+def test_ivf_auto_probe_recall_holds_at_10x(spark, sf_dir):
+    """The r7 auto ``n_probe`` contract: with ZERO explicit knobs, IVF
+    and IVF-PQ recall must NOT decay when the table grows 10× (500 →
+    5000 vectors: auto lists 23 → 71, auto probes 3 → 9 — the probed
+    fraction stays ~1/8; a pinned n_probe=2 probes 2/71 ≈ 3% of lists
+    at 10× and recall collapses). 10× table = the real embeddings plus
+    9 seeded noisy copies each (near-dup structure like the real
+    corpus). Measured: recall@1 0.52 (1×) → 0.99 (10×), IVF-PQ
+    recall@5 0.35 → 0.74; floors leave slack for arithmetic drift."""
+    import numpy as np
+
+    emb = readers.load_table(spark, sf_dir, "embeddings")
+    pdf = emb.toPandas()
+    mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+    rng = np.random.default_rng(7)
+    reps = [mat] + [mat + rng.normal(0, 0.08, mat.shape) for _ in range(9)]
+    big = np.concatenate(reps)
+    big_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(len(big)),
+                "embedding": [row.astype("float32") for row in big],
+            }
+        )
+    )
+    floors = {"1x": (0.45, 0.30), "10x": (0.90, 0.60)}
+    for name, df in (("1x", emb), ("10x", big_df)):
+        b1 = sim_ops.brute_force_topk(df, k=1).toPandas()
+        truth = dict(zip(b1["query_id"], b1["neighbor_id"]))
+        ivf = sim_ops.ivf_topk(df, k=1).toPandas()
+        got = dict(zip(ivf["query_id"], ivf["neighbor_id"]))
+        r1 = sum(got.get(q) == n for q, n in truth.items()) / len(truth)
+        b5 = sim_ops.brute_force_topk(df, k=5).toPandas()
+        t5 = set(zip(b5.query_id, b5.neighbor_id))
+        pq = sim_ops.ivf_pq_topk(df, k=5, m=16, n_codes=32).toPandas()
+        r5 = len(t5 & set(zip(pq.query_id, pq.neighbor_id))) / len(t5)
+        f1, f5 = floors[name]
+        assert r1 >= f1, f"{name} IVF recall@1 {r1:.2f} < {f1}"
+        assert r5 >= f5, f"{name} IVF-PQ recall@5 {r5:.2f} < {f5}"
 
 
 # ---------------------------------------------------------------------------

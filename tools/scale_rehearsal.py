@@ -288,13 +288,14 @@ def emb_scaled_variants():
 
     def ivf_auto(spark, sf_dir):
         emb = readers.load_table(spark, sf_dir, "embeddings")
-        return sim_ops.ivf_topk(emb, k=5, n_probe=2)
+        return sim_ops.ivf_topk(emb, k=5)
 
     def ivfpq_auto(spark, sf_dir):
         # the mitigation for embedding_pq's full-scan cost law: IVF
-        # prunes the lists, PQ still compresses what remains
+        # prunes the lists, PQ still compresses what remains; n_probe
+        # left to the r7 auto-sizer (constant probed fraction)
         emb = readers.load_table(spark, sf_dir, "embeddings")
-        return sim_ops.ivf_pq_topk(emb, k=5, n_probe=2, m=16, n_codes=32)
+        return sim_ops.ivf_pq_topk(emb, k=5, m=16, n_codes=32)
 
     return [
         ("lsh_topk(auto n_planes)", lsh_auto),
