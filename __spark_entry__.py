@@ -1817,6 +1817,56 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (the Lee et al. ACL 2022 payoff stage on
+    top of duplicate_spans): tokens covered by any 16-token window
+    shared by ≥ 2 docs are excised, survivors re-joined with single
+    spaces. Token conservation (kept + removed = n_tokens) plus the
+    full rewritten text are value-checked against the DuckDB oracle;
+    hashlib Arrow substrate (``engine_exact=False``, hex-identical to
+    the HOF chain)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.remove_duplicate_spans(
+        docs, span_tokens=16, min_docs=2, engine_exact=False
+    )
+
+
+_SQL_REMOVE_DUP_SPANS = f"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS l FROM documents
+), pos AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM t
+), sp AS (
+  SELECT doc_id, i,
+         substr(md5(array_to_string(l[i:i+15], ' ')), 1, 15) AS g
+  FROM pos WHERE i + 15 <= len(l)
+), dupg AS (
+  SELECT g FROM (SELECT DISTINCT doc_id, g FROM sp)
+  GROUP BY g HAVING count(*) >= 2
+), covered AS (
+  SELECT DISTINCT s.doc_id, s.i + o.o AS idx
+  FROM sp s JOIN dupg USING (g)
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS o) o
+), kept AS (
+  SELECT p.doc_id, p.i, p.l[p.i] AS tok
+  FROM pos p ANTI JOIN covered c ON c.doc_id = p.doc_id AND c.idx = p.i
+), reb AS (
+  SELECT doc_id, count(*) AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY i) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(len(t.l), 0)::BIGINT AS n_tokens,
+       coalesce(reb.kept_tokens, 0)::BIGINT AS kept_tokens,
+       (coalesce(len(t.l), 0) - coalesce(reb.kept_tokens, 0))::BIGINT
+         AS removed_tokens,
+       coalesce(reb.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN t USING (doc_id)
+LEFT JOIN reb USING (doc_id)
+"""
+
+
 _SQL_DUPLICATE_SPANS = f"""
 WITH t AS (
   SELECT doc_id, {_D_TOKS} AS l FROM documents
@@ -4068,6 +4118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- NEW in r6 (never driver-checked — must sit in the first
         # 50; displaces weighted_sample, r4-checked, to the tail) ----
         "duplicate_spans": q_duplicate_spans,
+        "remove_dup_spans": q_remove_dup_spans,
         # ---- implementation CHANGED this round, so they take the
         # remaining window slots ahead of unchanged r3/r4-checked
         # entries (changed code needs driver certification more than an
@@ -4217,6 +4268,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _SQL_REPETITION,
         "decontaminate": _SQL_DECONTAMINATE,
         "duplicate_spans": _SQL_DUPLICATE_SPANS,
+        "remove_dup_spans": _SQL_REMOVE_DUP_SPANS,
         "quality_gate": _SQL_QUALITY_GATE,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "chunk_documents": _SQL_CHUNKS,

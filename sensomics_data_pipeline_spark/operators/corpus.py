@@ -32,6 +32,7 @@ from sensomics_data_pipeline_spark.operators.sampling import rebalance_sources
 from sensomics_data_pipeline_spark.operators.text import (
     ngram_contamination,
     quality_percentile_gate,
+    remove_duplicate_spans,
     repetition_signals,
     scrub_pii,
 )
@@ -51,6 +52,8 @@ def prepare_corpus(
     pack_budget: int = 2048,
     pack_groups: int | None = None,
     paragraph_min_docs: int | None = None,
+    span_min_docs: int | None = None,
+    span_tokens: int = 16,
     paragraph_sep: str | None = None,
     paragraph_join: str | None = None,
     paragraph_words: int = 10,
@@ -72,11 +75,16 @@ def prepare_corpus(
     few-huge-groups 100-TB shape; see
     :func:`~.text.quality_percentile_gate`).
 
-    Two optional stages (both off by default, preserving the r3 query
+    Three optional stages (all off by default, preserving the r3 query
     contract): ``paragraph_min_docs`` inserts paragraph-level
     boilerplate removal (:func:`dedup_paragraphs`) right after PII
     scrubbing — shared navbox/license paragraphs are stripped before
-    any text-derived signal is computed; ``mix_weights`` appends
+    any text-derived signal is computed; ``span_min_docs`` inserts
+    substring-grain duplicated-span removal
+    (:func:`remove_duplicate_spans`, Lee et al. ACL 2022) at the same
+    point (after the paragraph stage when both are on — paragraphs
+    strip whole blocks cheaply, spans catch the sub-paragraph
+    boilerplate that remains); ``mix_weights`` appends
     deterministic domain-mix rebalancing (:func:`rebalance_sources`)
     over the survivors just before packing, so packs are built from
     the final mix.
@@ -121,6 +129,18 @@ def prepare_corpus(
         ).select(key_col, F.col("clean_text").alias(text_col))
         scrubbed = scrubbed.select(key_col, source_col).join(
             cleaned, key_col
+        )
+    if span_min_docs is not None:
+        despanned = remove_duplicate_spans(
+            scrubbed,
+            key_col=key_col,
+            text_col=text_col,
+            span_tokens=span_tokens,
+            min_docs=span_min_docs,
+            engine_exact=False,
+        ).select(key_col, F.col("clean_text").alias(text_col))
+        scrubbed = scrubbed.select(key_col, source_col).join(
+            despanned, key_col
         )
     non_repetitious = (
         repetition_signals(scrubbed, text_col, engine_exact=False)

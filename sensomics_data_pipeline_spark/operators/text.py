@@ -812,6 +812,168 @@ def duplicate_spans(
     )
 
 
+def _pos_gram_arrow(
+    df: DataFrame, key_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Arrow twin of ``remove_duplicate_spans``' substrate projection:
+    per row, the token array AND the POSITION-INDEXED span-hash array
+    (one 60-bit hex hash per token position, stride 1 — unlike
+    ``_gram_hashes_arrow`` the output is ordered and NOT
+    deduplicated, because the consumer needs span positions to map
+    hashes back to covered token indices). hashlib md5 in C over
+    ``_py_tokens`` replicas — bit-identical to the builtin HOF chain
+    (equivalence pinned in tests/test_operators.py)."""
+    import hashlib
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("_k", df.schema[key_col].dataType),
+            StructField("_toks", ArrayType(StringType())),
+            StructField("_gs", ArrayType(StringType())),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            toks_out, gs_out = [], []
+            for t in pdf[text_col]:
+                toks = _py_tokens(t)
+                bs = [w.encode("utf-8") for w in toks]
+                toks_out.append(toks)
+                gs_out.append(
+                    [
+                        md5(b" ".join(bs[i : i + n])).hexdigest()[:15]
+                        for i in range(len(toks) - n + 1)
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "_k": pdf[key_col].reset_index(drop=True),
+                    "_toks": toks_out,
+                    "_gs": gs_out,
+                }
+            )
+
+    return (
+        df.select(key_col, text_col)
+        .mapInPandas(run, out_schema)
+        .withColumnRenamed("_k", key_col)
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 16,
+    min_docs: int = 2,
+    engine_exact: bool = True,
+) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL — the training-data payoff
+    of :func:`duplicate_spans` (Lee et al., ACL 2022: excising repeated
+    substrings, not just dropping whole near-dup documents, is what
+    moves LM quality). A token is removed when ANY ``span_tokens``-word
+    window covering it occurs in ≥ ``min_docs`` distinct documents
+    (same span hash + doc-frequency definition as the detector);
+    surviving tokens are re-joined with single spaces.
+
+    One row per input document::
+
+        (key, n_tokens, kept_tokens, removed_tokens, clean_text)
+
+    with the token-conservation invariant
+    ``kept_tokens + removed_tokens = n_tokens`` (oracle-checked).
+
+    Plan — strictly LINEAR in total tokens, no per-doc quadratic step
+    (an ``exists`` HOF over per-doc dup positions would be O(tokens ×
+    dup-positions) on boilerplate-heavy documents):
+
+    1. substrate: per doc the token array and the position-indexed
+       span-hash array, computed ONCE behind a generator barrier
+       (``engine_exact=False`` swaps in the hashlib Arrow kernel
+       :func:`_pos_gram_arrow` — identical values);
+    2. duplicated hash set: map-side ``array_distinct`` → explode →
+       ``groupBy(hash).count()`` (distinct-doc frequency with map-side
+       partials — a boilerplate span moves per-partition counts, never
+       a posting list) → filter ``≥ min_docs``;
+    3. covered token indices: position-exploded spans equi-joined to
+       the dup set (1:1 output with spans — AQE-splittable if a hash
+       is hot), each emitting its ``span_tokens`` covered indices;
+       NOT deduplicated — the anti-join below is set-semantics anyway,
+       so the dedup shuffle is skipped;
+    4. kept tokens: position-exploded tokens LEFT ANTI join covered on
+       (doc, index) — high-cardinality composite key, skew-free;
+    5. rebuild: ``groupBy(doc)`` sorting the surviving (index, token)
+       structs, ``array_join`` with spaces; docs that lost everything
+       (or had no tokens) surface with ``clean_text = ''``.
+    """
+    from sensomics_data_pipeline_spark.util import fan_out, materialize
+
+    if engine_exact:
+        toks_c = F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        )
+        base = materialize(fan_out(df), _toks=toks_c)
+        base = materialize(
+            base,
+            _gs=F.transform(
+                shingles_of(F.col("_toks"), span_tokens),
+                lambda s: F.substring(F.md5(s), 1, 15),
+            ),
+        ).select(key_col, "_toks", "_gs")
+    else:
+        base = _pos_gram_arrow(fan_out(df), key_col, text_col, span_tokens)
+
+    dup = (
+        base.select(F.explode(F.array_distinct("_gs")).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= int(min_docs))
+        .select("g")
+    )
+    spans = base.select(
+        key_col, F.posexplode("_gs").alias("_i", "g")
+    )
+    covered = spans.join(dup, "g").select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_i"), F.col("_i") + F.lit(span_tokens - 1))
+        ).alias("_idx"),
+    )
+    toks_pos = base.select(
+        key_col, F.posexplode("_toks").alias("_idx", "_tok")
+    )
+    kept = toks_pos.join(covered, [key_col, "_idx"], "left_anti")
+    rebuilt = kept.groupBy(key_col).agg(
+        F.count("*").alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_tok"))),
+                lambda x: x["_tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    nt = F.coalesce(F.col("n_tokens"), F.lit(0).cast("int")).cast("bigint")
+    kt = F.coalesce(F.col("kept_tokens"), F.lit(0).cast("bigint"))
+    return (
+        base.select(key_col, F.size("_toks").alias("n_tokens"))
+        .join(rebuilt, key_col, "left")
+        .select(
+            key_col,
+            nt.alias("n_tokens"),
+            kt.alias("kept_tokens"),
+            (nt - kt).alias("removed_tokens"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 #: PII surface patterns — RE2-compatible (no lookaround), so the DuckDB
 #: oracle evaluates the IDENTICAL regex; email before phone so the
 #: digits in a redacted email can't re-match as a phone number.

@@ -779,6 +779,101 @@ def test_duplicate_spans_kernel_equivalence(spark, sf_dir):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_remove_duplicate_spans_semantics(spark):
+    """Tokens covered by any ≥min_docs span window are excised, the
+    rest survive in order; token conservation (kept + removed =
+    n_tokens) holds for every doc including NULL/empty/short text and
+    a fully-boilerplate doc that loses everything."""
+    from sensomics_data_pipeline_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"seven eight {shared} nine ten eleven twelve"),
+        (3, "totally unrelated words that repeat nothing at all here"),
+        (4, "tiny doc"),
+        (5, None),
+        (6, ""),
+        (7, shared),  # exactly the shared span: all tokens removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        remove_duplicate_spans(df, span_tokens=5, min_docs=2)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 7
+    assert (out.kept_tokens + out.removed_tokens == out.n_tokens).all()
+    assert out.loc[1, "clean_text"] == "one two three four five six"
+    assert out.loc[1, "removed_tokens"] == 5
+    assert out.loc[2, "clean_text"] == "seven eight nine ten eleven twelve"
+    assert out.loc[3, "removed_tokens"] == 0
+    assert (
+        out.loc[3, "clean_text"]
+        == "totally unrelated words that repeat nothing at all here"
+    )
+    assert out.loc[4, "n_tokens"] == 2 and out.loc[4, "clean_text"] == "tiny doc"
+    for d in (5, 6):
+        assert out.loc[d, "n_tokens"] == 0 and out.loc[d, "clean_text"] == ""
+    assert out.loc[7, "kept_tokens"] == 0 and out.loc[7, "clean_text"] == ""
+    # overlapping windows union their coverage: doc1's span at position
+    # 3 covers tokens 3..7 only — neighbors survive even though they
+    # sit inside non-duplicated windows that OVERLAP the shared one
+
+
+def test_remove_duplicate_spans_kernel_equivalence(spark, sf_dir):
+    """HOF chain and hashlib Arrow substrate must agree row-for-row
+    (full rewritten text included) on the real documents table."""
+    from sensomics_data_pipeline_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    docs = readers.load_table(spark, sf_dir, "documents")
+    a = remove_duplicate_spans(docs, engine_exact=True).toPandas()
+    b = remove_duplicate_spans(docs, engine_exact=False).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.kept_tokens + a.removed_tokens == a.n_tokens).all()
+
+
+def test_prepare_corpus_span_removal_stage(spark):
+    """``span_min_docs`` excises cross-document boilerplate spans from
+    the surviving text before any downstream signal is computed, and
+    the pipeline's pack bookkeeping still balances."""
+    import random
+
+    from sensomics_data_pipeline_spark.operators.corpus import prepare_corpus
+
+    rng = random.Random(9)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    boiler = " ".join(rng.choice(vocab) for _ in range(8))
+    rows = []
+    for i in range(20):
+        words = [rng.choice(vocab) for _ in range(50)]
+        text = " ".join(words) + (f" {boiler} tail{i}" if i % 2 == 0 else "")
+        rows.append((i, f"s{i % 2}", text))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = prepare_corpus(
+        df,
+        quality_keep_frac=1.0,
+        dedup_method="exact",
+        pack_budget=128,
+        pack_groups=4,
+        span_min_docs=2,
+        span_tokens=8,
+    ).toPandas()
+    # the 8-token boilerplate window is gone from every surviving text
+    assert not out.text.str.contains(boiler, regex=False).any()
+    # the unique tails survive the excision
+    assert out.text.str.contains("tail0", regex=False).any()
+    for _, grp in out.groupby("pack_id"):
+        assert (grp.pack_fill == grp.n_tokens.sum()).all()
+
+
 def test_ngram_pair_kernel_equivalence(spark, sf_dir):
     """``engine_exact=False`` (hashlib shingles + Arrow pair kernel)
     must return EXACTLY the HOF path's pairs and values on the real
