@@ -108,17 +108,10 @@ _DOC_FAMILY = [
 ]
 
 #: the degenerate documents rows a future driver testdata revision
-#: could legally contain (the r3 revision already changed a column
-#: encoding once): empty text, NULL text, whitespace-only, single
-#: char, non-ASCII/astral, minimal repeated token
-_DEGENERATE_DOCS = [
-    (900001, "", "en", "src0", 0),
-    (900002, None, "en", "src1", 0),
-    (900003, "   ", "en", "src2", 3),
-    (900004, "a", "de", "src3", 1),
-    (900005, "😀😀 漢字 test €uro", "fr", "src4", 14),
-    (900006, "word word word", "en", "src9", 14),
-]
+#: could legally contain — imported from the SHARED case table
+#: (tests/degenerate_cases.py) so the batch sweep and the streaming
+#: twins can never drift
+from degenerate_cases import DEGENERATE_DOCS as _DEGENERATE_DOCS
 
 
 @pytest.fixture(scope="module")

@@ -21,25 +21,14 @@ TABLES = (
     "documents embeddings".split()
 )
 
-#: one degenerate class per case, mirroring the batch sweep's salted
-#: rows (empty, NULL, whitespace-only, single char, non-ASCII/astral,
-#: minimal repeated token) plus the combined corpus
-_CASES = {
-    "empty": [(900001, "", "en", "src0", 0)],
-    "null": [(900002, None, "en", "src1", 0)],
-    "whitespace": [(900003, "   ", "en", "src2", 3)],
-    "single_char": [(900004, "a", "de", "src3", 1)],
-    "unicode": [(900005, "😀😀 漢字 test €uro", "fr", "src4", 14)],
-    "repeated": [(900006, "word word word", "en", "src9", 14)],
-    "combined": [
-        (900001, "", "en", "src0", 0),
-        (900002, None, "en", "src1", 0),
-        (900003, "   ", "en", "src2", 3),
-        (900004, "a", "de", "src3", 1),
-        (900005, "😀😀 漢字 test €uro", "fr", "src4", 14),
-        (900006, "word word word", "en", "src9", 14),
-    ],
-}
+#: the 48 salted permutations of the SHARED degenerate-row table
+#: (tests/degenerate_cases.py — the same rows the batch oracle sweep
+#: salts in, so batch and stream can never drift): every class alone,
+#: every pairwise and three-way interaction, every leave-one-out
+#: 5-subset, and the full corpus
+from degenerate_cases import doc_permutations
+
+_CASES = doc_permutations()
 
 
 def _salted_dir(sf_dir: str, tmp_path, rows) -> str:
