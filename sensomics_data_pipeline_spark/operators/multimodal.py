@@ -14,7 +14,12 @@ Decode support is two-tier:
   soundfile / torchaudio via optional imports, falling back to the
   documented ``NotImplementedError`` when absent — the Spark-side
   plumbing (schemas, batch shapes, UDF signatures, partitioning) is
-  identical with or without the libs.
+  identical with or without the libs. EXCEPTION: FLAC has a hermetic
+  pure-Python subset decoder (:func:`decode_flac_subset` — CONSTANT /
+  VERBATIM subframes, CRC-verified), so the compressed-audio routing
+  is exercised with zero external dependencies (vendored fixture test
+  in ``tests/test_operators.py``); real-encoder FLAC (LPC subframes)
+  still requires soundfile/torchaudio.
 
 Scale notes: binary payloads ride in Arrow buffers (no base64, no
 per-row pickling); ``spark.sql.files.maxPartitionBytes`` and
@@ -222,17 +227,202 @@ def _decode_audio_external(payload: bytes):
     return None
 
 
+def _flac_crc8(data: bytes) -> int:
+    """CRC-8, polynomial x⁸+x²+x+1 (0x07), init 0 — the FLAC frame
+    header checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    """CRC-16, polynomial x¹⁶+x¹⁵+x²+1 (0x8005), init 0 — the FLAC
+    whole-frame checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                (crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1
+            ) & 0xFFFF
+    return crc
+
+
+class _BitReader:
+    """MSB-first bit reader over a bytes buffer."""
+
+    def __init__(self, buf: bytes, byte_pos: int = 0):
+        self.buf = buf
+        self.pos = byte_pos * 8  # bit cursor
+
+    def read(self, nbits: int) -> int:
+        out = 0
+        for _ in range(nbits):
+            byte = self.buf[self.pos >> 3]
+            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return out
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v >= (1 << (nbits - 1)) else v
+
+    def byte_pos(self) -> int:
+        if self.pos & 7:
+            raise ValueError("bit cursor not byte-aligned")
+        return self.pos >> 3
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+#: FLAC frame-header block-size code table (code → samples); codes 6/7
+#: read an 8/16-bit (blocksize−1) field at the end of the header
+_FLAC_BLOCKSIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                    13: 8192, 14: 16384, 15: 32768}
+
+#: FLAC frame-header sample-rate code table (code → Hz); 12-14 read a
+#: trailing field, 0 defers to STREAMINFO
+_FLAC_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+               6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+               11: 96000}
+
+
+def decode_flac_subset(payload: bytes):
+    """Pure-Python decoder for a FLAC SUBSET (per the public xiph.org
+    format spec): independent channels, CONSTANT and VERBATIM
+    subframes, fixed blocking strategy — the shapes a hermetic test
+    fixture can carry. FIXED/LPC-predicted subframes (what a real
+    encoder emits for non-trivial audio) raise the documented
+    ``NotImplementedError`` and still route to soundfile/torchaudio
+    when installed. Both CRCs (header CRC-8, frame CRC-16) are
+    verified. Returns the :func:`decode_wav` contract:
+    ``(sample_rate, n_channels, float64 (frames, channels))``."""
+    import numpy as np
+
+    if len(payload) < 42 or payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    # metadata blocks: parse STREAMINFO, skip the rest
+    pos = 4
+    info = None
+    while True:
+        hdr = payload[pos]
+        btype, last = hdr & 0x7F, bool(hdr & 0x80)
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if btype == 0:
+            br = _BitReader(body)
+            br.read(16), br.read(16)  # min/max blocksize
+            br.read(24), br.read(24)  # min/max framesize
+            info = {
+                "rate": br.read(20),
+                "channels": br.read(3) + 1,
+                "bps": br.read(5) + 1,
+                "total": br.read(36),
+            }
+        pos += 4 + blen
+        if last:
+            break
+    if info is None:
+        raise ValueError("missing STREAMINFO")
+
+    chans: list[list] = [[] for _ in range(info["channels"])]
+    got = 0
+    while got < info["total"] and pos < len(payload):
+        frame_start = pos
+        br = _BitReader(payload, pos)
+        if br.read(14) != 0b11111111111110:
+            raise ValueError(f"bad frame sync at byte {pos}")
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy (fixed and variable both fine)
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)  # reserved
+        # UTF-8-style coded frame/sample number
+        first = br.read(8)
+        nfollow = 0
+        while (first << nfollow) & 0x80 and nfollow < 7:
+            nfollow += 1
+        nfollow = max(0, nfollow - 1)
+        for _ in range(nfollow):
+            br.read(8)
+        if bs_code == 6:
+            blocksize = br.read(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read(16) + 1
+        else:
+            blocksize = _FLAC_BLOCKSIZES[bs_code]
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        rate = _FLAC_RATES.get(sr_code, info["rate"])
+        if ch_code > 7:
+            raise NotImplementedError(
+                "stereo decorrelation (L/S, R/S, M/S) not in the "
+                "pure-Python FLAC subset"
+            )
+        n_ch = ch_code + 1
+        bps = {0: info["bps"], 1: 8, 2: 12, 4: 16, 5: 20, 6: 24}[ss_code]
+        hdr_end = br.byte_pos()
+        if _flac_crc8(payload[frame_start:hdr_end]) != br.read(8):
+            raise ValueError("frame header CRC-8 mismatch")
+        for c in range(n_ch):
+            if br.read(1):
+                raise ValueError("bad subframe header padding bit")
+            stype = br.read(6)
+            if br.read(1):
+                raise NotImplementedError(
+                    "wasted bits not in the pure-Python FLAC subset"
+                )
+            if stype == 0:  # CONSTANT
+                chans[c].extend([br.read_signed(bps)] * blocksize)
+            elif stype == 1:  # VERBATIM
+                chans[c].extend(
+                    br.read_signed(bps) for _ in range(blocksize)
+                )
+            else:
+                raise NotImplementedError(
+                    "FIXED/LPC subframes need an external codec "
+                    "(install soundfile or torchaudio)"
+                )
+        br.align()
+        body_end = br.byte_pos()
+        if _flac_crc16(payload[frame_start:body_end]) != br.read(16):
+            raise ValueError("frame CRC-16 mismatch")
+        got += blocksize
+        pos = br.byte_pos()
+
+    x = np.array(chans, dtype=np.float64).T / float(1 << (info["bps"] - 1))
+    return info["rate"], info["channels"], x
+
+
 def decode_wav(payload: bytes):
     """Parse a PCM WAV (RIFF) payload → (sample_rate, n_channels,
     float64 samples in [-1, 1], shape (frames, channels)). Pure
-    struct/numpy RIFF walk — supports 8/16/32-bit integer PCM;
-    compressed codecs route through :func:`_decode_audio_external`
-    (soundfile / torchaudio, optional deps) and raise the documented
-    ``NotImplementedError`` only when no decoder is available."""
+    struct/numpy RIFF walk — supports 8/16/32-bit integer PCM.
+    Compressed codecs route through :func:`_decode_audio_external`
+    (soundfile / torchaudio, optional deps); FLAC payloads
+    additionally fall back to the hermetic pure-Python
+    :func:`decode_flac_subset`, so the compressed-audio path is
+    exercisable with no external libraries at all. The documented
+    ``NotImplementedError`` is raised only when no decoder can take
+    the payload."""
     import struct
 
     import numpy as np
 
+    if payload[:4] == b"fLaC":
+        ext = _decode_audio_external(payload)
+        if ext is not None:
+            return ext
+        return decode_flac_subset(payload)
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
