@@ -79,6 +79,8 @@ QUERIES = [
     "lexical_stats",
     "weighted_sample",
     "duplicate_spans",
+    # new in round-7 build
+    "remove_dup_spans",
 ]
 
 
