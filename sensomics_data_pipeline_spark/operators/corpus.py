@@ -30,6 +30,7 @@ from sensomics_data_pipeline_spark.operators.dedup import (
 from sensomics_data_pipeline_spark.operators.packing import pack_sequences
 from sensomics_data_pipeline_spark.operators.sampling import rebalance_sources
 from sensomics_data_pipeline_spark.operators.text import (
+    contamination_probe,
     ngram_contamination,
     quality_percentile_gate,
     remove_duplicate_spans,
@@ -44,6 +45,7 @@ def prepare_corpus(
     text_col: str = "text",
     source_col: str = "source",
     eval_df: DataFrame | None = None,
+    eval_grams=None,
     quality_keep_frac: float = 0.5,
     gate_two_pass: bool = False,
     contamination_ngram: int = 8,
@@ -68,7 +70,14 @@ def prepare_corpus(
     pack_id, pack_fill, oversize)``
 
     ``eval_df`` (optional) is the benchmark set for decontamination;
-    when omitted that stage is skipped. ``dedup_method`` passes through
+    when omitted that stage is skipped. ``eval_grams`` (optional,
+    value-identical alternative) is a PRECOMPUTED eval gram-hash list
+    (:func:`~.text.eval_gram_hashes`): the stage then runs as the
+    map-side broadcast-set :func:`~.text.contamination_probe` — no
+    eval-side job, no join, no hit-count shuffle — the right shape for
+    a long-lived session running the pipeline repeatedly against a
+    static benchmark set (the ``__spark_entry__`` memo does exactly
+    this). ``dedup_method`` passes through
     to :func:`dedup_corpus` (``minhash``/``jaccard``/``simhash``/
     ``exact``). ``gate_two_pass=True`` swaps the quality gate's
     per-source window for the broadcast-threshold two-pass form (the
@@ -155,21 +164,41 @@ def prepare_corpus(
         text_col=text_col,
         two_pass=gate_two_pass,
     ).select(key_col, source_col, text_col, "n_tokens", "quality_score")
-    if eval_df is not None:
-        if persist_stages:
+    if eval_df is not None or eval_grams is not None:
+        # the join path reads `gated` twice (probe input + join-back),
+        # so it pins a cache; the fused probe is gated's ONLY consumer
+        # — a linear plan — so pinning would be pure fill overhead
+        if persist_stages and eval_grams is None:
             gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
             cached.append(gated)
-        clean_ids = ngram_contamination(
-            gated,
-            eval_df,
-            key_col=key_col,
-            text_col=text_col,
-            n=contamination_ngram,
-            engine_exact=False,
-        ).filter(~F.col("contaminated"))
-        gated = gated.join(
-            clean_ids.select(key_col), key_col, "left_semi"
-        )
+        if eval_grams is not None:
+            # fused map-side probe over the gated rows: the filter
+            # happens in the same Arrow pass, so no join-back either
+            gated = (
+                contamination_probe(
+                    gated,
+                    eval_grams,
+                    text_col=text_col,
+                    n=contamination_ngram,
+                )
+                .filter(~F.col("contaminated"))
+                .select(
+                    key_col, source_col, text_col,
+                    "n_tokens", "quality_score",
+                )
+            )
+        else:
+            clean_ids = ngram_contamination(
+                gated,
+                eval_df,
+                key_col=key_col,
+                text_col=text_col,
+                n=contamination_ngram,
+                engine_exact=False,
+            ).filter(~F.col("contaminated"))
+            gated = gated.join(
+                clean_ids.select(key_col), key_col, "left_semi"
+            )
     survivors = dedup_corpus(
         gated, key_col, text_col, method=dedup_method, **(dedup_kwargs or {})
     )

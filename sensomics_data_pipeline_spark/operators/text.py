@@ -737,6 +737,99 @@ def ngram_contamination(
     )
 
 
+def eval_gram_hashes(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+) -> list[str]:
+    """Batch prepass: the distinct portable 60-bit (15-hex-char) gram
+    hashes of the evaluation set, as a driver-side list.
+
+    Eval sets are benchmark-sized (thousands of documents), so their
+    distinct gram set is MBs, not GBs — the identical smallness
+    assumption under ``ngram_contamination(broadcast_eval=True)``; this
+    materializes the same set once so a long-lived session (or a
+    stream) can probe it map-side without re-deriving it per run. For
+    a corpus-scale eval set, decontaminate with the join plan instead.
+    """
+    from sensomics_data_pipeline_spark.util import fan_out
+
+    grams = (
+        _gram_hashes_arrow(fan_out(eval_df), text_col, n)
+        .select(F.explode("_g").alias("g"))
+        .distinct()
+    )
+    return [r.g for r in grams.collect()]
+
+
+def contamination_probe(
+    df: DataFrame,
+    gram_hashes,
+    text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Map-side decontamination against a PRECOMPUTED eval gram-hash
+    set (:func:`eval_gram_hashes`): appends ``n_overlap`` (distinct
+    shared grams) and ``contaminated`` to ``df`` in ONE fused Arrow
+    pass — no eval-side job, no broadcast join, no hit-count shuffle.
+
+    Value-identical to ``ngram_contamination(corpus, eval_df,
+    engine_exact=False)`` when ``gram_hashes`` came from the same eval
+    set (equivalence pytest-pinned): both reduce the corpus doc to its
+    DISTINCT hashlib gram hashes and count membership. This is the
+    production shape for a long-lived pipeline — the eval set is
+    static, so it ships once per executor as a broadcast variable and
+    every batch/run probes it at memory speed; the join plan in
+    :func:`ngram_contamination` remains the right tool when the eval
+    side is itself corpus-scale."""
+    import hashlib
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from sensomics_data_pipeline_spark.util import fan_out
+
+    src = fan_out(df)
+    bc = src.sparkSession.sparkContext.broadcast(frozenset(gram_hashes))
+    out_schema = StructType(
+        list(src.schema.fields)
+        + [
+            StructField("n_overlap", LongType()),
+            StructField("contaminated", BooleanType()),
+        ]
+    )
+    text_i = [f.name for f in src.schema.fields].index(text_col)
+
+    def run(batches):
+        import pandas as pd
+
+        md5 = hashlib.md5
+        evset = bc.value
+        for pdf in batches:
+            overlaps = []
+            for t in pdf.iloc[:, text_i]:
+                toks = [w.encode("utf-8") for w in _py_tokens(t)]
+                if len(toks) < n:
+                    overlaps.append(0)
+                    continue
+                gs = {
+                    md5(b" ".join(toks[i : i + n])).hexdigest()[:15]
+                    for i in range(len(toks) - n + 1)
+                }
+                overlaps.append(sum(1 for g in gs if g in evset))
+            ov = pd.Series(overlaps, dtype="int64")
+            yield pdf.assign(
+                n_overlap=ov, contaminated=ov >= int(min_overlap)
+            )
+
+    return src.mapInPandas(run, out_schema)
+
+
 def duplicate_spans(
     df: DataFrame,
     key_col: str = "doc_id",

@@ -89,34 +89,12 @@ def gate_thresholds(
     )
 
 
-def eval_gram_hashes(
-    eval_df: DataFrame,
-    text_col: str = "text",
-    n: int = 8,
-) -> list[str]:
-    """Batch prepass: the distinct portable 60-bit (15-hex-char) gram
-    hashes of the evaluation set, as a driver-side list.
-
-    Eval sets are benchmark-sized (thousands of documents), so their
-    distinct gram set is MBs, not GBs — the identical smallness
-    assumption under ``ngram_contamination(broadcast_eval=True)``; this
-    materializes the same set once so the stream can probe it per-row
-    with no per-batch join. For a corpus-scale eval set, decontaminate
-    in batch instead.
-    """
-    from sensomics_data_pipeline_spark.operators.text import (
-        _gram_hashes_arrow,
-    )
-    from sensomics_data_pipeline_spark.util import fan_out
-
-    # same hashlib-in-C kernel the batch decontaminate fast path uses;
-    # values are identical to the HOF transform(md5-substr) chain
-    grams = (
-        _gram_hashes_arrow(fan_out(eval_df), text_col, n)
-        .select(F.explode("_g").alias("g"))
-        .distinct()
-    )
-    return [r.g for r in grams.collect()]
+# eval_gram_hashes moved to operators.text in round 7 (the batch
+# prepare_corpus memo now uses the same prepass); imported here so the
+# streaming module keeps its public name
+from sensomics_data_pipeline_spark.operators.text import (  # noqa: E402
+    eval_gram_hashes,
+)
 
 
 def corpus_ingest_stream(

@@ -874,6 +874,47 @@ def test_prepare_corpus_span_removal_stage(spark):
         assert (grp.pack_fill == grp.n_tokens.sum()).all()
 
 
+def test_contamination_probe_matches_join_plan(spark, sf_dir):
+    """The fused map-side probe (precomputed eval gram set, broadcast
+    variable, zero shuffles) must be VALUE-IDENTICAL to the
+    ngram_contamination join plan on the real documents table — per-doc
+    n_overlap and contaminated — and prepare_corpus(eval_grams=...)
+    must produce exactly the frame prepare_corpus(eval_df=...) does."""
+    from sensomics_data_pipeline_spark.operators.corpus import prepare_corpus
+    from sensomics_data_pipeline_spark.operators.text import (
+        contamination_probe,
+        eval_gram_hashes,
+        ngram_contamination,
+    )
+
+    docs = readers.load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("source") == "src0")
+    grams = eval_gram_hashes(eval_df, n=8)
+    assert len(grams) > 100
+
+    a = (
+        ngram_contamination(docs, eval_df, n=8, engine_exact=False)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        contamination_probe(docs, grams, n=8)
+        .select("doc_id", "n_overlap", "contaminated")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+    kwargs = dict(quality_keep_frac=0.6, dedup_method="exact", pack_budget=512)
+    via_df = (
+        prepare_corpus(docs, eval_df=eval_df, **kwargs)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    via_grams = (
+        prepare_corpus(docs, eval_grams=grams, **kwargs)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(via_df, via_grams)
+
+
 def test_ngram_pair_kernel_equivalence(spark, sf_dir):
     """``engine_exact=False`` (hashlib shingles + Arrow pair kernel)
     must return EXACTLY the HOF path's pairs and values on the real
