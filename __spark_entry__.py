@@ -1913,6 +1913,105 @@ LIMIT 50
 """
 
 
+def q_hh_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-hash certification of the Misra-Gries heavy-hitters sketch
+    (``operators.profile.heavy_hitters`` — bounded per-partition
+    summaries + driver merge, no full groupBy shuffle). The reported
+    estimates depend on partition boundaries, so the SKETCH itself has
+    no SQL hash; its worst-case GUARANTEES do (the ann_invariants
+    pattern): Spark computes the violation counters against its own
+    exact token counts —
+
+    - ``n_overcount``: rows with est > exact (MG never overcounts),
+    - ``n_bound_violation``: rows with exact − est > max_undercount,
+    - ``n_mg_bound_violation``: max_undercount > n/(capacity+1),
+    - ``n_missing_heavy``: values absent from the top-k whose exact
+      count exceeds kth-est + max_undercount (completeness) —
+
+    all pinned at 0 by the DuckDB oracle, which re-derives the
+    deterministic anchors (total tokens, distinct tokens, exact top-1
+    count) from the same table."""
+    from sensomics_data_pipeline_spark.operators.profile import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(text_ops.tokens(F.col("text"))).alias("token")
+    )
+    k, cap = 32, 8 * 32
+    hh = heavy_hitters(tok, "token", k=k, capacity=cap)
+    exact = tok.groupBy("token").agg(F.count("*").alias("exact_count"))
+    joined = F.broadcast(hh).join(
+        exact, hh["value"] == exact["token"], "left"
+    )
+    kth = hh.agg(F.min("est_count").alias("_kth"))
+    sketch_side = joined.agg(
+        F.sum((F.col("est_count") > F.col("exact_count")).cast("long"))
+        .alias("n_overcount"),
+        F.sum(
+            (
+                F.col("exact_count") - F.col("est_count")
+                > F.col("max_undercount")
+            ).cast("long")
+        ).alias("n_bound_violation"),
+        F.max("max_undercount").alias("_mu"),
+        F.max("n_total").alias("_nt"),
+    )
+    missing = (
+        exact.join(hh.select(F.col("value").alias("token")), "token", "left_anti")
+        .crossJoin(F.broadcast(kth))
+        .crossJoin(
+            F.broadcast(sketch_side.select("_mu"))
+        )
+        .agg(
+            F.sum(
+                (F.col("exact_count") > F.col("_kth") + F.col("_mu")).cast(
+                    "long"
+                )
+            ).alias("_n_missing")
+        )
+    )
+    anchors = exact.agg(
+        F.sum("exact_count").cast("long").alias("n_tokens_total"),
+        F.count("*").alias("n_distinct_tokens"),
+        F.max("exact_count").alias("top1_exact_count"),
+    )
+    return (
+        sketch_side.withColumn("_k", F.lit(0))
+        .join(F.broadcast(missing.withColumn("_k", F.lit(0))), "_k")
+        .join(F.broadcast(anchors.withColumn("_k", F.lit(0))), "_k")
+        .select(
+            "n_overcount",
+            "n_bound_violation",
+            (F.col("_mu") > (F.col("_nt") / F.lit(cap + 1)))
+            .cast("long")
+            .alias("n_mg_bound_violation"),
+            F.coalesce(F.col("_n_missing"), F.lit(0).cast("long")).alias(
+                "n_missing_heavy"
+            ),
+            "n_tokens_total",
+            "n_distinct_tokens",
+            "top1_exact_count",
+        )
+    )
+
+
+_SQL_HH_INVARIANTS = f"""
+WITH tok AS (
+  SELECT unnest({_D_TOKS}) AS token FROM documents
+), exact AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY token
+)
+SELECT 0::BIGINT AS n_overcount,
+       0::BIGINT AS n_bound_violation,
+       0::BIGINT AS n_mg_bound_violation,
+       0::BIGINT AS n_missing_heavy,
+       sum(c)::BIGINT AS n_tokens_total,
+       count(*)::BIGINT AS n_distinct_tokens,
+       max(c)::BIGINT AS top1_exact_count
+FROM exact
+"""
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width 20-bucket histogram of l_extendedprice with in-plan
     min/max bounds — floor bucketing is tie-free across engines."""
@@ -4101,6 +4200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         # ---- NEW in r7 (never driver-checked) ----
         "remove_dup_spans": q_remove_dup_spans,
+        "hh_invariants": q_hh_invariants,
         # ---- implementation CHANGED in round 7, so they need fresh
         # driver certification: minhash Arrow kernel key typing
         # (minhash_lsh, dedup_incremental, dedup_clusters), bounded
@@ -4127,7 +4227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "agg_suite": q_agg_suite,
         "quantiles": q_quantiles,
-        "feature_scaling": q_feature_scaling,
         "rollup_revenue": q_rollup_revenue,
         "counter_reset_delta": q_counter_reset_delta,
         "flatline_runs": q_flatline_runs,
@@ -4159,6 +4258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round) then the 50 entries driver-checked in r6 — every tail
         # entry holds a green driver row at most 2 rounds old ----
         "embedding_pq": q_embedding_pq,
+        "feature_scaling": q_feature_scaling,
         "rolling_1h": q_rolling_1h,
         "char_diversity": q_char_diversity,
         "cube_agg": q_cube_agg,
@@ -4270,6 +4370,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _SQL_DECONTAMINATE,
         "duplicate_spans": _SQL_DUPLICATE_SPANS,
         "remove_dup_spans": _SQL_REMOVE_DUP_SPANS,
+        "hh_invariants": _SQL_HH_INVARIANTS,
         "quality_gate": _SQL_QUALITY_GATE,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "chunk_documents": _SQL_CHUNKS,

@@ -245,3 +245,124 @@ def numeric_histogram(
             F.max(v.cast("double")).alias("bucket_max"),
         )
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 64,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Deterministic-error heavy hitters via a MERGEABLE Misra-Gries
+    sketch: the top-``k`` frequent values with per-item count
+    estimates and a hard undercount bound, computed WITHOUT the full
+    ``groupBy(value).count()`` shuffle.
+
+    The 100-TB point: an exact frequency table over a high-cardinality
+    column (tokens, URLs, user agents) shuffles one row per DISTINCT
+    value — at corpus scale that is billions of rows moved to find the
+    top handful. Misra-Gries keeps a bounded ``capacity``-entry
+    summary per partition (one streaming pass, Arrow-batched), ships
+    ``partitions × capacity`` tiny rows to the driver, and merges them
+    with the Agarwal et al. (PODS 2012, "Mergeable Summaries")
+    truncation — total data moved is KBs regardless of input size.
+
+    Guarantees (deterministic, worst-case — not probabilistic):
+
+    - ``est_count`` NEVER overcounts: ``est ≤ true``;
+    - undercount is bounded: ``true − est ≤ max_undercount`` (the
+      summed decrement mass of the per-partition passes + merge
+      truncations, reported per run), and ``max_undercount ≤
+      n / (capacity+1)`` by the MG bound;
+    - COMPLETE for heavy items: any value whose true count exceeds
+      ``est_count(k-th row) + max_undercount`` is guaranteed to be in
+      the reported top-``k`` — a value missing from the summary has
+      true count ≤ the decrement mass, and one ranked below the k-th
+      row has true count ≤ its own est + mass ≤ the k-th est + mass.
+
+    The reported estimates depend on partition boundaries (like any
+    mergeable-summary reduction), so this is a rows-only driver
+    contract; the guarantees above are certified by the full-hash
+    ``hh_invariants`` twin (violations vs the exact counts pinned at
+    zero on both engines).
+
+    ``capacity`` defaults to ``8·k`` — comfortably above k so the
+    final truncation is dominated by genuinely light items.
+
+    Returns ``k`` rows: ``(value, est_count, max_undercount, n_total)``
+    ordered by (est_count desc, value asc).
+    """
+    import pandas as pd
+
+    cap = int(capacity or 8 * k)
+
+    def partial(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        counts: dict = {}
+        decr = 0
+        n = 0
+        for pdf in batches:
+            vc = pdf.iloc[:, 0].dropna().value_counts()  # C-speed
+            n += int(vc.sum())
+            for v, c in vc.items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > cap:
+                # mergeable-summaries truncation (Agarwal et al.):
+                # subtract the (cap+1)-th largest count from all,
+                # drop the non-positive — the subtraction joins the
+                # undercount mass, same bound as per-item MG
+                cut = sorted(counts.values(), reverse=True)[cap]
+                decr += cut
+                counts = {v: c - cut for v, c in counts.items() if c > cut}
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "value": list(counts.keys()),
+                    "est": list(counts.values()),
+                    "pid": pid,
+                    "decr": decr,
+                    "n": n,
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {"value": [None], "est": [0], "pid": pid, "decr": decr,
+                 "n": n}
+            )
+
+    vt = df.schema[value_col].dataType.simpleString()
+    partials = (
+        df.select(value_col)
+        .mapInPandas(partial, f"value {vt}, est long, pid int, decr long, n long")
+        .toPandas()
+    )
+    # driver merge (bounded: partitions x capacity rows, KBs at any
+    # scale): counts for one value ADD across summaries, each
+    # partition's decrement mass and row count enter ONCE, then one
+    # final truncation back to `cap` (subtracting the (cap+1)-th
+    # largest count preserves the MG undercount invariant per the
+    # mergeable-summaries construction)
+    merged: dict = {}
+    for value, est in zip(partials["value"], partials["est"]):
+        if value is None or est == 0:
+            continue
+        merged[value] = merged.get(value, 0) + int(est)
+    per_pid = partials.drop_duplicates("pid")
+    total_decr = int(per_pid["decr"].sum())
+    total_n = int(per_pid["n"].sum())
+    if len(merged) > cap:
+        cut = sorted(merged.values(), reverse=True)[cap]
+        total_decr += cut
+        merged = {v: c - cut for v, c in merged.items() if c > cut}
+    top = sorted(merged.items(), key=lambda t: (-t[1], t[0]))[:k]
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [
+            (v, int(c), total_decr, total_n)
+            for v, c in top
+        ],
+        f"value {vt}, est_count long, max_undercount long, n_total long",
+    )
+    return out

@@ -874,6 +874,42 @@ def test_prepare_corpus_span_removal_stage(spark):
         assert (grp.pack_fill == grp.n_tokens.sum()).all()
 
 
+def test_heavy_hitters_mg_guarantees(spark):
+    """Misra-Gries sketch with a TINY capacity (forcing per-batch
+    truncation and merge truncation): on a planted Zipf-ish stream the
+    worst-case guarantees must hold exactly — no overcounts, undercount
+    within the reported mass and within n/(cap+1), and every value
+    heavier than kth-est + mass reported — across different partition
+    layouts (the estimates may change, the guarantees may not)."""
+    from sensomics_data_pipeline_spark.operators.profile import heavy_hitters
+
+    rows = []
+    for i in range(40):  # value_i appears 40-i times + light tail
+        rows += [(f"v{i:02d}",)] * (40 - i)
+    rows += [(f"tail{j}",) for j in range(300)]
+    exact = {}
+    for (v,) in rows:
+        exact[v] = exact.get(v, 0) + 1
+    n = len(rows)
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "token string").repartition(parts)
+        hh = heavy_hitters(df, "token", k=10, capacity=24).toPandas()
+        assert len(hh) == 10
+        mu = int(hh.max_undercount.iloc[0])
+        assert int(hh.n_total.iloc[0]) == n
+        assert mu <= n // 25  # n/(cap+1)
+        kth = int(hh.est_count.min())
+        reported = set(hh.value)
+        for v, c in exact.items():
+            if v in reported:
+                est = int(hh.set_index("value").loc[v, "est_count"])
+                assert est <= c and c - est <= mu, (v, est, c, mu)
+            else:
+                assert c <= kth + mu, (v, c, kth, mu)
+        # the unambiguous top item always surfaces first
+        assert hh.value.iloc[0] == "v00"
+
+
 def test_contamination_probe_matches_join_plan(spark, sf_dir):
     """The fused map-side probe (precomputed eval gram set, broadcast
     variable, zero shuffles) must be VALUE-IDENTICAL to the
