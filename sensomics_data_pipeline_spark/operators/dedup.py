@@ -1018,8 +1018,20 @@ def _simhash_arrow(
     ``md5[:15]`` 60-bit hash, per-OCCURRENCE votes (multiset), bit set
     iff the vote sum is strictly positive; zero-token docs are absent
     from the output on both paths."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
     from sensomics_data_pipeline_spark.operators.text import _py_tokens
     from sensomics_data_pipeline_spark.util import fan_out
+
+    src = fan_out(df).select(F.col(key_col).alias("doc_id"), text_col)
+    # key type derived from the input schema (same pattern as
+    # _minhash_wide_arrow): string-keyed callers keep their keys
+    out_schema = StructType(
+        [
+            StructField("doc_id", src.schema["doc_id"].dataType),
+            StructField("simhash", LongType()),
+        ]
+    )
 
     def run(batches):
         import hashlib
@@ -1031,9 +1043,9 @@ def _simhash_arrow(
         shifts = np.arange(bits, dtype=np.int64)
         weights = (np.int64(1) << shifts).astype(np.int64)
         for pdf in batches:
-            ids: list[int] = []
+            keep: list[int] = []
             sigs: list[int] = []
-            for key, t in zip(pdf["doc_id"], pdf[text_col]):
+            for pos, t in enumerate(pdf[text_col]):
                 toks = _py_tokens(t)
                 if not toks:
                     continue  # no tokens -> no vote rows -> absent
@@ -1046,20 +1058,16 @@ def _simhash_arrow(
                 )
                 ones = ((hs[:, None] >> shifts) & 1).sum(axis=0)
                 votes = 2 * ones - len(toks)  # (+1/-1 sum)
-                ids.append(key)
+                keep.append(pos)
                 sigs.append(int(weights[votes > 0].sum()))
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "doc_id": pdf["doc_id"].iloc[keep].reset_index(drop=True),
                     "simhash": pd.Series(sigs, dtype="int64"),
                 }
             )
 
-    return (
-        fan_out(df)
-        .select(F.col(key_col).alias("doc_id"), text_col)
-        .mapInPandas(run, "doc_id long, simhash long")
-    )
+    return src.mapInPandas(run, out_schema)
 
 
 def simhash(

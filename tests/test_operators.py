@@ -2513,6 +2513,16 @@ def test_minhash_string_keys_arrow_and_lsh_and_incremental(spark):
     assert bool(inc.is_exact_dup[0]) and inc.near_dup_of[0] == "doc-a"
     assert not bool(inc.is_exact_dup[1]) and inc.near_dup_of[1] is None
 
+    # the simhash Arrow kernel derives its key type the same way
+    sa = dd.simhash(df, bits=32).orderBy("doc_id").toPandas()
+    sb = (
+        dd.simhash(df, bits=32, engine_exact=False)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(sa.doc_id) == list(sb.doc_id)
+    assert list(sa.simhash) == list(sb.simhash)
+
 
 def test_repetition_counts_arrow_matches_hof(spark, sf_dir):
     """The ``Counter`` Arrow kernel behind ``repetition_signals(...,
