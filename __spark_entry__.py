@@ -1958,9 +1958,13 @@ def q_hh_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     missing = (
         exact.join(hh.select(F.col("value").alias("token")), "token", "left_anti")
-        .crossJoin(F.broadcast(kth))
-        .crossJoin(
-            F.broadcast(sketch_side.select("_mu"))
+        .withColumn("_k", F.lit(0))
+        .join(F.broadcast(kth.withColumn("_k", F.lit(0))), "_k")
+        .join(
+            F.broadcast(
+                sketch_side.select("_mu").withColumn("_k", F.lit(0))
+            ),
+            "_k",
         )
         .agg(
             F.sum(
