@@ -81,6 +81,7 @@ QUERIES = [
     "duplicate_spans",
     # new in round-7 build
     "remove_dup_spans",
+    "hh_invariants",
 ]
 
 
