@@ -1806,6 +1806,86 @@ WHERE d.source <> 'src0'
 """
 
 
+def q_bloom_decon_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-hash certification of Bloom-filter decontamination
+    (``operators.text.build_gram_bloom`` + ``bloom_contamination_probe``
+    — the scale path when the eval gram set outgrows an exact broadcast:
+    16 bits/gram instead of ~50 B/gram frozenset entries, one fused
+    map-side Arrow pass, zero shuffle). The Bloom flag itself admits
+    false positives (deterministic, but not SQL-re-derivable), so the
+    certified surface is its ONE-SIDED guarantee vs the exact join plan
+    (the hh/ann-invariants pattern):
+
+    - ``n_false_negative``: exactly-contaminated docs the Bloom probe
+      missed (a Bloom filter can never false-negative) — pinned 0;
+    - ``n_undercount``: docs where ``n_bloom_overlap < n_overlap``
+      (every true member passes the probe) — pinned 0;
+
+    anchors (``n_docs``, ``n_exact_contaminated``, ``sum_exact_overlap``,
+    ``n_eval_grams``) re-derived by the DuckDB oracle from the same
+    gram algebra as the ``decontaminate`` query."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    grams = text_ops.eval_gram_hashes(eval_df, n=8)
+    bloom = text_ops.build_gram_bloom(grams, bits_per_gram=16)
+    flagged = text_ops.bloom_contamination_probe(
+        corpus, bloom, n=8
+    ).select("doc_id", "n_bloom_overlap", "bloom_contaminated")
+    exact = text_ops.ngram_contamination(
+        corpus, eval_df, n=8, engine_exact=False
+    ).select("doc_id", "n_overlap", "contaminated")
+    return (
+        exact.join(flagged, "doc_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("contaminated") & ~F.col("bloom_contaminated")).cast(
+                    "long"
+                )
+            ).alias("n_false_negative"),
+            F.sum(
+                (F.col("n_bloom_overlap") < F.col("n_overlap")).cast("long")
+            ).alias("n_undercount"),
+            F.sum(F.col("contaminated").cast("long")).alias(
+                "n_exact_contaminated"
+            ),
+            F.sum("n_overlap").alias("sum_exact_overlap"),
+        )
+        .withColumn("n_eval_grams", F.lit(len(grams)).cast("long"))
+    )
+
+
+_SQL_BLOOM_DECON_INVARIANTS = f"""
+WITH t AS (
+  SELECT doc_id, source, {_D_TOKS} AS l FROM documents
+), pos AS (
+  SELECT doc_id, source, l, unnest(generate_series(1, len(l))) AS i FROM t
+), gr AS (
+  SELECT DISTINCT doc_id, source,
+         substr(md5(array_to_string(l[i:i+7], ' ')), 1, 15) AS g
+  FROM pos WHERE i + 7 <= len(l)
+), ev AS (
+  SELECT DISTINCT g FROM gr WHERE source = 'src0'
+), hits AS (
+  SELECT gr.doc_id, count(*) AS n_overlap
+  FROM gr JOIN ev USING (g) WHERE gr.source <> 'src0' GROUP BY 1
+), per_doc AS (
+  SELECT d.doc_id, coalesce(h.n_overlap, 0) AS n_overlap
+  FROM documents d LEFT JOIN hits h USING (doc_id)
+  WHERE d.source <> 'src0'
+)
+SELECT count(*)::BIGINT AS n_docs,
+       0::BIGINT AS n_false_negative,
+       0::BIGINT AS n_undercount,
+       sum(CASE WHEN n_overlap >= 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_exact_contaminated,
+       sum(n_overlap)::BIGINT AS sum_exact_overlap,
+       (SELECT count(*) FROM ev)::BIGINT AS n_eval_grams
+FROM per_doc
+"""
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-span detection (16-token windows,
     stride 1, shared by ≥ 2 docs) — substring-grain dedup signal, the
@@ -2013,6 +2093,83 @@ SELECT 0::BIGINT AS n_overcount,
        count(*)::BIGINT AS n_distinct_tokens,
        max(c)::BIGINT AS top1_exact_count
 FROM exact
+"""
+
+
+def q_qsketch_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-hash certification of the mergeable quantile sketch
+    (``operators.profile.quantile_sketch`` — per-partition sorted
+    uniform samples + exact driver merge, no global sort, KBs moved at
+    any scale). The estimates depend on partition boundaries, so the
+    sketch itself is rows-only; its deterministic worst-case GUARANTEE
+    has a hash (the hh_invariants pattern): Spark re-checks each
+    estimate against its own exact ranks of l_extendedprice —
+
+    - ``n_rank_violation``: quantiles where the exact rank interval
+      [count(< est), count(≤ est)] misses [q·n ± max_rank_err],
+    - ``n_monotonic_violation``: adjacent estimates out of order,
+    - ``n_range_violation``: estimates outside [exact min, exact max],
+    - ``n_total_mismatch``: sketch row count ≠ exact non-null count —
+
+    all pinned at 0 by the DuckDB oracle, which re-derives the
+    deterministic anchors (n, min, max) from the same table."""
+    from sensomics_data_pipeline_spark.operators.profile import (
+        quantile_sketch,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = quantile_sketch(li, "l_extendedprice", buffer_size=1024)
+    rows = sorted(sk.collect(), key=lambda r: r.q)  # bounded: 7 rows
+    v = F.col("l_extendedprice").cast("double")
+    aggs = [
+        F.count(v).alias("n_exact"),
+        F.min(v).alias("exact_min"),
+        F.max(v).alias("exact_max"),
+    ]
+    for j, r in enumerate(rows):
+        aggs += [
+            F.sum((v < F.lit(r.est)).cast("long")).alias(f"_lt{j}"),
+            F.sum((v <= F.lit(r.est)).cast("long")).alias(f"_le{j}"),
+        ]
+    one = li.agg(*aggs)
+    rank_viol = F.lit(0).cast("long")
+    rng_viol = F.lit(0).cast("long")
+    for j, r in enumerate(rows):
+        lo = F.lit(float(r.q * r.n_total - r.max_rank_err))
+        hi = F.lit(float(r.q * r.n_total + r.max_rank_err))
+        rank_viol = rank_viol + (
+            (F.col(f"_le{j}") < lo) | (F.col(f"_lt{j}") > hi)
+        ).cast("long")
+        rng_viol = rng_viol + (
+            (F.lit(r.est) < F.col("exact_min"))
+            | (F.lit(r.est) > F.col("exact_max"))
+        ).cast("long")
+    n_mono = sum(1 for a, b in zip(rows, rows[1:]) if b.est < a.est)
+    n_total = rows[0].n_total if rows else 0
+    return one.select(
+        F.lit(len(rows)).cast("long").alias("n_quantiles"),
+        rank_viol.alias("n_rank_violation"),
+        F.lit(n_mono).cast("long").alias("n_monotonic_violation"),
+        rng_viol.alias("n_range_violation"),
+        (F.col("n_exact") != F.lit(n_total))
+        .cast("long")
+        .alias("n_total_mismatch"),
+        F.col("n_exact"),
+        F.col("exact_min"),
+        F.col("exact_max"),
+    )
+
+
+_SQL_QSKETCH_INVARIANTS = """
+SELECT 7::BIGINT AS n_quantiles,
+       0::BIGINT AS n_rank_violation,
+       0::BIGINT AS n_monotonic_violation,
+       0::BIGINT AS n_range_violation,
+       0::BIGINT AS n_total_mismatch,
+       count(l_extendedprice)::BIGINT AS n_exact,
+       min(l_extendedprice)::DOUBLE AS exact_min,
+       max(l_extendedprice)::DOUBLE AS exact_max
+FROM lineitem
 """
 
 
@@ -4202,9 +4359,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_join": q_overlap_join,
         "trend_slope": q_trend_slope,
         "weighted_sample": q_weighted_sample,
-        # ---- NEW in r7 (never driver-checked) ----
+        # ---- NEW in r7 (never driver-checked; displace domain_mix +
+        # holdout_split to positions 51-52 — both r5-checked with
+        # in-window family twins (stratified_sample, the sampling
+        # family), both owed an r8 rotation) ----
         "remove_dup_spans": q_remove_dup_spans,
         "hh_invariants": q_hh_invariants,
+        "qsketch_invariants": q_qsketch_invariants,
+        "bloom_decon_invariants": q_bloom_decon_invariants,
         # ---- implementation CHANGED in round 7, so they need fresh
         # driver certification: minhash Arrow kernel key typing
         # (minhash_lsh, dedup_incremental, dedup_clusters), bounded
@@ -4375,6 +4537,8 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": _SQL_DUPLICATE_SPANS,
         "remove_dup_spans": _SQL_REMOVE_DUP_SPANS,
         "hh_invariants": _SQL_HH_INVARIANTS,
+        "qsketch_invariants": _SQL_QSKETCH_INVARIANTS,
+        "bloom_decon_invariants": _SQL_BLOOM_DECON_INVARIANTS,
         "quality_gate": _SQL_QUALITY_GATE,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "chunk_documents": _SQL_CHUNKS,

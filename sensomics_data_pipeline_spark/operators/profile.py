@@ -366,3 +366,125 @@ def heavy_hitters(
         f"value {vt}, est_count long, max_undercount long, n_total long",
     )
     return out
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
+    buffer_size: int = 4096,
+    driver_cap: int = 1 << 18,
+) -> DataFrame:
+    """Deterministic-error quantiles via a MERGEABLE one-pass sketch:
+    each partition sorts its (non-null) values once and keeps
+    ``buffer_size`` evenly-spaced weighted samples; the driver merges
+    the bounded summaries and reads the quantiles off the weighted
+    CDF. No global sort, no shuffle — the only data moved is
+    ``partitions x buffer_size`` (value, weight) pairs, KBs-per-task
+    at any input scale.
+
+    The 100-TB point: exact quantiles need a full sort (range
+    shuffle of every row) or repeated scans; Spark's built-in
+    ``approx_percentile`` is the same family of mergeable summary.
+    This operator exists so the engine can certify a DETERMINISTIC
+    worst-case rank bound (probabilistic sketches can't be pinned at
+    zero violations by an oracle) and expose the summary for reuse.
+
+    Guarantee (worst-case, not probabilistic): per partition the
+    B-point uniform compression of a sorted run distorts any value's
+    rank by at most ``n_p/(2B)`` (the weighted CDF is a B-step
+    staircase within half a step of the true one); errors ADD across
+    the merge, so the returned estimate ``est(q)`` always satisfies
+
+        [count(x < est), count(x <= est)]  intersects
+        [q*n - max_rank_err, q*n + max_rank_err]
+
+    with ``max_rank_err = sum_p(n_p/B + 1)`` (double the proven
+    half-step bound, absorbing empty-partition edges). Partitions
+    holding <= B values are kept EXACT (error 0 for that partition).
+
+    Estimates depend on partition boundaries (like every mergeable
+    summary), so the sketch itself is a rows-only driver contract;
+    the bound above is what the full-hash ``qsketch_invariants`` twin
+    certifies (violations vs exact ranks pinned at zero on both
+    engines).
+
+    At extreme partition counts the driver-side union (P x B rows)
+    is itself compressed back to ``driver_cap`` samples (adds one
+    more ``W/driver_cap`` term to the error mass); a multi-level
+    ``treeAggregate``-style merge is the same construction one level
+    deeper and is not needed below ~10k partitions.
+
+    Returns one row per requested quantile:
+    ``(q, est, max_rank_err, n_total)`` ordered by q.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = int(buffer_size)
+
+    def partial(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks = []
+        for pdf in batches:
+            v = pdf.iloc[:, 0].to_numpy(dtype="float64", na_value=np.nan)
+            v = v[~np.isnan(v)]
+            if v.size:
+                chunks.append(v)
+        if not chunks:
+            yield pd.DataFrame(
+                {"value": [0.0], "weight": [0.0], "pid": pid, "err": [0.0],
+                 "n": [0]}
+            )
+            return
+        vals = np.sort(np.concatenate(chunks))
+        n_p = vals.size
+        if n_p <= B:
+            samples, weights, err = vals, np.ones(n_p), 0.0
+        else:
+            w = n_p / B
+            idx = np.minimum(
+                ((np.arange(B) + 0.5) * w).astype("int64"), n_p - 1
+            )
+            samples, weights, err = vals[idx], np.full(B, w), n_p / B + 1.0
+        yield pd.DataFrame(
+            {"value": samples, "weight": weights, "pid": pid, "err": err,
+             "n": n_p}
+        )
+
+    partials = (
+        df.select(F.col(value_col).cast("double"))
+        .mapInPandas(
+            partial, "value double, weight double, pid int, err double, n long"
+        )
+        .toPandas()
+    )
+    per_pid = partials.drop_duplicates("pid")
+    total_err = float(per_pid["err"].sum())
+    n_total = int(per_pid["n"].sum())
+    spark = df.sparkSession
+    out_schema = "q double, est double, max_rank_err long, n_total long"
+    if n_total == 0:
+        return spark.createDataFrame([], out_schema)
+    live = partials[partials["weight"] > 0]
+    order = np.argsort(live["value"].to_numpy(), kind="stable")
+    vals = live["value"].to_numpy()[order]
+    wts = live["weight"].to_numpy()[order]
+    if vals.size > driver_cap:
+        W = wts.sum()
+        cum = np.cumsum(wts)
+        targets = (np.arange(driver_cap) + 0.5) * (W / driver_cap)
+        idx = np.minimum(np.searchsorted(cum, targets), vals.size - 1)
+        vals = vals[idx]
+        wts = np.full(driver_cap, W / driver_cap)
+        total_err += W / driver_cap + 1.0
+    cum = np.cumsum(wts)
+    bound = int(np.ceil(total_err)) + 1
+    rows = []
+    for q in quantiles:
+        i = int(np.searchsorted(cum, q * n_total))
+        i = min(i, vals.size - 1)
+        rows.append((float(q), float(vals[i]), bound, n_total))
+    return spark.createDataFrame(rows, out_schema)

@@ -1067,6 +1067,132 @@ def remove_duplicate_spans(
     )
 
 
+def build_gram_bloom(
+    gram_hashes, bits_per_gram: int = 16
+) -> tuple:
+    """Driver-side Bloom filter over an eval set's 60-bit gram hashes
+    (:func:`eval_gram_hashes` output): returns ``(words, m_mask, k)``
+    where ``words`` is a packed uint64 bit array of ``m`` bits
+    (``m`` = next power of two ≥ ``bits_per_gram × n_grams``) and
+    ``k`` ≈ ``ln2 · bits_per_gram`` double-hashed probes per gram.
+
+    The 100-TB point: :func:`contamination_probe` broadcasts the exact
+    gram SET (~50 B/gram as a Python frozenset entry); at 16 bits/gram
+    the Bloom bits are ~25× smaller, so an eval suite two orders of
+    magnitude larger still ships to every executor as a few MB. The
+    price is one-sided: a Bloom filter can only FALSE-POSITIVE — every
+    truly contaminated document is still flagged (the invariant the
+    ``bloom_decon_invariants`` oracle pins at zero), and false hits
+    only quarantine extra docs, never leak eval data into training.
+
+    Probes use double hashing off the (well-mixed) md5-prefix value:
+    ``pos_i = (h1 + i·h2) mod m`` with ``h2`` forced odd (coprime with
+    the power-of-two ``m``) — fully deterministic, no seeds.
+    """
+    import numpy as np
+
+    vs = np.array([int(g, 16) for g in gram_hashes], dtype=np.uint64)
+    n = max(1, vs.size)
+    m = 1 << max(6, int(np.ceil(np.log2(bits_per_gram * n))))
+    mask = np.uint64(m - 1)
+    k = max(1, int(round(0.6931 * bits_per_gram)))
+    words = np.zeros(m >> 6, dtype=np.uint64)
+    h1 = vs & mask
+    h2 = (((vs >> np.uint64(27)) << np.uint64(1)) | np.uint64(1)) & mask
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) & mask
+        np.bitwise_or.at(
+            words, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+    return words, int(mask), int(k)
+
+
+def bloom_contamination_probe(
+    df: DataFrame,
+    bloom: tuple,
+    text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Map-side decontamination against a :func:`build_gram_bloom`
+    filter: appends ``n_bloom_overlap`` (distinct grams whose Bloom
+    probe hits) and ``bloom_contaminated`` in one fused Arrow pass —
+    the :func:`contamination_probe` plan shape (no eval-side job, no
+    join, no shuffle) with the broadcast state ~25× smaller.
+
+    Deterministic one-sided guarantee (certified by the full-hash
+    ``bloom_decon_invariants`` twin): for every document,
+    ``n_bloom_overlap ≥ n_overlap`` (exact), and every exactly
+    contaminated document is bloom-flagged — Bloom filters admit no
+    false negatives."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from sensomics_data_pipeline_spark.util import fan_out
+
+    src = fan_out(df)
+    words, m_mask, k = bloom
+    bc = src.sparkSession.sparkContext.broadcast(
+        (words.tobytes(), m_mask, k)
+    )
+    out_schema = StructType(
+        list(src.schema.fields)
+        + [
+            StructField("n_bloom_overlap", LongType()),
+            StructField("bloom_contaminated", BooleanType()),
+        ]
+    )
+    text_i = [f.name for f in src.schema.fields].index(text_col)
+
+    def run(batches):
+        import pandas as pd
+
+        md5 = hashlib.md5
+        wbytes, mask_i, kk = bc.value
+        w = np.frombuffer(wbytes, dtype=np.uint64)
+        mask = np.uint64(mask_i)
+        for pdf in batches:
+            overlaps = []
+            for t in pdf.iloc[:, text_i]:
+                toks = [x.encode("utf-8") for x in _py_tokens(t)]
+                if len(toks) < n:
+                    overlaps.append(0)
+                    continue
+                gs = {
+                    md5(b" ".join(toks[i : i + n])).hexdigest()[:15]
+                    for i in range(len(toks) - n + 1)
+                }
+                vs = np.fromiter(
+                    (int(g, 16) for g in gs), dtype=np.uint64, count=len(gs)
+                )
+                h1 = vs & mask
+                h2 = (
+                    ((vs >> np.uint64(27)) << np.uint64(1)) | np.uint64(1)
+                ) & mask
+                ok = np.ones(vs.size, dtype=bool)
+                for i in range(kk):
+                    pos = (h1 + np.uint64(i) * h2) & mask
+                    ok &= (
+                        w[(pos >> np.uint64(6)).astype(np.int64)]
+                        >> (pos & np.uint64(63))
+                    ) & np.uint64(1) == np.uint64(1)
+                overlaps.append(int(ok.sum()))
+            ov = pd.Series(overlaps, dtype="int64")
+            yield pdf.assign(
+                n_bloom_overlap=ov, bloom_contaminated=ov >= int(min_overlap)
+            )
+
+    return src.mapInPandas(run, out_schema)
+
+
 #: PII surface patterns — RE2-compatible (no lookaround), so the DuckDB
 #: oracle evaluates the IDENTICAL regex; email before phone so the
 #: digits in a redacted email can't re-match as a phone number.

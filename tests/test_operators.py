@@ -3138,3 +3138,129 @@ def test_resample_ffill_drops_null_timestamp_rows(spark):
     assert out[t0] == (None, False)
     assert out[t0 + datetime.timedelta(seconds=60)] == (None, False)
     assert out[t0 + datetime.timedelta(seconds=120)] == (7.0, True)
+
+
+def test_quantile_sketch_exact_when_partitions_fit(spark):
+    """Partitions holding <= buffer_size values are kept raw, so the
+    sketch's weighted CDF is the exact empirical CDF: every estimate
+    must be an exact order statistic at the target rank."""
+    from sensomics_data_pipeline_spark.operators.profile import (
+        quantile_sketch,
+    )
+
+    vals = list(range(1, 1001))  # 1..1000
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    out = {
+        r["q"]: r
+        for r in quantile_sketch(df, "x", buffer_size=4096).collect()
+    }
+    assert len(out) == 7
+    for q, r in out.items():
+        # first value whose rank >= q*n on exact data
+        import math
+
+        want = vals[max(0, math.ceil(q * 1000) - 1)]
+        assert r["est"] == float(want), (q, r["est"], want)
+        assert r["n_total"] == 1000
+
+
+def test_quantile_sketch_bound_holds_under_compression(spark):
+    """Force compression (buffer_size << partition sizes) on a skewed
+    distribution and verify the deterministic rank-error contract
+    against exact numpy ranks."""
+    import numpy as np
+
+    from sensomics_data_pipeline_spark.operators.profile import (
+        quantile_sketch,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate(
+        [rng.lognormal(0, 2, 20000), np.full(5000, 3.25)]
+    )
+    df = spark.createDataFrame(
+        [(float(v),) for v in vals], "x double"
+    ).repartition(8)
+    rows = quantile_sketch(df, "x", buffer_size=64).collect()
+    n = vals.size
+    s = np.sort(vals)
+    for r in rows:
+        lt = int(np.searchsorted(s, r["est"], side="left"))
+        le = int(np.searchsorted(s, r["est"], side="right"))
+        lo, hi = r["q"] * n - r["max_rank_err"], r["q"] * n + r["max_rank_err"]
+        assert le >= lo and lt <= hi, (r, lt, le, lo, hi)
+        assert r["n_total"] == n
+        # the bound itself must be non-trivial: far below a full sort's
+        # "anything goes" slack
+        assert r["max_rank_err"] < n / 4
+
+
+def test_quantile_sketch_nulls_and_empty(spark):
+    from sensomics_data_pipeline_spark.operators.profile import (
+        quantile_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (2.0,), (None,), (3.0,)], "x double"
+    )
+    rows = quantile_sketch(df, "x").collect()
+    assert all(r["n_total"] == 3 for r in rows)
+    assert {r["est"] for r in rows} <= {1.0, 2.0, 3.0}
+    empty = spark.createDataFrame([], "x double")
+    assert quantile_sketch(empty, "x").count() == 0
+
+
+def test_gram_bloom_no_false_negatives(spark):
+    """Every gram inserted into the Bloom filter must pass its own
+    probe (zero false negatives — the one-sided guarantee the
+    bloom_decon_invariants oracle pins), and the per-doc Bloom overlap
+    can never undercount the exact overlap."""
+    from sensomics_data_pipeline_spark.operators.text import (
+        bloom_contamination_probe,
+        build_gram_bloom,
+        contamination_probe,
+        eval_gram_hashes,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank "
+    rows = [
+        (1, base * 3),
+        (2, base + "totally different words in this document body here now"),
+        (3, "unrelated text with no overlap at all whatsoever in any gram"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_df = spark.createDataFrame([(99, base * 2)], "doc_id long, text string")
+    grams = eval_gram_hashes(eval_df, n=4)
+    assert grams
+    bloom = build_gram_bloom(grams, bits_per_gram=16)
+    flagged = {
+        r["doc_id"]: r
+        for r in bloom_contamination_probe(corpus, bloom, n=4).collect()
+    }
+    exact = {
+        r["doc_id"]: r
+        for r in contamination_probe(corpus, grams, n=4).collect()
+    }
+    for d in (1, 2, 3):
+        assert flagged[d]["n_bloom_overlap"] >= exact[d]["n_overlap"]
+        if exact[d]["contaminated"]:
+            assert flagged[d]["bloom_contaminated"]
+    assert exact[1]["contaminated"] and flagged[1]["bloom_contaminated"]
+    assert exact[3]["n_overlap"] == 0
+
+
+def test_gram_bloom_empty_eval_set(spark):
+    from sensomics_data_pipeline_spark.operators.text import (
+        bloom_contamination_probe,
+        build_gram_bloom,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "some words that should never match anything")],
+        "doc_id long, text string",
+    )
+    out = bloom_contamination_probe(
+        corpus, build_gram_bloom([]), n=4
+    ).collect()
+    assert out[0]["n_bloom_overlap"] == 0
+    assert not out[0]["bloom_contaminated"]
