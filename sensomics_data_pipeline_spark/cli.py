@@ -217,6 +217,31 @@ def cmd_resolve(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    from sensomics_data_pipeline_spark.operators.profile import (
+        heavy_hitters,
+        numeric_histogram,
+        profile_table,
+        quantile_sketch,
+    )
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    if args.op == "table":
+        out = profile_table(df, exact=args.exact)
+    elif args.op == "hh":
+        out = heavy_hitters(df, args.column, k=args.k)
+    elif args.op == "quantiles":
+        out = quantile_sketch(
+            df, args.column, buffer_size=args.buffer_size
+        )
+    else:  # histogram
+        out = numeric_histogram(df, args.column, n_buckets=args.k)
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="sensomics-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -330,6 +355,24 @@ def main(argv=None) -> int:
     re_.add_argument("-c", "--column", required=True)
     re_.add_argument("--max-dist", type=int, default=2)
     re_.set_defaults(fn=cmd_resolve)
+
+    pr = sub.add_parser(
+        "profile",
+        help="data profiling: per-column stats / heavy hitters / "
+             "sketched quantiles / histogram",
+    )
+    pr.add_argument("op", choices=["table", "hh", "quantiles", "histogram"])
+    pr.add_argument("-i", "--input", required=True)
+    pr.add_argument("-o", "--out", required=True)
+    pr.add_argument("-c", "--column", default=None,
+                    help="value column (hh / quantiles / histogram)")
+    pr.add_argument("-k", type=int, default=20,
+                    help="top-k for hh, bucket count for histogram")
+    pr.add_argument("--buffer-size", type=int, default=4096,
+                    help="per-partition sample budget for quantiles")
+    pr.add_argument("--exact", action="store_true",
+                    help="table: exact distinct counts instead of HLL")
+    pr.set_defaults(fn=cmd_profile)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -242,3 +242,39 @@ def test_cli_analytics_and_diff_and_resolve(spark, tmp_path):
     ) == 0
     got = {r.name: r.canonical_name for r in spark.read.parquet(out).collect()}
     assert got["sitten"] == "kitten" and got["other-name"] == "other-name"
+
+
+def test_cli_profile(spark, tmp_path):
+    from sensomics_data_pipeline_spark import cli
+
+    d_path = str(tmp_path / "vals")
+    spark.createDataFrame(
+        [(i, float(i % 100), "hot" if i % 3 else "cold")
+         for i in range(1, 501)],
+        "id long, v double, tag string",
+    ).write.mode("overwrite").parquet(d_path)
+
+    out = str(tmp_path / "out_table")
+    assert cli.main(["profile", "table", "-i", d_path, "-o", out, "--exact"]) == 0
+    got = spark.read.parquet(out)
+    assert {"column", "n", "n_null", "approx_distinct"} <= set(got.columns)
+    assert got.count() == 3
+
+    out = str(tmp_path / "out_hh")
+    assert cli.main(["profile", "hh", "-i", d_path, "-o", out, "-c", "tag",
+                     "-k", "2"]) == 0
+    got = {r.value: r.est_count for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"hot", "cold"}
+    assert got["hot"] >= got["cold"]
+
+    out = str(tmp_path / "out_q")
+    assert cli.main(["profile", "quantiles", "-i", d_path, "-o", out,
+                     "-c", "v"]) == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 7
+    assert all(r.n_total == 500 for r in got.collect())
+
+    out = str(tmp_path / "out_hist")
+    assert cli.main(["profile", "histogram", "-i", d_path, "-o", out,
+                     "-c", "v", "-k", "10"]) == 0
+    assert spark.read.parquet(out).count() == 10

@@ -82,6 +82,7 @@ QUERIES = [
     # new in round-7 build
     "remove_dup_spans",
     "hh_invariants",
+    "bloom_decon_invariants",
 ]
 
 
@@ -482,6 +483,48 @@ def main() -> None:
             for name, t10 in rows:
                 f.write(f"| {name} | {t10:.2f} |\n")
         print(f"appended embeddings tables to {out_md}")
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "lineitem":
+        # lineitem-family rehearsal (currently: the quantile sketch) —
+        # 10x rows via replica-offset order keys; the sketch reads only
+        # l_extendedprice, so replication preserves the value
+        # distribution while growing n (the axis the rank-error bound
+        # and the per-partition buffers must survive)
+        from pyspark.sql import functions as F
+
+        out_md = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE_r07.md"
+        replicas = 10
+        spark = get_spark("scale_rehearsal")
+        out_dir = f"{WORK}/li1x{replicas}"
+        marker = f"{out_dir}/lineitem.parquet"
+        if not os.path.exists(marker):
+            li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+            max_ok = li.agg(F.max("l_orderkey")).first()[0] + 1
+            parts = [li]
+            for r in range(1, replicas):
+                parts.append(
+                    li.withColumn(
+                        "l_orderkey", F.col("l_orderkey") + F.lit(r * max_ok)
+                    )
+                )
+            big = parts[0]
+            for p in parts[1:]:
+                big = big.unionByName(p)
+            os.makedirs(out_dir, exist_ok=True)
+            big.repartition(32).write.mode("overwrite").parquet(marker)
+            for t in (
+                "region nation customer supplier part orders events "
+                "documents embeddings".split()
+            ):
+                dst = f"{out_dir}/{t}.parquet"
+                if not os.path.exists(dst):
+                    os.symlink(f"{BASE}/{t}.parquet", dst)
+        run_queries(
+            spark, entrymod, ["qsketch_invariants"], out_dir, replicas,
+            out_md,
+            "Lineitem-family 10x rehearsal (replica-offset order keys)",
+        )
         return
 
     if len(sys.argv) > 1 and sys.argv[1] == "cc":
