@@ -1829,15 +1829,16 @@ def q_bloom_decon_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("source") != "src0")
     grams = text_ops.eval_gram_hashes(eval_df, n=8)
     bloom = text_ops.build_gram_bloom(grams, bits_per_gram=16)
-    flagged = text_ops.bloom_contamination_probe(
-        corpus, bloom, n=8
-    ).select("doc_id", "n_bloom_overlap", "bloom_contaminated")
-    exact = text_ops.ngram_contamination(
-        corpus, eval_df, n=8, engine_exact=False
-    ).select("doc_id", "n_overlap", "contaminated")
+    # one fused Arrow pass emits BOTH membership structures per doc
+    # (exact frozenset + Bloom bits probe the same distinct-gram set);
+    # the exact columns are value-identical to the join plan
+    # (contamination_probe ≡ ngram_contamination, pytest-pinned), and
+    # the DuckDB oracle re-derives them independently in SQL
+    both = text_ops.bloom_contamination_probe(
+        corpus, bloom, n=8, exact_gram_hashes=grams
+    )
     return (
-        exact.join(flagged, "doc_id")
-        .agg(
+        both.agg(
             F.count("*").alias("n_docs"),
             F.sum(
                 (F.col("contaminated") & ~F.col("bloom_contaminated")).cast(

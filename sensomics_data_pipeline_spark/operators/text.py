@@ -1114,12 +1114,19 @@ def bloom_contamination_probe(
     text_col: str = "text",
     n: int = 8,
     min_overlap: int = 1,
+    exact_gram_hashes=None,
 ) -> DataFrame:
     """Map-side decontamination against a :func:`build_gram_bloom`
     filter: appends ``n_bloom_overlap`` (distinct grams whose Bloom
     probe hits) and ``bloom_contaminated`` in one fused Arrow pass —
     the :func:`contamination_probe` plan shape (no eval-side job, no
     join, no shuffle) with the broadcast state ~25× smaller.
+
+    ``exact_gram_hashes`` (optional, the same list the Bloom was built
+    from) additionally emits the EXACT ``n_overlap`` / ``contaminated``
+    columns from the same fused pass — the certification shape: both
+    membership structures probe one shared distinct-gram set per doc,
+    so the bloom-vs-exact comparison needs no second scan and no join.
 
     Deterministic one-sided guarantee (certified by the full-hash
     ``bloom_decon_invariants`` twin): for every document,
@@ -1140,31 +1147,42 @@ def bloom_contamination_probe(
 
     src = fan_out(df)
     words, m_mask, k = bloom
+    with_exact = exact_gram_hashes is not None
     bc = src.sparkSession.sparkContext.broadcast(
-        (words.tobytes(), m_mask, k)
+        (
+            words.tobytes(),
+            m_mask,
+            k,
+            frozenset(exact_gram_hashes) if with_exact else None,
+        )
     )
-    out_schema = StructType(
-        list(src.schema.fields)
-        + [
-            StructField("n_bloom_overlap", LongType()),
-            StructField("bloom_contaminated", BooleanType()),
+    extra = [
+        StructField("n_bloom_overlap", LongType()),
+        StructField("bloom_contaminated", BooleanType()),
+    ]
+    if with_exact:
+        extra += [
+            StructField("n_overlap", LongType()),
+            StructField("contaminated", BooleanType()),
         ]
-    )
+    out_schema = StructType(list(src.schema.fields) + extra)
     text_i = [f.name for f in src.schema.fields].index(text_col)
 
     def run(batches):
         import pandas as pd
 
         md5 = hashlib.md5
-        wbytes, mask_i, kk = bc.value
+        wbytes, mask_i, kk, evset = bc.value
         w = np.frombuffer(wbytes, dtype=np.uint64)
         mask = np.uint64(mask_i)
         for pdf in batches:
             overlaps = []
+            exacts = []
             for t in pdf.iloc[:, text_i]:
                 toks = [x.encode("utf-8") for x in _py_tokens(t)]
                 if len(toks) < n:
                     overlaps.append(0)
+                    exacts.append(0)
                     continue
                 gs = {
                     md5(b" ".join(toks[i : i + n])).hexdigest()[:15]
@@ -1185,10 +1203,18 @@ def bloom_contamination_probe(
                         >> (pos & np.uint64(63))
                     ) & np.uint64(1) == np.uint64(1)
                 overlaps.append(int(ok.sum()))
+                if evset is not None:
+                    exacts.append(sum(1 for g in gs if g in evset))
             ov = pd.Series(overlaps, dtype="int64")
-            yield pdf.assign(
+            out = pdf.assign(
                 n_bloom_overlap=ov, bloom_contaminated=ov >= int(min_overlap)
             )
+            if evset is not None:
+                ex = pd.Series(exacts, dtype="int64")
+                out = out.assign(
+                    n_overlap=ex, contaminated=ex >= int(min_overlap)
+                )
+            yield out
 
     return src.mapInPandas(run, out_schema)
 

@@ -3264,3 +3264,34 @@ def test_gram_bloom_empty_eval_set(spark):
     ).collect()
     assert out[0]["n_bloom_overlap"] == 0
     assert not out[0]["bloom_contaminated"]
+
+
+def test_bloom_probe_fused_exact_matches_contamination_probe(spark):
+    """The fused exact columns (exact_gram_hashes=) must be
+    value-identical to the standalone contamination_probe pass."""
+    from sensomics_data_pipeline_spark.operators.text import (
+        bloom_contamination_probe,
+        build_gram_bloom,
+        contamination_probe,
+        eval_gram_hashes,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    corpus = spark.createDataFrame(
+        [(1, base * 2), (2, "nothing shared here at all in any way"),
+         (3, base + "tail words beyond the shared prefix region")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame([(9, base)], "doc_id long, text string")
+    grams = eval_gram_hashes(eval_df, n=4)
+    fused = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in bloom_contamination_probe(
+            corpus, build_gram_bloom(grams), n=4, exact_gram_hashes=grams
+        ).collect()
+    }
+    ref = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in contamination_probe(corpus, grams, n=4).collect()
+    }
+    assert fused == ref
