@@ -488,3 +488,133 @@ def quantile_sketch(
         i = min(i, vals.size - 1)
         rows.append((float(q), float(vals[i]), bound, n_total))
     return spark.createDataFrame(rows, out_schema)
+
+
+def count_min_build(
+    df: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+):
+    """Build a count-min sketch (Cormode & Muthukrishnan 2005) over
+    ``value_col`` and return ``(matrix, n_total)`` — a ``depth×width``
+    int64 numpy matrix plus the non-null row count.
+
+    The 100-TB point: CMS is a LINEAR sketch — the sketch of a union
+    is the elementwise SUM of the sketches — so per-partition
+    matrices merge on the driver with one add, the result is
+    BIT-IDENTICAL regardless of partitioning (unlike Misra-Gries,
+    whose estimates depend on partition boundaries), and the total
+    data moved is ``partitions × depth × width`` int64 cells (KBs)
+    no matter the input size. Point queries then answer "how many
+    times did X occur" within ``+(n/width)``-expected error without
+    the one-row-per-distinct-value shuffle an exact count needs.
+
+    Hashing: values are hashed JVM-side with ``xxhash64`` (one
+    deterministic 64-bit base hash per row, no Python string
+    hashing), then the ``depth`` row indices derive by double
+    hashing ``(h1 + r·h2) mod width`` with ``h1 = h mod width`` and
+    ``h2 = (h >> 32) | 1`` (odd, so the probe sequence cycles the
+    full power-of-two table). NULLs are dropped before hashing.
+
+    Deterministic guarantees (what ``cms_invariants`` pins at zero):
+    estimates NEVER undercount (every true occurrence increments
+    every probed cell); every row of the matrix sums to exactly
+    ``n_total`` (mass conservation); rebuilding under any other
+    partitioning yields the identical matrix (linearity).
+    """
+    import numpy as np
+    import pandas as pd
+
+    w, d = int(width), int(depth)
+
+    def partial(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        m = np.zeros((d, w), dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            h = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+            if not h.size:
+                continue
+            n += h.size
+            h1 = h % np.uint64(w)
+            h2 = (h >> np.uint64(32)) | np.uint64(1)
+            for r in range(d):
+                idx = (h1 + np.uint64(r) * h2) % np.uint64(w)
+                m[r] += np.bincount(idx.astype(np.int64), minlength=w)
+        yield pd.DataFrame(
+            {"cell": np.arange(d * w, dtype=np.int64), "cnt": m.ravel(),
+             "pid": np.int32(pid), "n": np.int64(n)}
+        )
+
+    partials = (
+        df.select(F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .select(F.xxhash64(F.col("v")).alias("h"))
+        .mapInPandas(partial, "cell long, cnt long, pid int, n long")
+        .toPandas()
+    )
+    # driver merge: CMS is linear, so summing per-partition matrices
+    # cell-by-cell IS the global sketch (bit-identical to a single
+    # pass); each partition's row count enters once
+    mat = np.zeros(d * w, dtype=np.int64)
+    cells = partials.groupby("cell")["cnt"].sum()
+    mat[cells.index.to_numpy()] = cells.to_numpy()
+    n_total = int(partials.drop_duplicates("pid")["n"].sum())
+    return mat.reshape(d, w), n_total
+
+
+def count_min_estimate(
+    df: DataFrame,
+    value_col: str,
+    matrix,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Point-query a count-min sketch for every row of ``df``: returns
+    ``(*keep_cols, value, est)`` where ``est = min over rows r of
+    matrix[r, (h1 + r·h2) mod width]`` — the classic CMS estimate,
+    ``true ≤ est ≤ true + collision mass``.
+
+    The matrix (``depth×width`` int64 — KBs) ships in the task
+    closure; estimation is one Arrow-batched numpy pass with the same
+    JVM-side ``xxhash64`` base hash the builder used, so build and
+    probe can never disagree on hashing. No shuffle, no join.
+    """
+    import numpy as np
+    import pandas as pd
+
+    mat = np.ascontiguousarray(matrix, dtype=np.int64)
+    d, w = mat.shape
+    vt = df.schema[value_col].dataType.simpleString()
+    keep_types = {c: df.schema[c].dataType.simpleString() for c in keep_cols}
+
+    def probe(batches):
+        for pdf in batches:
+            h = pdf["_h"].to_numpy(dtype=np.int64).view(np.uint64)
+            if not h.size:
+                continue
+            h1 = h % np.uint64(w)
+            h2 = (h >> np.uint64(32)) | np.uint64(1)
+            est = np.full(h.size, np.iinfo(np.int64).max, dtype=np.int64)
+            for r in range(d):
+                idx = ((h1 + np.uint64(r) * h2) % np.uint64(w)).astype(
+                    np.int64
+                )
+                np.minimum(est, mat[r, idx], out=est)
+            out = {c: pdf[c] for c in keep_cols}
+            out["value"] = pdf["value"]
+            out["est"] = est
+            yield pd.DataFrame(out)
+
+    keep_schema = "".join(f"{c} {t}, " for c, t in keep_types.items())
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *keep_cols,
+            F.col(value_col).alias("value"),
+            F.xxhash64(F.col(value_col)).alias("_h"),
+        )
+        .mapInPandas(probe, f"{keep_schema}value {vt}, est long")
+    )

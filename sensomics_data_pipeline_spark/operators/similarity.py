@@ -1252,3 +1252,163 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_sim", "rank")
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 8,
+    tol: float = 1e-6,
+):
+    """DISTRIBUTED Lloyd's k-means over the FULL table (unlike
+    :func:`ivf_train`, which trains driver-side on a bounded sample):
+    every iteration assigns every row to its nearest centroid and
+    recomputes the means, with the data never leaving the executors.
+
+    Returns ``(centroids, history)`` — the ``k×dim`` float64 centroid
+    matrix and the per-iteration inertia (sum of squared distances,
+    evaluated against the centroids each assignment used). Lloyd's
+    guarantee — inertia is NON-INCREASING across iterations — is what
+    the full-hash ``kmeans_invariants`` query pins.
+
+    Scale shape (the iterative-algorithm pattern, zero shuffles):
+
+    1. Init is deterministic and bounded: the ``k`` lowest-keyed
+       vectors via a distributed TakeOrdered (each partition ships
+       only its local top-k).
+    2. Per iteration, the ``k×dim`` centroid matrix (KBs) ships in
+       the task closure; ONE Arrow-batched ``mapInPandas`` pass emits
+       per-partition partials — (cluster, member count, coordinate
+       sums, SSE) — so each task returns ≤ k rows no matter how many
+       vectors it scanned (map-side combine taken to the limit).
+    3. The driver merges ``partitions × k`` tiny rows and forms the
+       new means. No groupBy, no shuffle, no driver pass over data.
+    4. Early exit when inertia improves by less than ``tol``
+       (relative). An emptied cluster keeps its previous centroid
+       (deterministic, no reseeding randomness).
+
+    Total driver traffic per iteration: ``partitions × k × (dim+3)``
+    float64s — independent of row count, same at 100 TB as at 1 GB.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = valid_vectors(df, vec_col).select(key_col, vec_col)
+    init = base.orderBy(key_col).limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"k={k} exceeds the {len(init)} valid vectors")
+    cent = np.array([r[1] for r in init], dtype=np.float64)
+    dim = cent.shape[1]
+    vecs = base.select(F.col(vec_col).alias("_v"))
+
+    history: list[float] = []
+    for _ in range(int(n_iter)):
+        c = cent  # bind per-iteration closure
+
+        def partials(batches, _c=c):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            cnt = np.zeros(k, dtype=np.int64)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            sse = np.zeros(k, dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.array(list(pdf["_v"]), dtype=np.float64)
+                # ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2, argmin over c
+                d2 = (
+                    (m * m).sum(axis=1)[:, None]
+                    - 2.0 * (m @ _c.T)
+                    + (_c * _c).sum(axis=1)[None, :]
+                )
+                assign = np.argmin(d2, axis=1)
+                best = d2[np.arange(len(m)), assign]
+                cnt += np.bincount(assign, minlength=k)
+                sse += np.bincount(assign, weights=np.maximum(best, 0.0),
+                                   minlength=k)
+                for j in range(dim):
+                    sums[:, j] += np.bincount(
+                        assign, weights=m[:, j], minlength=k
+                    )
+            yield pd.DataFrame(
+                {
+                    "cluster": np.arange(k, dtype=np.int32),
+                    "n": cnt,
+                    "sums": list(sums),
+                    "sse": sse,
+                    "pid": np.int32(pid),
+                }
+            )
+
+        p = vecs.mapInPandas(
+            partials,
+            "cluster int, n long, sums array<double>, sse double, pid int",
+        ).toPandas()
+        cnt = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        inertia = 0.0
+        for cl, n_, s_, e_ in zip(p["cluster"], p["n"], p["sums"], p["sse"]):
+            cnt[cl] += int(n_)
+            sums[cl] += np.asarray(s_, dtype=np.float64)
+            inertia += float(e_)
+        history.append(inertia)
+        new = cent.copy()  # emptied clusters keep their centroid
+        nz = cnt > 0
+        new[nz] = sums[nz] / cnt[nz, None]
+        converged = (
+            len(history) >= 2
+            and history[-2] - history[-1] <= tol * max(history[-2], 1.0)
+        )
+        cent = new
+        if converged:
+            break
+    return cent, history
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid: returns
+    ``(key_col, cluster, dist_sq)``. The ``k×dim`` matrix ships in
+    the task closure; one Arrow-batched pass, no shuffle, no join —
+    the same kernel shape :func:`kmeans_fit` iterates."""
+    import numpy as np
+    import pandas as pd
+
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    k = cent.shape[0]
+    kt = df.schema[key_col].dataType.simpleString()
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["_v"]), dtype=np.float64)
+            d2 = (
+                (m * m).sum(axis=1)[:, None]
+                - 2.0 * (m @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "key": pdf["key"],
+                    "cluster": assign.astype(np.int32),
+                    "dist_sq": np.maximum(
+                        d2[np.arange(len(m)), assign], 0.0
+                    ),
+                }
+            )
+
+    return (
+        valid_vectors(df, vec_col)
+        .select(F.col(key_col).alias("key"), F.col(vec_col).alias("_v"))
+        .mapInPandas(probe, f"key {kt}, cluster int, dist_sq double")
+        .withColumnRenamed("key", key_col)
+    )

@@ -3295,3 +3295,111 @@ def test_bloom_probe_fused_exact_matches_contamination_probe(spark):
         for r in contamination_probe(corpus, grams, n=4).collect()
     }
     assert fused == ref
+
+
+def test_count_min_never_undercounts_and_conserves_mass(spark):
+    """CMS deterministic guarantees on a skewed corpus with a table
+    narrow enough (w=8) to force collisions: est >= true for every
+    value, every matrix row sums to n_total, and estimates on a
+    wide table (no collisions among 3 values) are exact."""
+    import numpy as np
+
+    from sensomics_data_pipeline_spark.operators.profile import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    vals = ["a"] * 500 + ["b"] * 90 + [f"t{i}" for i in range(40)] + [None]
+    df = spark.createDataFrame([(v,) for v in vals], "v string").repartition(6)
+    mat, n = count_min_build(df, "v", width=8, depth=4)
+    assert n == len(vals) - 1  # NULL dropped
+    assert (mat.sum(axis=1) == n).all()  # mass conservation per row
+    exact = {"a": 500, "b": 90, **{f"t{i}": 1 for i in range(40)}}
+    qdf = spark.createDataFrame([(v,) for v in exact], "v string")
+    est = {
+        r["value"]: r["est"]
+        for r in count_min_estimate(qdf, "v", mat).collect()
+    }
+    assert all(est[v] >= c for v, c in exact.items())  # never undercount
+    assert any(est[v] > c for v, c in exact.items())  # collisions real at w=8
+    # wide table: 3 distinct values cannot collide in expectation-free
+    # terms only probabilistically — assert exactness for the heavy
+    # hitter whose estimate a single collision would visibly inflate
+    mat2, _ = count_min_build(df, "v", width=4096, depth=4)
+    est2 = {
+        r["value"]: r["est"]
+        for r in count_min_estimate(qdf, "v", mat2).collect()
+    }
+    assert est2["a"] == 500 and est2["b"] == 90
+
+
+def test_count_min_is_linear_under_repartitioning(spark):
+    """The sketch is a linear transform of the multiset: rebuilding
+    under any partitioning yields the bit-identical matrix."""
+    import numpy as np
+
+    from sensomics_data_pipeline_spark.operators.profile import (
+        count_min_build,
+    )
+
+    rows = [(f"v{i % 37}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "v string")
+    m1, n1 = count_min_build(df.coalesce(1), "v", width=32, depth=3)
+    m2, n2 = count_min_build(df.repartition(7), "v", width=32, depth=3)
+    assert n1 == n2 == 400
+    assert np.array_equal(m1, m2)
+
+
+def test_kmeans_inertia_monotone_and_assignment_optimal(spark):
+    """Lloyd's guarantee on three well-separated blobs: inertia never
+    increases, every point lands with its blob, and kmeans_assign
+    agrees with an exhaustive numpy argmin."""
+    import numpy as np
+
+    from sensomics_data_pipeline_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    blobs = np.stack([c + 0.1 * rng.randn(40, 4) for c in centers])
+    # interleave blobs so the deterministic lowest-key seeding picks
+    # one seed per blob (seeding quality is the caller's knob; the
+    # operator's contract is the Lloyd guarantees, not global optima)
+    pts = blobs.transpose(1, 0, 2).reshape(-1, 4)
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(5)
+    cent, hist = kmeans_fit(df, k=3, n_iter=10)
+    assert all(b <= a + 1e-9 * max(a, 1.0) for a, b in zip(hist, hist[1:]))
+    assigned = kmeans_assign(df, cent).toPandas().sort_values("vec_id")
+    d2 = ((pts[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    expect = d2.argmin(axis=1)
+    assert (assigned["cluster"].to_numpy() == expect).all()
+    # blob purity: each blob maps to exactly one cluster (rows are
+    # interleaved blob0,blob1,blob2,blob0,... so stride-3 slices
+    # recover the blobs)
+    labels = assigned["cluster"].to_numpy().reshape(40, 3).T
+    assert all(len(set(row)) == 1 for row in labels)
+    assert len({row[0] for row in labels}) == 3
+
+
+def test_kmeans_empty_cluster_and_early_exit(spark):
+    """An emptied cluster keeps its previous centroid (no NaNs), and
+    identical consecutive inertias trigger the tol early exit."""
+    import numpy as np
+
+    from sensomics_data_pipeline_spark.operators.similarity import (
+        kmeans_fit,
+    )
+
+    # k=3 on 2 distinct points: one centroid must starve
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [9.0, 9.0]),
+            (3, [9.0, 9.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent, hist = kmeans_fit(df, k=3, n_iter=8)
+    assert np.isfinite(cent).all()
+    assert len(hist) < 8  # converged (identical inertia) well before cap
+    assert hist[-1] <= hist[0] + 1e-12
