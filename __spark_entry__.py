@@ -1887,6 +1887,163 @@ FROM per_doc
 """
 
 
+def q_cms_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-hash certification of the count-min sketch
+    (``operators.profile.count_min_build/estimate`` — per-partition
+    ``depth×width`` matrices summed on the driver, KBs moved at any
+    scale). Width 16 on a 31-distinct-token vocabulary FORCES
+    collisions, so the never-undercount guarantee is exercised on
+    genuinely inflated cells, not a trivially exact table. Spark
+    computes the violation counters against its own exact counts —
+
+    - ``n_undercount``: distinct values with est < exact (CMS can
+      only overcount),
+    - ``n_row_mass_violation``: matrix rows not summing to n_total,
+    - ``n_merge_mismatch_cells``: cells differing between the
+      32-partition and 7-partition builds (linearity — the sketch is
+      partition-invariant, unlike MG/quantile summaries),
+    - ``n_est_above_total``: estimates exceeding n_total,
+    - ``n_total_mismatch``: sketch row count vs exact token count —
+
+    all pinned at 0 by the DuckDB oracle, which re-derives the
+    anchors (total/distinct tokens, top-1 count) from the table."""
+    from sensomics_data_pipeline_spark.operators.profile import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(text_ops.tokens(F.col("text"))).alias("token")
+    )
+    mat, n_total = count_min_build(tok, "token", width=16, depth=4)
+    mat2, n_total2 = count_min_build(
+        tok.repartition(7), "token", width=16, depth=4
+    )
+    n_merge_mismatch = int((mat != mat2).sum()) + int(n_total != n_total2)
+    n_row_mass = int((mat.sum(axis=1) != n_total).sum())
+    exact = tok.groupBy("token").agg(F.count("*").alias("exact_count"))
+    est = count_min_estimate(
+        exact, "token", mat, keep_cols=("exact_count",)
+    )
+    return est.agg(
+        F.sum((F.col("est") < F.col("exact_count")).cast("long")).alias(
+            "n_undercount"
+        ),
+        F.lit(n_row_mass).cast("long").alias("n_row_mass_violation"),
+        F.lit(n_merge_mismatch).cast("long").alias("n_merge_mismatch_cells"),
+        F.sum((F.col("est") > F.lit(int(n_total))).cast("long")).alias(
+            "n_est_above_total"
+        ),
+        (F.sum("exact_count") != F.lit(int(n_total)))
+        .cast("long")
+        .alias("n_total_mismatch"),
+        F.sum("exact_count").cast("long").alias("n_tokens_total"),
+        F.count("*").alias("n_distinct_tokens"),
+        F.max("exact_count").alias("top1_exact_count"),
+    )
+
+
+_SQL_CMS_INVARIANTS = f"""
+WITH tok AS (
+  SELECT unnest({_D_TOKS}) AS token FROM documents
+), exact AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY token
+)
+SELECT 0::BIGINT AS n_undercount,
+       0::BIGINT AS n_row_mass_violation,
+       0::BIGINT AS n_merge_mismatch_cells,
+       0::BIGINT AS n_est_above_total,
+       0::BIGINT AS n_total_mismatch,
+       sum(c)::BIGINT AS n_tokens_total,
+       count(*)::BIGINT AS n_distinct_tokens,
+       max(c)::BIGINT AS top1_exact_count
+FROM exact
+"""
+
+
+def q_kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-hash certification of distributed Lloyd k-means
+    (``operators.similarity.kmeans_fit/assign`` — per-iteration Arrow
+    partials of ≤ k rows per partition, zero shuffles). The counters
+    pin the algorithm's deterministic guarantees —
+
+    - ``n_inertia_increase``: iteration pairs violating Lloyd's
+      non-increasing-inertia guarantee (1e-9 relative tolerance for
+      float merge order),
+    - ``n_suboptimal_assign``: vectors where an independent
+      SQL-expression distance path (``zip_with``/``aggregate`` over
+      centroid literals — no Arrow, no numpy) finds a strictly
+      nearer centroid than the kernel assigned (two-path
+      equivalence, 1e-6 relative tolerance),
+    - ``n_nonfinite_centroids``: NaN/Inf rows in the final matrix —
+
+    all pinned at 0; ``n_assigned`` must equal the oracle's count of
+    valid vectors (size conservation — nothing dropped or
+    duplicated), and ``k``/``dim`` anchor the shape."""
+    from sensomics_data_pipeline_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k = 8
+    cent, hist = kmeans_fit(emb, k=k, n_iter=6)
+    n_inertia_increase = sum(
+        1 for a, b in zip(hist, hist[1:]) if b > a + 1e-9 * max(a, 1.0)
+    )
+    import numpy as np
+
+    n_nonfinite = int(np.size(cent) - np.isfinite(cent).sum())
+    assigned = kmeans_assign(emb, cent)
+    vec = F.col("embedding")
+    dists = []
+    for c in range(k):
+        arr = F.array(*[F.lit(float(x)) for x in cent[c]])
+        dists.append(
+            F.aggregate(
+                F.zip_with(vec, arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    sql_side = (
+        emb.filter(vec.isNotNull() & (F.size(vec) > 0))
+        .select("vec_id", F.least(*dists).alias("min_d"))
+    )
+    return (
+        assigned.join(sql_side, "vec_id")
+        .agg(
+            F.lit(n_inertia_increase).cast("long").alias(
+                "n_inertia_increase"
+            ),
+            F.sum(
+                (
+                    F.col("min_d")
+                    < F.col("dist_sq")
+                    - F.lit(1e-6) * (F.lit(1.0) + F.col("dist_sq"))
+                ).cast("long")
+            ).alias("n_suboptimal_assign"),
+            F.lit(n_nonfinite).cast("long").alias("n_nonfinite_centroids"),
+            F.count("*").alias("n_assigned"),
+            F.lit(k).cast("long").alias("k"),
+            F.lit(int(cent.shape[1])).cast("long").alias("dim"),
+        )
+    )
+
+
+_SQL_KMEANS_INVARIANTS = """
+SELECT 0::BIGINT AS n_inertia_increase,
+       0::BIGINT AS n_suboptimal_assign,
+       0::BIGINT AS n_nonfinite_centroids,
+       count(*)::BIGINT AS n_assigned,
+       8::BIGINT AS k,
+       max(len(embedding))::BIGINT AS dim
+FROM embeddings
+WHERE embedding IS NOT NULL AND len(embedding) > 0
+"""
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-span detection (16-token windows,
     stride 1, shared by ≥ 2 docs) — substring-grain dedup signal, the
@@ -4335,13 +4492,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotation policy: the window rotates by STALENESS, with
     # NEVER-CHECKED and CHANGED-THIS-ROUND taking precedence. Round-7
     # window = the 9 queries displaced by r6's changed-block (last
-    # driver-checked r3/r4 — the r6 verdict's top ask), the new
-    # remove_dup_spans, the 7 entries whose implementation changed in
-    # round 7 (see the inline note), and the 33 stalest r5-checked
-    # entries. The only r5-checked entry left outside is embedding_pq
-    # (rows-only; its operator family is certified in-window through
-    # embedding_ivf_pq + the full-hash ann_invariants twin) — nothing
-    # else is older than one round. The guard test
+    # driver-checked r3/r4 — the r6 verdict's top ask), the 6 queries
+    # NEW this round (remove_dup_spans + the hh/qsketch/bloom/cms/
+    # kmeans invariants twins), the entries whose implementation
+    # changed in round 7 (see the inline note), and the 27 stalest
+    # r5-checked entries. The r5-checked entries left outside —
+    # stratified_sample, paragraph_dedup, domain_mix, holdout_split,
+    # feature_scaling, rolling_1h, char_diversity, embedding_pq — each
+    # keep an in-window or r6-checked family twin and are first in
+    # line for the r8 rotation; nothing else is older than one round. The guard test
     # (tests/test_oracle_queries.py) derives the never-checked set from
     # the committed CORRECTNESS_r*.json files rather than a hard-coded
     # list, so this rotation cannot silently strand an unchecked query.
@@ -4360,14 +4519,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_join": q_overlap_join,
         "trend_slope": q_trend_slope,
         "weighted_sample": q_weighted_sample,
-        # ---- NEW in r7 (never driver-checked; displace domain_mix +
-        # holdout_split to positions 51-52 — both r5-checked with
-        # in-window family twins (stratified_sample, the sampling
-        # family), both owed an r8 rotation) ----
+        # ---- NEW in r7 (never driver-checked; displace domain_mix,
+        # holdout_split, stratified_sample and paragraph_dedup to
+        # positions 51-54 — all r5-checked with in-window or recently
+        # checked family twins (weighted_sample, chunk_documents /
+        # remove_dup_spans), all owed an r8 rotation) ----
         "remove_dup_spans": q_remove_dup_spans,
         "hh_invariants": q_hh_invariants,
         "qsketch_invariants": q_qsketch_invariants,
         "bloom_decon_invariants": q_bloom_decon_invariants,
+        "cms_invariants": q_cms_invariants,
+        "kmeans_invariants": q_kmeans_invariants,
         # ---- implementation CHANGED in round 7, so they need fresh
         # driver certification: minhash Arrow kernel key typing
         # (minhash_lsh, dedup_incremental, dedup_clusters), bounded
@@ -4387,10 +4549,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_invariants": q_ann_invariants,
         "corpus_pipeline": q_corpus_pipeline,
         "corpus_invariants": q_corpus_invariants,
-        # ---- last driver-checked r5 (31 of 34; embedding_pq,
-        # char_diversity and rolling_1h defer one round — each keeps
-        # an in-window or r6-checked family twin: ivf_pq+ann_invariants,
-        # lexical_stats/text_quality, resample_ffill/interpolate_linear) ----
+        # ---- last driver-checked r5 (the 27 stalest; the deferred
+        # r5 set — see the header note — each keeps an in-window or
+        # r6-checked family twin: ivf_pq+ann_invariants,
+        # lexical_stats/text_quality, resample_ffill/interpolate_linear,
+        # weighted_sample for the sampling family) ----
         "pricing_summary": q_pricing_summary,
         "agg_suite": q_agg_suite,
         "quantiles": q_quantiles,
@@ -4417,13 +4580,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate": q_quality_gate,
         "distribution_drift": q_distribution_drift,
         "chunk_documents": q_chunk_documents,
+        # ---- positions 51+: the four r5-checked sampling/dedup
+        # entries displaced by this round's new queries (all owed an
+        # r8 rotation), embedding_pq (r5-checked, deferred one round),
+        # then the entries driver-checked in r6 — every tail entry
+        # holds a green driver row at most 2 rounds old ----
         "stratified_sample": q_stratified_sample,
         "paragraph_dedup": q_paragraph_dedup,
         "domain_mix": q_domain_mix,
         "holdout_split": q_holdout_split,
-        # ---- positions 51+: embedding_pq (r5-checked, deferred one
-        # round) then the 50 entries driver-checked in r6 — every tail
-        # entry holds a green driver row at most 2 rounds old ----
         "embedding_pq": q_embedding_pq,
         "feature_scaling": q_feature_scaling,
         "rolling_1h": q_rolling_1h,
@@ -4540,6 +4705,8 @@ def oracle_sql() -> dict[str, str]:
         "hh_invariants": _SQL_HH_INVARIANTS,
         "qsketch_invariants": _SQL_QSKETCH_INVARIANTS,
         "bloom_decon_invariants": _SQL_BLOOM_DECON_INVARIANTS,
+        "cms_invariants": _SQL_CMS_INVARIANTS,
+        "kmeans_invariants": _SQL_KMEANS_INVARIANTS,
         "quality_gate": _SQL_QUALITY_GATE,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "chunk_documents": _SQL_CHUNKS,
