@@ -235,6 +235,22 @@ def cmd_profile(args) -> int:
         out = quantile_sketch(
             df, args.column, buffer_size=args.buffer_size
         )
+    elif args.op == "cms":
+        # count-min point estimates for every DISTINCT value of the
+        # column (build once, probe the distinct set — the estimate
+        # column upper-bounds the true count, width trades memory
+        # for collision error)
+        from pyspark.sql import functions as F
+
+        from sensomics_data_pipeline_spark.operators.profile import (
+            count_min_build,
+            count_min_estimate,
+        )
+
+        mat, _ = count_min_build(df, args.column, width=args.buffer_size)
+        out = count_min_estimate(
+            df.select(args.column).distinct(), args.column, mat
+        )
     else:  # histogram
         out = numeric_histogram(df, args.column, n_buckets=args.k)
     out.write.mode("overwrite").parquet(args.out)
@@ -359,17 +375,20 @@ def main(argv=None) -> int:
     pr = sub.add_parser(
         "profile",
         help="data profiling: per-column stats / heavy hitters / "
-             "sketched quantiles / histogram",
+             "sketched quantiles / histogram / count-min estimates",
     )
-    pr.add_argument("op", choices=["table", "hh", "quantiles", "histogram"])
+    pr.add_argument(
+        "op", choices=["table", "hh", "quantiles", "histogram", "cms"]
+    )
     pr.add_argument("-i", "--input", required=True)
     pr.add_argument("-o", "--out", required=True)
     pr.add_argument("-c", "--column", default=None,
-                    help="value column (hh / quantiles / histogram)")
+                    help="value column (hh / quantiles / histogram / cms)")
     pr.add_argument("-k", type=int, default=20,
                     help="top-k for hh, bucket count for histogram")
     pr.add_argument("--buffer-size", type=int, default=4096,
-                    help="per-partition sample budget for quantiles")
+                    help="per-partition sample budget for quantiles; "
+                         "table width for cms")
     pr.add_argument("--exact", action="store_true",
                     help="table: exact distinct counts instead of HLL")
     pr.set_defaults(fn=cmd_profile)

@@ -278,3 +278,11 @@ def test_cli_profile(spark, tmp_path):
     assert cli.main(["profile", "histogram", "-i", d_path, "-o", out,
                      "-c", "v", "-k", "10"]) == 0
     assert spark.read.parquet(out).count() == 10
+
+    out = str(tmp_path / "out_cms")
+    assert cli.main(["profile", "cms", "-i", d_path, "-o", out,
+                     "-c", "tag", "--buffer-size", "64"]) == 0
+    got = {r.value: r.est for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"hot", "cold"}
+    # CMS never undercounts; 2 values in a 64-wide table don't collide
+    assert got["hot"] == 334 and got["cold"] == 166

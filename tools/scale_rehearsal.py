@@ -83,6 +83,7 @@ QUERIES = [
     "remove_dup_spans",
     "hh_invariants",
     "bloom_decon_invariants",
+    "cms_invariants",
 ]
 
 
@@ -273,6 +274,7 @@ EMB_QUERIES = [
     "semantic_dedup",
     "embedding_ivf",
     "embedding_pq",
+    "kmeans_invariants",
 ]
 
 
@@ -449,6 +451,27 @@ def main() -> None:
             ],
             ev_dir, replicas, out_md,
             "Round-4 new events operators, 10x users replica",
+        )
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "r7new2":
+        # focused pass over the sketch/clustering operators added late
+        # in round 7, against their respective replica kinds
+        out_md = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE_r07.md"
+        replicas = 10
+        spark = get_spark("scale_rehearsal")
+        docs_dir = build_replica(spark, replicas)
+        run_queries(
+            spark, entrymod, ["cms_invariants"], docs_dir, replicas,
+            out_md,
+            "Count-min sketch certification, 10x growing-vocab replica",
+        )
+        emb_dir = build_embeddings_replica(spark, replicas)
+        run_queries(
+            spark, entrymod, ["kmeans_invariants"], emb_dir, replicas,
+            out_md,
+            "Distributed k-means certification, 10x rotated-vector "
+            "replica",
         )
         return
 
