@@ -502,11 +502,13 @@ def count_min_build(
 
     The 100-TB point: CMS is a LINEAR sketch — the sketch of a union
     is the elementwise SUM of the sketches — so per-partition
-    matrices merge on the driver with one add, the result is
-    BIT-IDENTICAL regardless of partitioning (unlike Misra-Gries,
-    whose estimates depend on partition boundaries), and the total
-    data moved is ``partitions × depth × width`` int64 cells (KBs)
-    no matter the input size. Point queries then answer "how many
+    matrices reduce with a cell-wise Spark ``groupBy(cell).sum``, the
+    result is BIT-IDENTICAL regardless of partitioning (unlike
+    Misra-Gries, whose estimates depend on partition boundaries), and
+    the driver receives exactly ``depth × width + 1`` rows no matter
+    the input size or partition count (the shuffle itself moves only
+    ``partitions × depth × width`` int64 cells — KBs per task).
+    Point queries then answer "how many
     times did X occur" within ``+(n/width)``-expected error without
     the one-row-per-distinct-value shuffle an exact count needs.
 
@@ -529,9 +531,6 @@ def count_min_build(
     w, d = int(width), int(depth)
 
     def partial(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
         m = np.zeros((d, w), dtype=np.int64)
         n = 0
         for pdf in batches:
@@ -544,25 +543,40 @@ def count_min_build(
             for r in range(d):
                 idx = (h1 + np.uint64(r) * h2) % np.uint64(w)
                 m[r] += np.bincount(idx.astype(np.int64), minlength=w)
+        # cell -1 carries the partition's row count so ONE reduce
+        # covers both the matrix and n_total
         yield pd.DataFrame(
-            {"cell": np.arange(d * w, dtype=np.int64), "cnt": m.ravel(),
-             "pid": np.int32(pid), "n": np.int64(n)}
+            {
+                "cell": np.concatenate(
+                    [np.asarray([-1], dtype=np.int64),
+                     np.arange(d * w, dtype=np.int64)]
+                ),
+                "cnt": np.concatenate(
+                    [np.asarray([n], dtype=np.int64), m.ravel()]
+                ),
+            }
         )
 
-    partials = (
+    # reduce the per-partition matrices IN SPARK (CMS is linear, so a
+    # cell-wise SUM of partials IS the global sketch, bit-identical to
+    # a single pass) — the driver receives exactly d·w+1 rows no
+    # matter the partition count; collecting raw partials instead
+    # would pull partitions × d·w cells (≈10 GB at 100k partitions
+    # and the default table size) through the driver
+    reduced = (
         df.select(F.col(value_col).alias("v"))
         .filter(F.col("v").isNotNull())
         .select(F.xxhash64(F.col("v")).alias("h"))
-        .mapInPandas(partial, "cell long, cnt long, pid int, n long")
+        .mapInPandas(partial, "cell long, cnt long")
+        .groupBy("cell")
+        .agg(F.sum("cnt").alias("cnt"))
         .toPandas()
     )
-    # driver merge: CMS is linear, so summing per-partition matrices
-    # cell-by-cell IS the global sketch (bit-identical to a single
-    # pass); each partition's row count enters once
     mat = np.zeros(d * w, dtype=np.int64)
-    cells = partials.groupby("cell")["cnt"].sum()
-    mat[cells.index.to_numpy()] = cells.to_numpy()
-    n_total = int(partials.drop_duplicates("pid")["n"].sum())
+    body = reduced[reduced["cell"] >= 0]
+    mat[body["cell"].to_numpy()] = body["cnt"].to_numpy()
+    n_row = reduced.loc[reduced["cell"] < 0, "cnt"]
+    n_total = int(n_row.iloc[0]) if len(n_row) else 0
     return mat.reshape(d, w), n_total
 
 

@@ -1308,9 +1308,6 @@ def kmeans_fit(
         c = cent  # bind per-iteration closure
 
         def partials(batches, _c=c):
-            from pyspark import TaskContext
-
-            pid = TaskContext.get().partitionId()
             cnt = np.zeros(k, dtype=np.int64)
             sums = np.zeros((k, dim), dtype=np.float64)
             sse = np.zeros(k, dtype=np.float64)
@@ -1333,27 +1330,47 @@ def kmeans_fit(
                     sums[:, j] += np.bincount(
                         assign, weights=m[:, j], minlength=k
                     )
+            # long form so the reduce is a plain groupBy SUM: j >= 0
+            # carries coordinate sums, j = -1 the member count,
+            # j = -2 the SSE mass
             yield pd.DataFrame(
                 {
-                    "cluster": np.arange(k, dtype=np.int32),
-                    "n": cnt,
-                    "sums": list(sums),
-                    "sse": sse,
-                    "pid": np.int32(pid),
+                    "cluster": np.repeat(
+                        np.arange(k, dtype=np.int32), dim + 2
+                    ),
+                    "j": np.tile(
+                        np.arange(-2, dim, dtype=np.int32), k
+                    ),
+                    "val": np.concatenate(
+                        [
+                            np.column_stack(
+                                [sse, cnt.astype(np.float64), sums]
+                            ).ravel()
+                        ]
+                    ),
                 }
             )
 
-        p = vecs.mapInPandas(
-            partials,
-            "cluster int, n long, sums array<double>, sse double, pid int",
-        ).toPandas()
+        # reduce IN SPARK: the driver receives exactly k·(dim+2) rows
+        # per iteration regardless of partition count (collecting raw
+        # partials would pull partitions × k × dim floats through the
+        # driver — ~400 MB/iteration at 100k partitions)
+        p = (
+            vecs.mapInPandas(partials, "cluster int, j int, val double")
+            .groupBy("cluster", "j")
+            .agg(F.sum("val").alias("val"))
+            .toPandas()
+        )
         cnt = np.zeros(k, dtype=np.int64)
         sums = np.zeros((k, dim), dtype=np.float64)
         inertia = 0.0
-        for cl, n_, s_, e_ in zip(p["cluster"], p["n"], p["sums"], p["sse"]):
-            cnt[cl] += int(n_)
-            sums[cl] += np.asarray(s_, dtype=np.float64)
-            inertia += float(e_)
+        for cl, j, v in zip(p["cluster"], p["j"], p["val"]):
+            if j == -2:
+                inertia += float(v)
+            elif j == -1:
+                cnt[cl] += int(round(v))
+            else:
+                sums[cl, j] += float(v)
         history.append(inertia)
         new = cent.copy()  # emptied clusters keep their centroid
         nz = cnt > 0
