@@ -4418,6 +4418,51 @@ WHERE CASE WHEN a.event_id IS NULL THEN 'added'
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from the event
+    stream: per user, consecutive runs of the same event_type
+    collapse to one effective-dated row (effective_from /
+    effective_to / version / is_current). One hash exchange for both
+    window passes (same partition keys); output is bounded by the
+    number of genuine attribute changes. Tie-break: (ts, event_id)
+    per the repo-wide unique-ordering rule."""
+    from sensomics_data_pipeline_spark.operators.diff import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(
+        ev,
+        ["user_id"],
+        ["event_type"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+
+
+_SQL_SCD2_HISTORY = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), starts AS (
+  SELECT user_id, event_type, ts, event_id FROM o
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type,
+       ts AS effective_from,
+       lead(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS effective_to,
+       (row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id))::INT AS version,
+       CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) IS NULL
+            THEN 1 ELSE 0 END AS is_current
+FROM starts
+"""
+
+
 def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shift monitor per event_type: first half of the
     month (baseline) vs second half (candidate) — total-variation
@@ -4492,15 +4537,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotation policy: the window rotates by STALENESS, with
     # NEVER-CHECKED and CHANGED-THIS-ROUND taking precedence. Round-7
     # window = the 9 queries displaced by r6's changed-block (last
-    # driver-checked r3/r4 — the r6 verdict's top ask), the 6 queries
-    # NEW this round (remove_dup_spans + the hh/qsketch/bloom/cms/
-    # kmeans invariants twins), the entries whose implementation
-    # changed in round 7 (see the inline note), and the 27 stalest
-    # r5-checked entries. The r5-checked entries left outside —
-    # stratified_sample, paragraph_dedup, domain_mix, holdout_split,
-    # feature_scaling, rolling_1h, char_diversity, embedding_pq — each
-    # keep an in-window or r6-checked family twin and are first in
-    # line for the r8 rotation; nothing else is older than one round. The guard test
+    # driver-checked r3/r4 — the r6 verdict's top ask), the 7 queries
+    # NEW this round (remove_dup_spans, scd2_history + the hh/qsketch/
+    # bloom/cms/kmeans invariants twins), the entries whose
+    # implementation changed in round 7 (see the inline note), and
+    # the 26 stalest r5-checked entries. The r5-checked entries left
+    # outside — chunk_documents, stratified_sample, paragraph_dedup,
+    # domain_mix, holdout_split, feature_scaling, rolling_1h,
+    # char_diversity, embedding_pq — each keep an in-window or
+    # r6-checked family twin and are first in line for the r8
+    # rotation; nothing else is older than one round. The guard test
     # (tests/test_oracle_queries.py) derives the never-checked set from
     # the committed CORRECTNESS_r*.json files rather than a hard-coded
     # list, so this rotation cannot silently strand an unchecked query.
@@ -4530,6 +4576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decon_invariants": q_bloom_decon_invariants,
         "cms_invariants": q_cms_invariants,
         "kmeans_invariants": q_kmeans_invariants,
+        "scd2_history": q_scd2_history,
         # ---- implementation CHANGED in round 7, so they need fresh
         # driver certification: minhash Arrow kernel key typing
         # (minhash_lsh, dedup_incremental, dedup_clusters), bounded
@@ -4549,7 +4596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_invariants": q_ann_invariants,
         "corpus_pipeline": q_corpus_pipeline,
         "corpus_invariants": q_corpus_invariants,
-        # ---- last driver-checked r5 (the 27 stalest; the deferred
+        # ---- last driver-checked r5 (the 26 stalest; the deferred
         # r5 set — see the header note — each keeps an in-window or
         # r6-checked family twin: ivf_pq+ann_invariants,
         # lexical_stats/text_quality, resample_ffill/interpolate_linear,
@@ -4579,12 +4626,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_linear": q_interpolate_linear,
         "quality_gate": q_quality_gate,
         "distribution_drift": q_distribution_drift,
+        # ---- positions 51+: the five r5-checked entries displaced
+        # by this round's new queries (all owed an r8 rotation),
+        # embedding_pq (r5-checked, deferred one round), then the
+        # entries driver-checked in r6 — every tail entry holds a
+        # green driver row at most 2 rounds old ----
         "chunk_documents": q_chunk_documents,
-        # ---- positions 51+: the four r5-checked sampling/dedup
-        # entries displaced by this round's new queries (all owed an
-        # r8 rotation), embedding_pq (r5-checked, deferred one round),
-        # then the entries driver-checked in r6 — every tail entry
-        # holds a green driver row at most 2 rounds old ----
         "stratified_sample": q_stratified_sample,
         "paragraph_dedup": q_paragraph_dedup,
         "domain_mix": q_domain_mix,
@@ -4707,6 +4754,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decon_invariants": _SQL_BLOOM_DECON_INVARIANTS,
         "cms_invariants": _SQL_CMS_INVARIANTS,
         "kmeans_invariants": _SQL_KMEANS_INVARIANTS,
+        "scd2_history": _SQL_SCD2_HISTORY,
         "quality_gate": _SQL_QUALITY_GATE,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "chunk_documents": _SQL_CHUNKS,

@@ -181,3 +181,61 @@ def distribution_drift(
             ),
         )
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from an
+    update/event stream: per key, consecutive runs of identical
+    ``attr_cols`` collapse into one effective-dated row —
+    ``(key..., attr..., effective_from, effective_to, version,
+    is_current)`` with ``effective_to = next run's effective_from``
+    (NULL on the current run) and ``version`` counting runs from 1.
+
+    Complements :func:`table_diff` (what changed between two
+    snapshots) and ``resample.merge_upsert`` (apply a change set):
+    this is the WAREHOUSE-HISTORY shape — "what was this dimension's
+    state at time t" answered by ``effective_from <= t <
+    effective_to``.
+
+    Scale shape: SCD2 rows ARE the run starts, so no groupBy is
+    needed — one window pass flags rows whose attributes differ from
+    the previous row (NULL-safe), a filter keeps the starts, and a
+    second window derives effective_to/version by ``lead``/
+    ``row_number``. Both windows partition by the SAME keys, so
+    Catalyst plans ONE hash exchange for the whole operator; cost is
+    one shuffle of the input, output is bounded by the number of
+    genuine attribute changes.
+
+    Determinism: ordering is ``(ts_col, *tiebreak_cols)`` — pass a
+    unique tiebreak (an event id) whenever timestamps can collide
+    within a key, per the repo-wide tie-break rule. The first row per
+    key always opens a run (``row_number() == 1``), which also covers
+    all-NULL attributes that a NULL-safe lag-compare alone would
+    miss.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.row_number().over(w) == 1
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(F.col(a)).over(w))
+    starts = df.withColumn("_run_start", changed).filter("_run_start")
+    return (
+        starts.select(
+            *key_cols,
+            *attr_cols,
+            F.col(ts_col).alias("effective_from"),
+            F.lead(F.col(ts_col)).over(w).alias("effective_to"),
+            F.row_number().over(w).alias("version"),
+        )
+        .withColumn(
+            "is_current", F.col("effective_to").isNull().cast("int")
+        )
+    )

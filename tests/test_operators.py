@@ -3403,3 +3403,77 @@ def test_kmeans_empty_cluster_and_early_exit(spark):
     assert np.isfinite(cent).all()
     assert len(hist) < 8  # converged (identical inertia) well before cap
     assert hist[-1] <= hist[0] + 1e-12
+
+
+def test_scd2_history_runs_versions_and_nulls(spark):
+    """Run-collapse semantics against a hand-built stream: NULL-safe
+    attribute compares (NULL->NULL does not open a run, NULL->value
+    does), effective_to chains to the next run's start, version
+    counts runs from 1, and the tie-break column orders same-ts
+    rows."""
+    from sensomics_data_pipeline_spark.operators.diff import scd2_history
+
+    rows = [
+        # user 1: a, a, b, b, a  -> 3 runs
+        (1, 10, "a"), (1, 20, "a"), (1, 30, "b"), (1, 40, "b"),
+        (1, 50, "a"),
+        # user 2: NULL, NULL, x  -> 2 runs (first run all-NULL attr)
+        (2, 10, None), (2, 20, None), (2, 30, "x"),
+        # user 3: same-ts pair ordered by the tiebreak id: y then z
+        (3, 10, "y"), (3, 10, "z"),
+    ]
+    df = spark.createDataFrame(
+        [(u, float(t), i, a) for i, (u, t, a) in enumerate(rows)],
+        "user_id long, ts double, event_id long, attr string",
+    ).repartition(4)
+    out = (
+        scd2_history(
+            df, ["user_id"], ["attr"], ts_col="ts",
+            tiebreak_cols=["event_id"],
+        )
+        .toPandas()
+        .sort_values(["user_id", "version"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    got = [
+        (
+            r.user_id,
+            None if pd.isna(r.attr) else r.attr,
+            r.effective_from,
+            None if pd.isna(r.effective_to) else r.effective_to,
+            r.version,
+            r.is_current,
+        )
+        for r in out.itertuples()
+    ]
+    assert got == [
+        (1, "a", 10.0, 30.0, 1, 0),
+        (1, "b", 30.0, 50.0, 2, 0),
+        (1, "a", 50.0, None, 3, 1),
+        (2, None, 10.0, 30.0, 1, 0),
+        (2, "x", 30.0, None, 2, 1),
+        (3, "y", 10.0, 10.0, 1, 0),
+        (3, "z", 10.0, None, 2, 1),
+    ]
+
+
+def test_scd2_history_single_exchange(spark):
+    """Both window passes partition by the same keys, so the whole
+    operator plans exactly ONE hash exchange (the run-start filter
+    and the lead/version windows reuse the partitioning)."""
+    from sensomics_data_pipeline_spark.operators.diff import scd2_history
+
+    df = spark.createDataFrame(
+        [(i % 5, float(i), i, "t") for i in range(100)],
+        "user_id long, ts double, event_id long, attr string",
+    )
+    plan = (
+        scd2_history(
+            df, ["user_id"], ["attr"], ts_col="ts",
+            tiebreak_cols=["event_id"],
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan

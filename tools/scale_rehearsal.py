@@ -177,6 +177,8 @@ EVENT_QUERIES = [
     "funnel",
     "cohort_retention",
     "trend_slope",
+    # new in round-7 build
+    "scd2_history",
 ]
 
 
@@ -472,6 +474,11 @@ def main() -> None:
             out_md,
             "Distributed k-means certification, 10x rotated-vector "
             "replica",
+        )
+        ev_dir = build_events_replica(spark, replicas)
+        run_queries(
+            spark, entrymod, ["scd2_history"], ev_dir, replicas, out_md,
+            "SCD2 history build, 10x users replica",
         )
         return
 
