@@ -593,3 +593,100 @@ def test_fuzzy_match_matches_brute_force(spark, names, maxd, binw):
         if lev(a, b) <= maxd
     }
     assert got == want
+
+
+# ---- SCD2 history: random update streams vs a pure-Python fold ----
+
+_scd2_streams = st.lists(
+    st.tuples(
+        st.integers(0, 3),                      # key
+        st.sampled_from(["a", "b", "c", None]),  # attribute (NULLable)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_slow
+@given(stream=_scd2_streams)
+def test_scd2_history_matches_sequential_fold(spark, stream):
+    """scd2_history on any random NULLable update stream equals the
+    obvious sequential fold: per key, a new version opens exactly
+    when the attribute differs (NULL-safe) from the previous event,
+    effective_to chains to the next version's start, and exactly one
+    current row exists per key."""
+    from sensomics_data_pipeline_spark.operators.diff import scd2_history
+
+    rows = [
+        (k, float(i), i, a) for i, (k, a) in enumerate(stream)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts double, event_id long, attr string"
+    ).repartition(3)
+    got = [
+        (
+            r.user_id,
+            None if pd.isna(r.attr) else r.attr,
+            r.effective_from,
+            None if pd.isna(r.effective_to) else r.effective_to,
+            r.version,
+            r.is_current,
+        )
+        for r in scd2_history(
+            df, ["user_id"], ["attr"], ts_col="ts",
+            tiebreak_cols=["event_id"],
+        )
+        .toPandas()
+        .sort_values(["user_id", "version"])
+        .itertuples()
+    ]
+    # reference fold
+    expect = []
+    by_key: dict = {}
+    for k, ts, _eid, a in rows:
+        runs = by_key.setdefault(k, [])
+        if not runs or runs[-1][0] != a:
+            runs.append([a, ts])
+    for k in sorted(by_key):
+        runs = by_key[k]
+        for v, (a, ts) in enumerate(runs, start=1):
+            nxt = runs[v][1] if v < len(runs) else None
+            expect.append((k, a, ts, nxt, v, int(nxt is None)))
+    assert got == expect
+    per_key_current = {}
+    for k, *_rest, cur in got:
+        per_key_current[k] = per_key_current.get(k, 0) + cur
+    assert all(v == 1 for v in per_key_current.values())
+
+
+@_slow
+@given(
+    vals=st.lists(st.integers(0, 30), min_size=1, max_size=200),
+    width=st.sampled_from([4, 16, 64]),
+    depth=st.sampled_from([1, 3]),
+)
+def test_count_min_upper_bounds_every_count(spark, vals, width, depth):
+    """For ANY multiset and ANY table geometry: every point estimate
+    upper-bounds the true count, no estimate exceeds n_total, and
+    every matrix row conserves total mass."""
+    from collections import Counter
+
+    from sensomics_data_pipeline_spark.operators.profile import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(int(v),) for v in vals], "v long"
+    ).repartition(3)
+    mat, n = count_min_build(df, "v", width=width, depth=depth)
+    true = Counter(vals)
+    assert n == len(vals)
+    assert (mat.sum(axis=1) == n).all()
+    qdf = spark.createDataFrame([(int(v),) for v in true], "v long")
+    est = {
+        r["value"]: r["est"]
+        for r in count_min_estimate(qdf, "v", mat).collect()
+    }
+    for v, c in true.items():
+        assert c <= est[v] <= n
