@@ -482,6 +482,35 @@ def main() -> None:
         )
         return
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r7new2_100x":
+        # 100x stress for the round-7 sketch/clustering/SCD2 ops: the
+        # 10x slopes are fixed-overhead-dominated, so this is the run
+        # that shows the actual cost law (expected ~linear: every one
+        # of these plans is single-pass-per-stage with bounded driver
+        # traffic)
+        out_md = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE_r07.md"
+        replicas = 100
+        spark = get_spark("scale_rehearsal")
+        docs_dir = build_replica(spark, replicas)
+        run_queries(
+            spark, entrymod, ["cms_invariants"], docs_dir, replicas,
+            out_md,
+            "Count-min sketch certification, 100x growing-vocab replica",
+        )
+        emb_dir = build_embeddings_replica(spark, replicas)
+        run_queries(
+            spark, entrymod, ["kmeans_invariants"], emb_dir, replicas,
+            out_md,
+            "Distributed k-means certification, 100x rotated-vector "
+            "replica",
+        )
+        ev_dir = build_events_replica(spark, replicas)
+        run_queries(
+            spark, entrymod, ["scd2_history"], ev_dir, replicas, out_md,
+            "SCD2 history build, 100x users replica",
+        )
+        return
+
     if len(sys.argv) > 1 and sys.argv[1] == "embeddings":
         out_md = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE_r04.md"
         replicas = 10
