@@ -4466,6 +4466,87 @@ FROM starts
 """
 
 
+def q_pagerank_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-hash certification of power-iteration PageRank
+    (``operators.graph.pagerank`` — one shuffle join + one groupBy
+    per iteration, O(1) driver traffic, localCheckpoint lineage
+    truncation). Ranks are floats, so the sketch-style contract
+    applies: the ALGORITHM'S worst-case guarantees get pinned, not
+    the values —
+
+    - ``n_mass_violation``: iterations whose total rank mass strays
+      from 1 beyond 1e-9 (undirected graph → no dangling mass),
+    - ``n_contraction_violation``: adjacent residual pairs violating
+      the L1 contraction ``res[t+1] ≤ d·res[t]`` (+1e-12) — the
+      geometric-convergence worst case, not an average,
+    - ``n_floor_violation``: final ranks below the teleport floor
+      ``(1−d)/n`` (−1e-12) —
+
+    all pinned at 0; the DuckDB oracle re-derives the graph anchors
+    (node and directed-edge counts) from the SAME edge definition:
+    documents sharing (source, lang), doc_id-ordered pairs. The demo
+    edge derivation is quadratic per group by construction (bounded
+    here by per-(source,lang) corpus slices); the operator itself is
+    linear in |E| — the synthetic edge-scaling rehearsal measures it
+    at 1× and 100× edges independent of this derivation."""
+    from sensomics_data_pipeline_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    pairs = (
+        docs.alias("a")
+        .join(docs.alias("b"), ["source", "lang"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+    )
+    d = 0.85
+    # 6 iterations: 5 certified contraction transitions; each extra
+    # iteration is one more join+groupBy job
+    n_it = 6
+    ranks, hist = pagerank(pairs, n_iter=n_it, damping=d, undirected=True)
+    n_mass = sum(1 for m, _ in hist if abs(m - 1.0) > 1e-9)
+    n_contraction = sum(
+        1
+        for (_, r0), (_, r1) in zip(hist, hist[1:])
+        if r1 > d * r0 + 1e-12
+    )
+    n_edges_directed = 2 * pairs.count()
+    agg = ranks.agg(
+        F.count("*").alias("_n"),
+        F.min("rank").alias("_min"),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_nodes"),
+        F.lit(n_edges_directed).cast("long").alias("n_edges_directed"),
+        F.lit(n_it).cast("long").alias("n_iterations"),
+        F.lit(n_mass).cast("long").alias("n_mass_violation"),
+        F.lit(n_contraction).cast("long").alias("n_contraction_violation"),
+        (F.col("_min") < (F.lit(1.0 - d) / F.col("_n")) - F.lit(1e-12))
+        .cast("long")
+        .alias("n_floor_violation"),
+    )
+
+
+_SQL_PAGERANK_INVARIANTS = """
+WITH pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM documents a JOIN documents b USING (source, lang)
+  WHERE a.doc_id < b.doc_id
+), nodes AS (
+  SELECT src AS x FROM pairs UNION SELECT dst FROM pairs
+)
+SELECT (SELECT count(*) FROM nodes)::BIGINT AS n_nodes,
+       (2 * (SELECT count(*) FROM pairs))::BIGINT AS n_edges_directed,
+       6::BIGINT AS n_iterations,
+       0::BIGINT AS n_mass_violation,
+       0::BIGINT AS n_contraction_violation,
+       0::BIGINT AS n_floor_violation
+"""
+
+
 def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shift monitor per event_type: first half of the
     month (baseline) vs second half (candidate) — total-variation
@@ -4540,16 +4621,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotation policy: the window rotates by STALENESS, with
     # NEVER-CHECKED and CHANGED-THIS-ROUND taking precedence. Round-7
     # window = the 9 queries displaced by r6's changed-block (last
-    # driver-checked r3/r4 — the r6 verdict's top ask), the 7 queries
+    # driver-checked r3/r4 — the r6 verdict's top ask), the 8 queries
     # NEW this round (remove_dup_spans, scd2_history + the hh/qsketch/
-    # bloom/cms/kmeans invariants twins), the entries whose
+    # bloom/cms/kmeans/pagerank invariants twins), the entries whose
     # implementation changed in round 7 (see the inline note), and
-    # the 26 stalest r5-checked entries. The r5-checked entries left
-    # outside — chunk_documents, stratified_sample, paragraph_dedup,
-    # domain_mix, holdout_split, feature_scaling, rolling_1h,
-    # char_diversity, embedding_pq — each keep an in-window or
-    # r6-checked family twin and are first in line for the r8
-    # rotation; nothing else is older than one round. The guard test
+    # the 25 stalest r5-checked entries. The r5-checked entries left
+    # outside — distribution_drift, chunk_documents,
+    # stratified_sample, paragraph_dedup, domain_mix, holdout_split,
+    # feature_scaling, rolling_1h, char_diversity, embedding_pq —
+    # each keep an in-window or r6-checked family twin and are first
+    # in line for the r8 rotation; nothing else is older than one
+    # round. The guard test
     # (tests/test_oracle_queries.py) derives the never-checked set from
     # the committed CORRECTNESS_r*.json files rather than a hard-coded
     # list, so this rotation cannot silently strand an unchecked query.
@@ -4588,6 +4670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_invariants": q_cms_invariants,
         "kmeans_invariants": q_kmeans_invariants,
         "scd2_history": q_scd2_history,
+        "pagerank_invariants": q_pagerank_invariants,
         # ---- implementation CHANGED in round 7, so they need fresh
         # driver certification: minhash Arrow kernel key typing
         # (minhash_lsh, dedup_incremental, dedup_clusters), bounded
@@ -4605,7 +4688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf": q_embedding_ivf,
         "embedding_ivf_pq": q_embedding_ivf_pq,
         "ann_invariants": q_ann_invariants,
-        # ---- last driver-checked r5 (the 26 stalest; the deferred
+        # ---- last driver-checked r5 (the 25 stalest; the deferred
         # r5 set — see the header note — each keeps an in-window or
         # r6-checked family twin: ivf_pq+ann_invariants,
         # lexical_stats/text_quality, resample_ffill/interpolate_linear,
@@ -4634,12 +4717,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_stats": q_lexical_stats,
         "interpolate_linear": q_interpolate_linear,
         "quality_gate": q_quality_gate,
-        "distribution_drift": q_distribution_drift,
-        # ---- positions 51+: the five r5-checked entries displaced
+        # ---- positions 51+: the six r5-checked entries displaced
         # by this round's new queries (all owed an r8 rotation),
         # embedding_pq (r5-checked, deferred one round), then the
         # entries driver-checked in r6 — every tail entry holds a
         # green driver row at most 2 rounds old ----
+        "distribution_drift": q_distribution_drift,
         "chunk_documents": q_chunk_documents,
         "stratified_sample": q_stratified_sample,
         "paragraph_dedup": q_paragraph_dedup,
@@ -4764,6 +4847,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_invariants": _SQL_CMS_INVARIANTS,
         "kmeans_invariants": _SQL_KMEANS_INVARIANTS,
         "scd2_history": _SQL_SCD2_HISTORY,
+        "pagerank_invariants": _SQL_PAGERANK_INVARIANTS,
         "quality_gate": _SQL_QUALITY_GATE,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "chunk_documents": _SQL_CHUNKS,

@@ -1,0 +1,165 @@
+"""Iterative graph algorithms over edge lists (the family the
+dedup layer's pointer-jumping connected components belongs to).
+
+PageRank here serves the training-data pipeline directly: after
+near-dup clustering, rank the members of each duplicate cluster by
+link centrality and keep the top-ranked document as the cluster's
+canonical representative — a principled alternative to "keep the
+longest" heuristics.
+
+Scale shape shared by every iteration: ranks live in a DataFrame
+(node, rank), contributions flow through one shuffle equi-join with
+the weighted edge list plus one groupBy — the GraphX/Pregel dataflow
+re-expressed relationally, with AQE free to re-plan each step. The
+driver sees only per-iteration SCALARS (total mass, L1 residual);
+no per-node data ever leaves the executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+    undirected: bool = True,
+):
+    """Power-iteration PageRank over an edge list. Returns
+    ``(ranks, history)`` — a ``(node, rank)`` DataFrame summing to 1
+    and a per-iteration list of ``(total_mass, l1_residual)``.
+
+    Guarantees (what ``pagerank_invariants`` pins at zero):
+
+    - mass conservation: with ``undirected=True`` every node has
+      out-edges (no dangling mass), so each iteration's total rank is
+      EXACTLY 1 up to float reduce order;
+    - L1 contraction: the update is ``r' = (1-d)/n + d·Pᵀr`` with
+      column-stochastic P, so ``‖r_{t+1} − r_t‖₁ ≤ d·‖r_t − r_{t−1}‖₁``
+      — residuals shrink geometrically, every iteration, worst case
+      (Cormen-style contraction-mapping argument, not an average);
+    - teleport floor: every node's final rank is ≥ ``(1−d)/n``.
+
+    Per iteration: ONE shuffle join (weighted edges ⋈ ranks on src,
+    both sides hash-partitioned on the join key) + ONE groupBy(dst)
+    with map-side partial sums; the convergence stats are a 1-row
+    aggregate. Driver traffic is O(1) per iteration at any graph
+    size. Directed inputs with dangling nodes are supported
+    (``undirected=False``): dangling mass re-enters via the uniform
+    teleport renormalization each step, keeping total mass 1.
+    """
+    n_iter = int(n_iter)
+    d = float(damping)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    # localCheckpoint (the connected-components idiom, dedup.py:885)
+    # truncates lineage so iteration t's plan does not embed every
+    # prior iteration — without it analysis cost grows superlinearly
+    # with n_iter
+    ew = (
+        e.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("w"))
+        .localCheckpoint(eager=False)  # materialized by iteration 1
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()  # materializes the nodes checkpoint
+    if n == 0:
+        return (
+            edges.sparkSession.createDataFrame([], "node long, rank double"),
+            [],
+        )
+    # initial ranks are a one-deep projection of the checkpointed
+    # node set — no truncation needed yet
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    history: list[tuple[float, float]] = []
+    for _ in range(n_iter):
+        contrib = (
+            ew.join(ranks, ew["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("w")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        # left join from the node set so nodes with no in-links (only
+        # possible in the directed case) still receive teleport mass;
+        # renormalize by the surviving mass so dangling leakage
+        # re-enters uniformly and the total stays exactly 1
+        new = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.coalesce(F.col("_in"), F.lit(0.0)) * F.lit(d)).alias(
+                    "_dmass"
+                ),
+            )
+        )
+        if undirected:
+            # every node has out-edges by construction: no dangling
+            # mass, skip the extra aggregation job
+            leaked = 0.0
+        else:
+            surviving = new.agg(F.sum("_dmass")).first()[0] or 0.0
+            leaked = d - surviving
+        # LAZY checkpoint: the stats action below materializes it, so
+        # lineage truncation and the convergence probe share ONE job
+        # per iteration instead of two
+        new = new.select(
+            "node",
+            (
+                F.col("_dmass")
+                + F.lit((1.0 - d + leaked) / n)
+            ).alias("rank"),
+        ).localCheckpoint(eager=False)
+        stats = (
+            new.join(ranks.withColumnRenamed("rank", "_old"), "node")
+            .agg(
+                F.sum("rank").alias("_mass"),
+                F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("_res"),
+            )
+            .first()
+        )
+        history.append((float(stats["_mass"]), float(stats["_res"])))
+        ranks = new
+    return ranks, history
+
+
+def top_ranked_per_group(
+    ranks: DataFrame,
+    members: DataFrame,
+    node_col: str = "node",
+    group_col: str = "cluster",
+) -> DataFrame:
+    """Join PageRank scores onto a (node, group) membership table and
+    keep each group's top-ranked node — the canonical-representative
+    selection step for duplicate clusters (rank ties break on the
+    smaller node id, the repo-wide deterministic tie-break rule)."""
+    from pyspark.sql import Window
+
+    joined = members.join(
+        ranks.withColumnRenamed("node", node_col), node_col
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("rank").desc(), F.col(node_col).asc()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

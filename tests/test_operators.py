@@ -3477,3 +3477,68 @@ def test_scd2_history_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Distributed PageRank equals the dense numpy power iteration on
+    a small undirected graph, mass stays 1 every iteration, and
+    residuals contract by at least the damping factor."""
+    import numpy as np
+
+    from sensomics_data_pipeline_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(3)
+    ranks, hist = pagerank(df, n_iter=12, damping=0.85)
+    got = {r.node: r.rank for r in ranks.collect()}
+
+    n, d = 5, 0.85
+    adj = np.zeros((n, n))
+    for a, b in edges:
+        adj[a, b] = adj[b, a] = 1.0
+    p = adj / adj.sum(axis=1, keepdims=True)
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        r = (1 - d) / n + d * (p.T @ r)
+    assert all(abs(got[i] - r[i]) < 1e-9 for i in range(n))
+    for mass, _res in hist:
+        assert abs(mass - 1.0) < 1e-9
+    for (_, r0), (_, r1) in zip(hist[1:], hist[2:]):
+        assert r1 <= d * r0 + 1e-12
+    # floor: every node keeps at least the teleport mass
+    assert all(v >= (1 - d) / n - 1e-12 for v in got.values())
+
+
+def test_pagerank_directed_dangling_conserves_mass(spark):
+    """Directed chain with a dangling sink: leaked mass re-enters via
+    the teleport renormalization, so total mass stays exactly 1."""
+    from sensomics_data_pipeline_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2)], "src long, dst long"
+    )  # node 2 dangles
+    ranks, hist = pagerank(df, n_iter=6, undirected=False)
+    assert all(abs(mass - 1.0) < 1e-9 for mass, _ in hist)
+    got = {r.node: r.rank for r in ranks.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[2] > got[1] > got[0]  # rank flows down the chain
+
+
+def test_top_ranked_per_group_picks_canonical(spark):
+    """Representative selection: each cluster keeps its top-ranked
+    member, ties break on the smaller node id."""
+    from sensomics_data_pipeline_spark.operators.graph import (
+        top_ranked_per_group,
+    )
+
+    ranks = spark.createDataFrame(
+        [(1, 0.4), (2, 0.1), (3, 0.25), (4, 0.25)], "node long, rank double"
+    )
+    members = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20)], "node long, cluster long"
+    )
+    got = {
+        r.cluster: r.node
+        for r in top_ranked_per_group(ranks, members).collect()
+    }
+    assert got == {10: 1, 20: 3}  # cluster 20 ties 0.25/0.25 -> node 3

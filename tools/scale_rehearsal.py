@@ -416,6 +416,67 @@ def cc_rehearsal(spark) -> list[tuple]:
     return rows
 
 
+def pr_rehearsal(spark) -> list[tuple]:
+    """PageRank on synthetic chain+clique graphs at 1x and 100x
+    edges — isolates the operator's cost law (one join + one groupBy
+    per iteration, linear in |E|) from the pagerank_invariants demo's
+    per-group-quadratic edge derivation. The invariant probe rides
+    along: per-iteration mass == 1 and L1 contraction."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from sensomics_data_pipeline_spark.operators.graph import pagerank
+
+    def chain_clique_pairs(n_chains: int, n_cliques: int):
+        chains = (
+            spark.range(n_chains)
+            .select(F.explode(F.sequence(F.lit(0), F.lit(98))).alias("i"),
+                    F.col("id").alias("c"))
+            .select(
+                (F.col("c") * 1000 + F.col("i")).alias("src"),
+                (F.col("c") * 1000 + F.col("i") + 1).alias("dst"),
+            )
+        )
+        base = 10_000_000
+        cliq = (
+            spark.range(n_cliques)
+            .select(F.col("id").alias("k"))
+            .crossJoin(spark.range(5).select(F.col("id").alias("i")))
+            .crossJoin(spark.range(5).select(F.col("id").alias("j")))
+            .filter(F.col("i") < F.col("j"))
+            .select(
+                (base + F.col("k") * 10 + F.col("i")).alias("src"),
+                (base + F.col("k") * 10 + F.col("j")).alias("dst"),
+            )
+        )
+        return chains.unionByName(cliq)
+
+    rows = []
+    for name, n_chains, n_cliques in (
+        ("pr_1x", 50, 500),
+        ("pr_100x", 5_000, 50_000),
+    ):
+        pairs = chain_clique_pairs(n_chains, n_cliques)
+        n_edges = pairs.count()
+        t0 = time.time()
+        ranks, hist = pagerank(pairs, n_iter=6, damping=0.85)
+        n_nodes = ranks.count()
+        el = time.time() - t0
+        assert all(abs(m - 1.0) < 1e-6 for m, _ in hist), hist
+        assert all(
+            r1 <= 0.85 * r0 + 1e-9
+            for (_, r0), (_, r1) in zip(hist, hist[1:])
+        ), hist
+        rows.append((name, n_edges, n_nodes, el))
+        print(
+            f"{name:10s} edges {n_edges:8d}  nodes {n_nodes:8d}  "
+            f"{el:6.2f}s",
+            flush=True,
+        )
+    return rows
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from sensomics_data_pipeline_spark.session import get_spark
@@ -480,6 +541,20 @@ def main() -> None:
             spark, entrymod, ["scd2_history"], ev_dir, replicas, out_md,
             "SCD2 history build, 10x users replica",
         )
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "pagerank":
+        out_md = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE_r07.md"
+        spark = get_spark("scale_rehearsal")
+        rows = pr_rehearsal(spark)
+        with open(out_md, "a") as f:
+            f.write("\n## PageRank edge-scaling rehearsal "
+                    "(synthetic chain+clique graphs, 6 iterations)\n\n")
+            f.write("| graph | edges | nodes | wall (s) |\n")
+            f.write("|---|---|---|---|\n")
+            for name, n_edges, n_nodes, el in rows:
+                f.write(f"| {name} | {n_edges} | {n_nodes} | {el:.2f} |\n")
+        print(f"appended PageRank rehearsal to {out_md}")
         return
 
     if len(sys.argv) > 1 and sys.argv[1] == "r7new2_100x":
