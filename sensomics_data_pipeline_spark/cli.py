@@ -217,6 +217,50 @@ def cmd_resolve(args) -> int:
     return 0
 
 
+def cmd_cluster(args) -> int:
+    """Distributed k-means over a vector column: fit on the full
+    table, write (key, cluster, dist_sq) assignments."""
+    from sensomics_data_pipeline_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    cent, hist = kmeans_fit(
+        df, key_col=args.key, vec_col=args.column, k=args.k,
+        n_iter=args.n_iter,
+    )
+    out = kmeans_assign(df, cent, key_col=args.key, vec_col=args.column)
+    out.write.mode("overwrite").parquet(args.out)
+    print(
+        f"wrote {args.out} (k={args.k}, {len(hist)} iterations, "
+        f"final inertia {hist[-1]:.4f})"
+    )
+    return 0
+
+
+def cmd_pagerank(args) -> int:
+    """PageRank over an edge-list parquet: write (node, rank), print
+    the per-iteration convergence residuals."""
+    from sensomics_data_pipeline_spark.operators.graph import pagerank
+
+    spark = _spark()
+    edges = spark.read.parquet(args.input)
+    ranks, hist = pagerank(
+        edges,
+        src_col=args.src,
+        dst_col=args.dst,
+        n_iter=args.n_iter,
+        damping=args.damping,
+        undirected=not args.directed,
+    )
+    ranks.write.mode("overwrite").parquet(args.out)
+    res = ", ".join(f"{r:.2e}" for _, r in hist)
+    print(f"wrote {args.out} (residuals: {res})")
+    return 0
+
+
 def cmd_profile(args) -> int:
     from sensomics_data_pipeline_spark.operators.profile import (
         heavy_hitters,
@@ -371,6 +415,33 @@ def main(argv=None) -> int:
     re_.add_argument("-c", "--column", required=True)
     re_.add_argument("--max-dist", type=int, default=2)
     re_.set_defaults(fn=cmd_resolve)
+
+    cl = sub.add_parser(
+        "cluster", help="distributed k-means over a vector column"
+    )
+    cl.add_argument("-i", "--input", required=True)
+    cl.add_argument("-o", "--out", required=True)
+    cl.add_argument("-c", "--column", default="embedding",
+                    help="vector column (array<float|double>)")
+    cl.add_argument("--key", default="vec_id", help="row key column")
+    cl.add_argument("-k", type=int, default=8, help="cluster count")
+    cl.add_argument("--n-iter", type=int, default=8,
+                    help="max Lloyd iterations (tol early-exit)")
+    cl.set_defaults(fn=cmd_cluster)
+
+    pg = sub.add_parser(
+        "pagerank", help="PageRank over an edge-list parquet"
+    )
+    pg.add_argument("-i", "--input", required=True)
+    pg.add_argument("-o", "--out", required=True)
+    pg.add_argument("--src", default="src", help="source node column")
+    pg.add_argument("--dst", default="dst", help="destination node column")
+    pg.add_argument("--n-iter", type=int, default=10)
+    pg.add_argument("--damping", type=float, default=0.85)
+    pg.add_argument("--directed", action="store_true",
+                    help="treat edges as directed (dangling mass "
+                         "re-enters via teleport)")
+    pg.set_defaults(fn=cmd_pagerank)
 
     pr = sub.add_parser(
         "profile",

@@ -286,3 +286,42 @@ def test_cli_profile(spark, tmp_path):
     assert set(got) == {"hot", "cold"}
     # CMS never undercounts; 2 values in a 64-wide table don't collide
     assert got["hot"] == 334 and got["cold"] == 166
+
+
+def test_cli_cluster_and_pagerank(spark, tmp_path):
+    import numpy as np
+
+    from sensomics_data_pipeline_spark import cli
+
+    # cluster: two tight blobs, interleaved ids so the deterministic
+    # lowest-key seeding picks one seed per blob
+    rng = np.random.RandomState(3)
+    a = [0.0, 0.0] + 0.05 * rng.randn(20, 2)
+    b = [5.0, 5.0] + 0.05 * rng.randn(20, 2)
+    rows = []
+    for i in range(20):
+        rows.append((2 * i, [float(x) for x in a[i]]))
+        rows.append((2 * i + 1, [float(x) for x in b[i]]))
+    vecs = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.mode("overwrite").parquet(vecs)
+    out = str(tmp_path / "clusters")
+    assert cli.main(["cluster", "-i", vecs, "-o", out, "-k", "2"]) == 0
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == 40
+    even = set(got[got.vec_id % 2 == 0]["cluster"])
+    odd = set(got[got.vec_id % 2 == 1]["cluster"])
+    assert len(even) == 1 and len(odd) == 1 and even != odd
+
+    # pagerank: star graph — the hub outranks every leaf
+    edges = str(tmp_path / "edges")
+    spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    ).write.mode("overwrite").parquet(edges)
+    out = str(tmp_path / "ranks")
+    assert cli.main(["pagerank", "-i", edges, "-o", out,
+                     "--n-iter", "6"]) == 0
+    ranks = {r.node: r.rank for r in spark.read.parquet(out).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert all(ranks[0] > ranks[i] for i in range(1, 6))
