@@ -690,3 +690,72 @@ def test_count_min_upper_bounds_every_count(spark, vals, width, depth):
     }
     for v, c in true.items():
         assert c <= est[v] <= n
+
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+        lambda t: t[0] != t[1]
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+_fast_graph = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_fast_graph
+@given(edges=_edge_lists)
+def test_pagerank_laws_on_random_graphs(spark, edges):
+    """On ANY random undirected multigraph: every iteration's mass is
+    1, residuals contract by at least the damping factor, every rank
+    respects the teleport floor, and ranks are a valid distribution."""
+    from sensomics_data_pipeline_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks, hist = pagerank(df, n_iter=4, damping=0.85)
+    got = {r.node: r.rank for r in ranks.collect()}
+    n = len(got)
+    assert n >= 2
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert all(v >= (1 - 0.85) / n - 1e-12 for v in got.values())
+    for mass, _ in hist:
+        assert abs(mass - 1.0) < 1e-9
+    for (_, r0), (_, r1) in zip(hist, hist[1:]):
+        assert r1 <= 0.85 * r0 + 1e-12
+
+
+@_fast_graph
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(-5, 5, allow_nan=False, width=32),
+            st.floats(-5, 5, allow_nan=False, width=32),
+        ),
+        min_size=4,
+        max_size=30,
+    )
+)
+def test_kmeans_laws_on_random_points(spark, pts):
+    """On ANY random point set: inertia never increases across Lloyd
+    iterations, every point is assigned, and cluster sizes sum to n."""
+    from sensomics_data_pipeline_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rows = [
+        (i, [float(a), float(b)]) for i, (a, b) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k = min(3, len(rows))
+    cent, hist = kmeans_fit(df, k=k, n_iter=4)
+    assert all(
+        b <= a + 1e-9 * max(a, 1.0) for a, b in zip(hist, hist[1:])
+    )
+    assigned = kmeans_assign(df, cent).toPandas()
+    assert len(assigned) == len(rows)
+    assert set(assigned["cluster"]) <= set(range(k))
