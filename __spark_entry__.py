@@ -4480,7 +4480,15 @@ def q_pagerank_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
       the L1 contraction ``res[t+1] ≤ d·res[t]`` (+1e-12) — the
       geometric-convergence worst case, not an average,
     - ``n_floor_violation``: final ranks below the teleport floor
-      ``(1−d)/n`` (−1e-12) —
+      ``(1−d)/n`` (−1e-12),
+    - ``n_earlyexit_violation``: the residual-threshold stop law —
+      a second run with ``tol = 1.01·res[1]`` (the full run's
+      iteration-2 residual plus 1% float headroom) must stop after
+      EXACTLY 2 iterations with its last residual ≤ tol and its
+      first above (the L1 contraction bound guarantees
+      ``res[0] ≥ res[1]/d ≈ 1.18·res[1] > tol``, so the expected
+      stop point is robust to reduce-order float noise between the
+      two runs) —
 
     all pinned at 0; the DuckDB oracle re-derives the graph anchors
     (node and directed-edge counts) from the SAME edge definition:
@@ -4514,6 +4522,19 @@ def q_pagerank_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r1 > d * r0 + 1e-12
     )
     n_edges_directed = 2 * pairs.count()
+    # early-exit law: re-run with tol just above the full run's
+    # iteration-2 residual — must stop at exactly 2 iterations
+    tol = 1.01 * hist[1][1]
+    _, hist_tol = pagerank(
+        pairs, n_iter=n_it, damping=d, undirected=True, tol=tol
+    )
+    n_earlyexit = int(
+        not (
+            len(hist_tol) == 2
+            and hist_tol[-1][1] <= tol
+            and hist_tol[0][1] > tol
+        )
+    )
     agg = ranks.agg(
         F.count("*").alias("_n"),
         F.min("rank").alias("_min"),
@@ -4527,6 +4548,7 @@ def q_pagerank_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_min") < (F.lit(1.0 - d) / F.col("_n")) - F.lit(1e-12))
         .cast("long")
         .alias("n_floor_violation"),
+        F.lit(n_earlyexit).cast("long").alias("n_earlyexit_violation"),
     )
 
 
@@ -4543,7 +4565,8 @@ SELECT (SELECT count(*) FROM nodes)::BIGINT AS n_nodes,
        6::BIGINT AS n_iterations,
        0::BIGINT AS n_mass_violation,
        0::BIGINT AS n_contraction_violation,
-       0::BIGINT AS n_floor_violation
+       0::BIGINT AS n_floor_violation,
+       0::BIGINT AS n_earlyexit_violation
 """
 
 

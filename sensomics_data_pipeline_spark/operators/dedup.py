@@ -153,8 +153,9 @@ def _packed_pairs_arrow(
     emitted in ≤ ``pair_chunk`` chunks (default 4M pairs ≈ 64 MB of
     int64 a/b), chunking across same-length lists AND — for one giant
     list whose own pair count exceeds the cap (a hot shingle with
-    ``max_df=None``: d = 50k docs means 1.25B pairs) — within that
-    single list's ``triu`` index template. The old whole-batch
+    ``max_df=None``: d = 50k docs means 1.25B pairs) — by walking
+    anchor rows and flushing cap-sized buffers, so even the giant-list
+    path never allocates an O(d²) index template. The old whole-batch
     concatenation materialized every posting list's full explosion at
     once, an OOM regression vs the interpreted HOF's incremental
     evaluation on skewed corpora. Equivalence pinned by
@@ -187,19 +188,40 @@ def _packed_pairs_arrow(
                 rows = np.nonzero(lens == d)[0]
                 per_list = int(d) * (int(d) - 1) // 2
                 if per_list > pair_chunk:
-                    # one list alone overflows the cap: gather its row
-                    # once, slice the triu template into cap-sized
-                    # segments (no per-d template cache — a giant d is
-                    # rare and its template is itself the memory hazard)
-                    ti, tj = np.triu_indices(int(d), 1)
+                    # one list alone overflows the cap: walk anchor
+                    # rows i, emitting the (d-1-i)-wide tail per anchor
+                    # and flushing in cap-sized chunks. This allocates
+                    # O(d) per anchor plus the chunk buffers — never
+                    # the O(d²) triu index template, which at d = 50k
+                    # is ~20 GB of int64 and was itself the memory
+                    # hazard the cap exists to prevent.
                     for r in rows:
                         lst = vals[starts[r] : ends[r]]
-                        for s in range(0, per_list, pair_chunk):
-                            sl = slice(s, s + pair_chunk)
-                            yield pd.DataFrame(
-                                {"a": lst[ti[sl]], "b": lst[tj[sl]]}
+                        g_a: list = []
+                        g_b: list = []
+                        g_n = 0
+                        for i in range(int(d) - 1):
+                            tail = lst[i + 1 :]
+                            g_a.append(
+                                np.full(len(tail), lst[i], dtype=np.int64)
                             )
-                    del ti, tj
+                            g_b.append(tail)
+                            g_n += len(tail)
+                            if g_n >= pair_chunk:
+                                yield pd.DataFrame(
+                                    {
+                                        "a": np.concatenate(g_a),
+                                        "b": np.concatenate(g_b),
+                                    }
+                                )
+                                g_a, g_b, g_n = [], [], 0
+                        if g_n:
+                            yield pd.DataFrame(
+                                {
+                                    "a": np.concatenate(g_a),
+                                    "b": np.concatenate(g_b),
+                                }
+                            )
                     continue
                 if d not in templates:
                     templates[d] = np.triu_indices(int(d), 1)

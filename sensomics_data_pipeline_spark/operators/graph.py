@@ -28,6 +28,8 @@ def pagerank(
     n_iter: int = 10,
     damping: float = 0.85,
     undirected: bool = True,
+    weight_col: str | None = None,
+    tol: float | None = None,
 ):
     """Power-iteration PageRank over an edge list. Returns
     ``(ranks, history)`` — a ``(node, rank)`` DataFrame summing to 1
@@ -42,7 +44,10 @@ def pagerank(
       column-stochastic P, so ``‖r_{t+1} − r_t‖₁ ≤ d·‖r_t − r_{t−1}‖₁``
       — residuals shrink geometrically, every iteration, worst case
       (Cormen-style contraction-mapping argument, not an average);
-    - teleport floor: every node's final rank is ≥ ``(1−d)/n``.
+    - teleport floor: every node's final rank is ≥ ``(1−d)/n``;
+    - early exit: with ``tol`` set, iteration stops at the FIRST
+      recorded residual ≤ tol — ``history`` has at most one entry
+      at-or-below tol, and it is the last.
 
     Per iteration: ONE shuffle join (weighted edges ⋈ ranks on src,
     both sides hash-partitioned on the join key) + ONE groupBy(dst)
@@ -50,25 +55,44 @@ def pagerank(
     aggregate. Driver traffic is O(1) per iteration at any graph
     size. Directed inputs with dangling nodes are supported
     (``undirected=False``): dangling mass re-enters via the uniform
-    teleport renormalization each step, keeping total mass 1.
+    teleport renormalization each step, keeping total mass 1 — the
+    damped-mass frame is the lazily checkpointed one, so the
+    surviving-mass probe and the convergence stats share a single
+    materialization of the join+groupBy instead of running it twice.
+
+    ``weight_col`` names a positive edge-weight column: each source's
+    out-mass splits proportionally to weight (``w = weight /
+    sum(weight) over src``) instead of uniformly — the transition
+    matrix stays column-stochastic, so every invariant above holds
+    unchanged. ``tol`` (L1 residual threshold) adds a convergence
+    early exit: the loop stops after the iteration whose residual
+    drops to ``tol`` or below, so ``n_iter`` becomes a cap rather
+    than an exact count (the same contract as ``kmeans_fit``'s
+    ``tol``, similarity.py).
     """
     n_iter = int(n_iter)
     d = float(damping)
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("_ew"))
+    e = edges.select(*cols)
     if undirected:
-        e = e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+        back = [F.col("dst").alias("src"), F.col("src").alias("dst")]
+        if weight_col is not None:
+            back.append(F.col("_ew"))
+        e = e.unionByName(e.select(*back))
+    if weight_col is None:
+        deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    else:
+        deg = e.groupBy("src").agg(F.sum("_ew").alias("_deg"))
     # localCheckpoint (the connected-components idiom, dedup.py:885)
     # truncates lineage so iteration t's plan does not embed every
     # prior iteration — without it analysis cost grows superlinearly
     # with n_iter
+    out_mass = F.lit(1.0) if weight_col is None else F.col("_ew")
     ew = (
         e.join(deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("w"))
+        .select("src", "dst", (out_mass / F.col("_deg")).alias("w"))
         .localCheckpoint(eager=False)  # materialized by iteration 1
     )
     nodes = (
@@ -100,8 +124,13 @@ def pagerank(
         # left join from the node set so nodes with no in-links (only
         # possible in the directed case) still receive teleport mass;
         # renormalize by the surviving mass so dangling leakage
-        # re-enters uniformly and the total stays exactly 1
-        new = (
+        # re-enters uniformly and the total stays exactly 1.
+        # The LAZY checkpoint sits HERE, on the damped-mass frame: in
+        # directed mode the surviving-mass probe materializes it and
+        # the stats aggregate below re-reads the checkpoint blocks —
+        # one execution of the join+groupBy per iteration, not two.
+        # In undirected mode the stats action is the materializer.
+        dmass = (
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
@@ -109,24 +138,22 @@ def pagerank(
                     "_dmass"
                 ),
             )
+            .localCheckpoint(eager=False)
         )
         if undirected:
             # every node has out-edges by construction: no dangling
             # mass, skip the extra aggregation job
             leaked = 0.0
         else:
-            surviving = new.agg(F.sum("_dmass")).first()[0] or 0.0
+            surviving = dmass.agg(F.sum("_dmass")).first()[0] or 0.0
             leaked = d - surviving
-        # LAZY checkpoint: the stats action below materializes it, so
-        # lineage truncation and the convergence probe share ONE job
-        # per iteration instead of two
-        new = new.select(
+        new = dmass.select(
             "node",
             (
                 F.col("_dmass")
                 + F.lit((1.0 - d + leaked) / n)
             ).alias("rank"),
-        ).localCheckpoint(eager=False)
+        )
         stats = (
             new.join(ranks.withColumnRenamed("rank", "_old"), "node")
             .agg(
@@ -137,6 +164,8 @@ def pagerank(
         )
         history.append((float(stats["_mass"]), float(stats["_res"])))
         ranks = new
+        if tol is not None and history[-1][1] <= tol:
+            break
     return ranks, history
 
 

@@ -981,7 +981,7 @@ def test_packed_pairs_arrow_chunked_yields_same_pairs(spark):
     from collections import Counter
 
     rows = [
-        ([1, 2, 3, 4, 5, 6, 7, 8, 9, 10],),  # 45 pairs > chunk: triu slicing
+        ([1, 2, 3, 4, 5, 6, 7, 8, 9, 10],),  # 45 pairs > chunk: anchor walk
         ([11, 12, 13],),
         ([14, 15, 16],),
         ([17, 18, 19],),  # same-length group row-chunked (3 pairs each)
@@ -3507,6 +3507,62 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert r1 <= d * r0 + 1e-12
     # floor: every node keeps at least the teleport mass
     assert all(v >= (1 - d) / n - 1e-12 for v in got.values())
+
+
+def test_pagerank_weighted_matches_numpy(spark):
+    """``weight_col``: out-mass splits proportionally to edge weight.
+    Equals the dense numpy power iteration with the weighted
+    row-normalized transition matrix; mass and the teleport floor
+    hold unchanged (the matrix stays column-stochastic)."""
+    import numpy as np
+
+    from sensomics_data_pipeline_spark.operators.graph import pagerank
+
+    edges = [(0, 1, 1.0), (1, 2, 3.0), (2, 0, 0.5), (2, 3, 2.0), (3, 4, 1.0)]
+    df = spark.createDataFrame(
+        edges, "src long, dst long, wt double"
+    ).repartition(3)
+    ranks, hist = pagerank(df, n_iter=10, damping=0.85, weight_col="wt")
+    got = {r.node: r.rank for r in ranks.collect()}
+
+    n, d = 5, 0.85
+    adj = np.zeros((n, n))
+    for a, b, w in edges:
+        adj[a, b] += w
+        adj[b, a] += w
+    p = adj / adj.sum(axis=1, keepdims=True)
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        r = (1 - d) / n + d * (p.T @ r)
+    assert all(abs(got[i] - r[i]) < 1e-9 for i in range(n))
+    for mass, _res in hist:
+        assert abs(mass - 1.0) < 1e-9
+    assert all(v >= (1 - d) / n - 1e-12 for v in got.values())
+    # weights matter: node 2 (fed by the weight-3 edge) outranks the
+    # unweighted solution's symmetric counterpart
+    ranks_u, _ = pagerank(
+        df.select("src", "dst"), n_iter=10, damping=0.85
+    )
+    got_u = {r.node: r.rank for r in ranks_u.collect()}
+    assert abs(got[2] - got_u[2]) > 1e-6
+
+
+def test_pagerank_tol_early_exit(spark):
+    """``tol`` turns n_iter into a cap: the loop stops at the FIRST
+    residual ≤ tol, so history holds exactly one at-or-below-tol
+    entry and it is the last; a huge tol stops after one iteration."""
+    from sensomics_data_pipeline_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    _, full = pagerank(df, n_iter=8, damping=0.85)
+    tol = 1.01 * full[3][1]
+    _, hist = pagerank(df, n_iter=8, damping=0.85, tol=tol)
+    assert len(hist) == 4
+    assert hist[-1][1] <= tol
+    assert all(res > tol for _, res in hist[:-1])
+    _, one = pagerank(df, n_iter=8, damping=0.85, tol=10.0)
+    assert len(one) == 1
 
 
 def test_pagerank_directed_dangling_conserves_mass(spark):
