@@ -25,6 +25,7 @@ queries (the driver's correctness pass, check_oracle).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -32,6 +33,36 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _scrub_session(spark) -> None:
+    """Per-query JVM-state hygiene — the context-debris countermeasure
+    (r7 measured the full-bench common rows drifting ~1.15x as the
+    registry grew while the same plans stayed flat isolated):
+
+    1. drop the streaming memory-sink views run_bounded registers
+       (each pins its FULL result set in the JVM until dropped);
+    2. clear any persisted intermediates;
+    3. collect PYTHON garbage first — py4j proxies hold the JVM-side
+       DataFrames, broadcasts and localCheckpoint RDD blocks, and
+       Spark's ContextCleaner can only release those after the Python
+       ref dies — then ask the JVM to GC so the cleaner actually runs.
+    """
+    try:
+        for t in spark.catalog.listTables():
+            if t.name.startswith("stream_") and t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+    except Exception:
+        pass
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
 
 
 def main() -> None:
@@ -67,7 +98,7 @@ def main() -> None:
         except Exception:
             pass
         finally:
-            spark.catalog.clearCache()
+            _scrub_session(spark)
     print(
         f"warm pass: {n_warmed}/{len(qs)} queries in "
         f"{time.time() - warm_t0:.1f}s",
@@ -90,18 +121,14 @@ def main() -> None:
                 print(f"bench error {name}: {exc}", file=sys.stderr)
                 break
             finally:
-                # operators may persist intermediates; drop them so queries
-                # are timed independently and memory doesn't accumulate
-                spark.catalog.clearCache()
-        # Spark's ContextCleaner only releases dead broadcast vars and
-        # shuffle files when a DRIVER GC collects their refs; across
-        # ~90 queries x 3 runs the un-collected debris measurably slows
-        # later queries (observed 3x inflation vs standalone runs).
-        # Force a GC after each query so every timing starts clean.
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
+                # full scrub BETWEEN RUNS, not just between queries:
+                # Spark's ContextCleaner only releases dead broadcasts,
+                # shuffle files and localCheckpoint blocks when a driver
+                # GC collects their (Python-held) refs; across ~100
+                # queries x 3 runs the un-collected debris measurably
+                # slows later queries (observed 3x inflation vs
+                # standalone runs, and the r7 registry-growth drift).
+                _scrub_session(spark)
         if failed or not runs:
             timings[name] = -1.0
             medians[name] = -1.0

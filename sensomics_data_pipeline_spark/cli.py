@@ -254,6 +254,8 @@ def cmd_pagerank(args) -> int:
         n_iter=args.n_iter,
         damping=args.damping,
         undirected=not args.directed,
+        weight_col=args.weight,
+        tol=args.tol,
     )
     ranks.write.mode("overwrite").parquet(args.out)
     res = ", ".join(f"{r:.2e}" for _, r in hist)
@@ -438,6 +440,12 @@ def main(argv=None) -> int:
     pg.add_argument("--dst", default="dst", help="destination node column")
     pg.add_argument("--n-iter", type=int, default=10)
     pg.add_argument("--damping", type=float, default=0.85)
+    pg.add_argument("--weight", default=None,
+                    help="positive edge-weight column (out-mass splits "
+                         "proportionally)")
+    pg.add_argument("--tol", type=float, default=None,
+                    help="L1-residual early-exit threshold "
+                         "(n-iter becomes a cap)")
     pg.add_argument("--directed", action="store_true",
                     help="treat edges as directed (dangling mass "
                          "re-enters via teleport)")
@@ -465,6 +473,12 @@ def main(argv=None) -> int:
     pr.set_defaults(fn=cmd_profile)
 
     args = p.parse_args(argv)
+    # argparse-level validation with clear messages (instead of an
+    # opaque schema-lookup traceback deep inside Spark)
+    if args.cmd == "profile" and args.op != "table" and not args.column:
+        p.error(f"profile {args.op} requires -c/--column")
+    if args.cmd == "cluster" and args.n_iter < 1:
+        p.error("cluster requires --n-iter >= 1")
     return args.fn(args)
 
 

@@ -292,15 +292,86 @@ _FLAC_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
                11: 96000}
 
 
+#: fixed-predictor coefficient table (order → coefficients applied to
+#: x[i-1], x[i-2], ...) — the binomial-difference predictors of the
+#: public FLAC spec
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _flac_read_unary(br: "_BitReader") -> int:
+    """Count 0-bits up to the terminating 1-bit (Rice quotient /
+    wasted-bits encoding)."""
+    n = 0
+    while br.read(1) == 0:
+        n += 1
+    return n
+
+
+def _flac_read_residual(br: "_BitReader", blocksize: int, order: int):
+    """Decode one Rice-coded residual section (both 4-bit and 5-bit
+    parameter methods, partitioned, with the escaped-raw fallback)."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError(f"reserved residual coding method {method}")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    nparts = 1 << br.read(4)
+    if blocksize % nparts:
+        raise ValueError("partition count does not divide blocksize")
+    per = blocksize // nparts
+    if per <= order:
+        raise ValueError("predictor order exceeds first partition")
+    res: list[int] = []
+    for p in range(nparts):
+        n = per - (order if p == 0 else 0)
+        param = br.read(pbits)
+        if param == escape:
+            rawbits = br.read(5)
+            if rawbits == 0:
+                res.extend([0] * n)
+            else:
+                res.extend(br.read_signed(rawbits) for _ in range(n))
+        else:
+            for _ in range(n):
+                q = _flac_read_unary(br)
+                v = (q << param) | br.read(param)
+                res.append((v >> 1) ^ -(v & 1))  # zigzag
+    return res
+
+
+def _flac_predict(warmup, res, coefs, shift: int = 0):
+    """Reconstruct samples from warmup + residuals under a (fixed or
+    LPC) predictor: ``x[i] = res[i] + (Σ coef[j]·x[i-1-j]) >> shift``.
+    Python's ``>>`` on ints IS the arithmetic shift the spec requires
+    (floor division by 2^shift, correct for negative predictions)."""
+    x = list(warmup)
+    for r in res:
+        p = 0
+        for j, c in enumerate(coefs):
+            p += c * x[-1 - j]
+        x.append(r + (p >> shift))
+    return x
+
+
 def decode_flac_subset(payload: bytes):
-    """Pure-Python decoder for a FLAC SUBSET (per the public xiph.org
-    format spec): independent channels, CONSTANT and VERBATIM
-    subframes, fixed blocking strategy — the shapes a hermetic test
-    fixture can carry. FIXED/LPC-predicted subframes (what a real
-    encoder emits for non-trivial audio) raise the documented
-    ``NotImplementedError`` and still route to soundfile/torchaudio
-    when installed. Both CRCs (header CRC-8, frame CRC-16) are
-    verified. Returns the :func:`decode_wav` contract:
+    """Pure-Python decoder for the FLAC SUBSET a hermetic fixture can
+    carry (per the public xiph.org format spec): independent channels,
+    CONSTANT / VERBATIM / FIXED / LPC subframes (LPC is what a real
+    encoder emits for non-trivial audio), Rice residuals (both
+    parameter widths, partitioned, escaped-raw), wasted bits, fixed or
+    variable blocking. Stereo decorrelation (L/S, R/S, M/S) remains
+    outside the subset and still routes to soundfile/torchaudio when
+    installed. Both CRCs (header CRC-8, frame CRC-16) are verified.
+    Samples are normalized by each FRAME's bit depth (a frame may
+    override STREAMINFO via its sample-size code); a STREAMINFO total
+    of 0 (legal "unknown") decodes frames until payload exhaustion.
+    Returns the :func:`decode_wav` contract:
     ``(sample_rate, n_channels, float64 (frames, channels))``."""
     import numpy as np
 
@@ -332,7 +403,9 @@ def decode_flac_subset(payload: bytes):
 
     chans: list[list] = [[] for _ in range(info["channels"])]
     got = 0
-    while got < info["total"] and pos < len(payload):
+    # total == 0 is the spec's legal "unknown length": decode frames
+    # until the payload is exhausted instead of returning empty audio
+    while pos < len(payload) and (info["total"] == 0 or got < info["total"]):
         frame_start = pos
         br = _BitReader(payload, pos)
         if br.read(14) != 0b11111111111110:
@@ -369,7 +442,18 @@ def decode_flac_subset(payload: bytes):
                 "pure-Python FLAC subset"
             )
         n_ch = ch_code + 1
+        if n_ch != info["channels"]:
+            raise ValueError(
+                f"frame channel count {n_ch} != STREAMINFO "
+                f"{info['channels']}"
+            )
+        if ss_code in (3, 7):
+            raise ValueError(f"reserved sample-size code {ss_code}")
         bps = {0: info["bps"], 1: 8, 2: 12, 4: 16, 5: 20, 6: 24}[ss_code]
+        # normalize by the FRAME's bit depth: a frame may override
+        # STREAMINFO via its sample-size code, and scaling everything
+        # by the STREAMINFO bps would mis-scale exactly those frames
+        scale = float(1 << (bps - 1))
         hdr_end = br.byte_pos()
         if _flac_crc8(payload[frame_start:hdr_end]) != br.read(8):
             raise ValueError("frame header CRC-8 mismatch")
@@ -377,21 +461,36 @@ def decode_flac_subset(payload: bytes):
             if br.read(1):
                 raise ValueError("bad subframe header padding bit")
             stype = br.read(6)
-            if br.read(1):
-                raise NotImplementedError(
-                    "wasted bits not in the pure-Python FLAC subset"
-                )
+            wasted = _flac_read_unary(br) + 1 if br.read(1) else 0
+            sbps = bps - wasted
+            if sbps <= 0:
+                raise ValueError("wasted bits exceed sample size")
             if stype == 0:  # CONSTANT
-                chans[c].extend([br.read_signed(bps)] * blocksize)
+                vals = [br.read_signed(sbps)] * blocksize
             elif stype == 1:  # VERBATIM
-                chans[c].extend(
-                    br.read_signed(bps) for _ in range(blocksize)
-                )
+                vals = [br.read_signed(sbps) for _ in range(blocksize)]
+            elif 8 <= stype <= 12:  # FIXED, order 0-4
+                order = stype & 7
+                warm = [br.read_signed(sbps) for _ in range(order)]
+                res = _flac_read_residual(br, blocksize, order)
+                vals = _flac_predict(warm, res, _FLAC_FIXED_COEFS[order])
+            elif stype >= 32:  # LPC, order 1-32
+                order = (stype & 31) + 1
+                warm = [br.read_signed(sbps) for _ in range(order)]
+                prec = br.read(4) + 1
+                if prec == 16:
+                    raise ValueError("invalid qlp coefficient precision")
+                shift = br.read_signed(5)
+                if shift < 0:
+                    raise ValueError("negative qlp shift")
+                coefs = [br.read_signed(prec) for _ in range(order)]
+                res = _flac_read_residual(br, blocksize, order)
+                vals = _flac_predict(warm, res, coefs, shift)
             else:
-                raise NotImplementedError(
-                    "FIXED/LPC subframes need an external codec "
-                    "(install soundfile or torchaudio)"
-                )
+                raise ValueError(f"reserved subframe type {stype}")
+            if wasted:
+                vals = [v << wasted for v in vals]
+            chans[c].extend(v / scale for v in vals)
         br.align()
         body_end = br.byte_pos()
         if _flac_crc16(payload[frame_start:body_end]) != br.read(16):
@@ -399,7 +498,7 @@ def decode_flac_subset(payload: bytes):
         got += blocksize
         pos = br.byte_pos()
 
-    x = np.array(chans, dtype=np.float64).T / float(1 << (info["bps"] - 1))
+    x = np.array(chans, dtype=np.float64).T
     return info["rate"], info["channels"], x
 
 

@@ -81,7 +81,9 @@ def _has_event_time_watermark(agg: DataFrame) -> bool:
         return True
 
 
-def run_bounded(agg: DataFrame, mode: str = "complete") -> DataFrame:
+def run_bounded(
+    agg: DataFrame, mode: str = "complete", available_now: bool = False
+) -> DataFrame:
     """Drive a streaming aggregate over the bounded source to completion
     via a memory sink; returns the result as a batch DataFrame.
 
@@ -91,18 +93,32 @@ def run_bounded(agg: DataFrame, mode: str = "complete") -> DataFrame:
     prompt ``stop()`` can kill it before anything reaches the sink. For
     stateful append/update queries we therefore poll ``lastProgress``
     until a zero-input batch has run (bounded wait), then drain again.
+
+    ``available_now=True`` switches to ``Trigger.AvailableNow``: the
+    engine plans the whole bounded backlog up front, coalesces it into
+    the fewest micro-batches the source limits allow, and STOPS ITSELF
+    — so completion is one ``awaitTermination`` with no progress
+    polling and no stop-races. This is the right mode for the
+    UN-watermarked ingest certification (streaming/ingest.py), whose
+    wall-clock was dominated by micro-batch scheduling variance;
+    watermarked append queries keep the default path, where the
+    no-data-batch drain below is load-bearing.
     """
     name = f"stream_{uuid.uuid4().hex[:12]}"
     # Only watermarked queries can owe a no-data batch (it exists to
     # advance the watermark and flush closed state); for un-watermarked
     # append streams the wait would be pure dead time.
     watermarked = _has_event_time_watermark(agg)
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    writer = agg.writeStream.outputMode(mode).format("memory").queryName(name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        return agg.sparkSession.table(name)
     try:
         q.processAllAvailable()
         if watermarked and mode in ("append", "update"):

@@ -325,3 +325,26 @@ def test_cli_cluster_and_pagerank(spark, tmp_path):
     ranks = {r.node: r.rank for r in spark.read.parquet(out).collect()}
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     assert all(ranks[0] > ranks[i] for i in range(1, 6))
+
+    # pagerank --tol: a huge threshold stops after one iteration
+    out_tol = str(tmp_path / "ranks_tol")
+    assert cli.main(["pagerank", "-i", edges, "-o", out_tol,
+                     "--n-iter", "6", "--tol", "10.0"]) == 0
+    assert abs(sum(
+        r.rank for r in spark.read.parquet(out_tol).collect()
+    ) - 1.0) < 1e-9
+
+
+def test_cli_validation_errors(tmp_path):
+    """Ops that need a value column fail at argparse with a clear
+    message, not a schema-lookup traceback; cluster rejects a
+    zero-iteration fit."""
+    import pytest
+
+    from sensomics_data_pipeline_spark import cli
+
+    for op in ("hh", "quantiles", "histogram", "cms"):
+        with pytest.raises(SystemExit):
+            cli.main(["profile", op, "-i", "x", "-o", "y"])
+    with pytest.raises(SystemExit):
+        cli.main(["cluster", "-i", "x", "-o", "y", "--n-iter", "0"])

@@ -1608,17 +1608,56 @@ def test_flac_subset_decode_hermetic(spark):
     with pytest.raises(ValueError, match="CRC"):
         mm.decode_flac_subset(bytes(bad))
 
-    # 4. an LPC subframe (type bit pattern 1xxxxx) is outside the
-    # subset: documented NotImplementedError, so real-encoder files
-    # still demand soundfile/torchaudio
-    lpc = bytearray(encode_flac_subset([mono[:16]], blocksize=16))
-    # subframe header is the byte right after the 8-byte frame header
-    # (4 fixed + 1 frame-no + 1 blocksize + 1 crc8) in the first frame;
-    # STREAMINFO ends at 4 + 4 + 34
-    sub_hdr = 4 + 4 + 34 + 7
-    lpc[sub_hdr] = 0b01000000  # LPC order 1
-    with pytest.raises(NotImplementedError, match="LPC"):
-        mm.decode_flac_subset(bytes(lpc))
+    # 4. PREDICTED subframes (what a real encoder emits) decode
+    # losslessly: the vendored LPC fixture is byte-pinned to the
+    # independent spec encoder and roundtrips bit-exact; every FIXED
+    # order and the wasted-bits path roundtrip too
+    lpc_sig = [int(1200 * np.sin(i / 5)) + (i % 7) for i in range(48)]
+    lpc_pred = ("lpc", [205, -102], 7, 12)
+    lpc_path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "tiny_lpc.flac"
+    )
+    lpc_payload = open(lpc_path, "rb").read()
+    assert lpc_payload == encode_flac_subset(
+        [lpc_sig], sample_rate=16000, blocksize=16, predictor=lpc_pred
+    )
+    rate_l, nch_l, x_l = mm.decode_wav(lpc_payload)  # public routing
+    assert rate_l == 16000 and nch_l == 1 and x_l.shape == (48, 1)
+    assert np.allclose(x_l[:, 0] * 32768, lpc_sig)
+    for order in range(5):  # FIXED orders 0-4
+        _, _, xf = mm.decode_flac_subset(
+            encode_flac_subset([lpc_sig], predictor=("fixed", order))
+        )
+        assert np.allclose(xf[:, 0] * 32768, lpc_sig), order
+    sig4 = [s * 4 for s in lpc_sig[:32]]  # wasted bits: 2 zero LSBs
+    _, _, xw = mm.decode_flac_subset(
+        encode_flac_subset([sig4], predictor=lpc_pred, wasted=2)
+    )
+    assert np.allclose(xw[:, 0] * 32768, sig4)
+
+    # 4b. spec edge laws: STREAMINFO total=0 (legal "unknown") decodes
+    # to payload exhaustion, not empty audio; reserved sample-size
+    # codes raise ValueError (not a KeyError)
+    unk = bytearray(lpc_payload)
+    unk[8 + 13] &= 0xF0  # zero the 36-bit total field
+    for i in (14, 15, 16, 17):
+        unk[8 + i] = 0
+    _, _, xu = mm.decode_flac_subset(bytes(unk))
+    assert np.allclose(xu[:, 0] * 32768, lpc_sig)
+    rsv = bytearray(lpc_payload)
+    hdr_at = 4 + 4 + 34  # first frame header
+    # byte 3 of the header holds ch_code(4) + ss_code(3) + reserved(1):
+    # force ss_code = 3 (reserved) and patch the CRC-8 so only the
+    # reserved-code check can fire
+    b3 = rsv[hdr_at + 3]
+    rsv[hdr_at + 3] = (b3 & 0xF1) | (3 << 1)
+    from sensomics_data_pipeline_spark.operators.multimodal import (
+        _flac_crc8,
+    )
+
+    rsv[hdr_at + 6] = _flac_crc8(bytes(rsv[hdr_at : hdr_at + 6]))
+    with pytest.raises(ValueError, match="reserved sample-size"):
+        mm.decode_flac_subset(bytes(rsv))
 
     # 5. end-to-end through the Spark operator: decode_ok=True with
     # the right rate/duration — the compressed path is no longer a

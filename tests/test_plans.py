@@ -118,6 +118,9 @@ SCALAR_BROADCAST_OK = {
     # 1-row violation-counter aggregates per ANN variant joined on a
     # literal key — same attach-computed-scalars shape
     "ann_invariants",
+    # 1-row structural counters ⋈ 1-row dim agg ⋈ 1-row optimality
+    # counter, all on a literal key — same shape as ann_invariants
+    "pq_invariants",
     # k-row sketch broadcast onto exact counts + 1-row scalar
     # (kth-est, undercount mass) attachments — all bounded by k
     "hh_invariants",
