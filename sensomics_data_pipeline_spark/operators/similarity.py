@@ -1261,6 +1261,7 @@ def kmeans_fit(
     k: int = 8,
     n_iter: int = 8,
     tol: float = 1e-6,
+    persist: bool = False,
 ):
     """DISTRIBUTED Lloyd's k-means over the FULL table (unlike
     :func:`ivf_train`, which trains driver-side on a bounded sample):
@@ -1291,6 +1292,14 @@ def kmeans_fit(
 
     Total driver traffic per iteration: ``partitions × k × (dim+3)``
     float64s — independent of row count, same at 100 TB as at 1 GB.
+
+    ``persist=True`` pins the projected vector column in executor
+    memory/disk for the duration of the fit (unpersisted before
+    returning): every iteration re-scans the source otherwise — the
+    correct default at 100 TB, where the vectors don't fit cluster
+    memory and the scan is the cheap part, but a real win when they
+    do (each iteration then reads the cached single column instead
+    of re-decoding parquet).
     """
     import numpy as np
     import pandas as pd
@@ -1302,6 +1311,10 @@ def kmeans_fit(
     cent = np.array([r[1] for r in init], dtype=np.float64)
     dim = cent.shape[1]
     vecs = base.select(F.col(vec_col).alias("_v"))
+    if persist:
+        from pyspark import StorageLevel
+
+        vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
 
     history: list[float] = []
     for _ in range(int(n_iter)):
@@ -1382,6 +1395,8 @@ def kmeans_fit(
         cent = new
         if converged:
             break
+    if persist:
+        vecs.unpersist()
     return cent, history
 
 

@@ -3423,6 +3423,11 @@ def test_kmeans_inertia_monotone_and_assignment_optimal(spark):
     labels = assigned["cluster"].to_numpy().reshape(40, 3).T
     assert all(len(set(row)) == 1 for row in labels)
     assert len({row[0] for row in labels}) == 3
+    # persist=True is a pure execution hint: bit-identical fit, and
+    # the pin is released before returning
+    cent_p, hist_p = kmeans_fit(df, k=3, n_iter=10, persist=True)
+    assert (cent_p == cent).all() and hist_p == hist
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
 
 
 def test_kmeans_empty_cluster_and_early_exit(spark):

@@ -242,6 +242,12 @@ def build_embeddings_replica(spark, replicas: int) -> str:
             F.slice("embedding", shift + 1, 64 - shift),
             F.slice("embedding", 1, shift),
         )
+        if r >= 64:
+            # only 64 distinct rotations exist: negate the second
+            # cycle so replicas past 64 stay NOVEL (same norm, cosine
+            # = -cos of the unnegated twin) instead of exact
+            # duplicates of an earlier replica
+            rolled = F.transform(rolled, lambda x: -x)
         parts.append(
             emb.select(
                 (F.col("vec_id") + F.lit(r * n)).alias("vec_id"),
@@ -480,6 +486,98 @@ def pr_rehearsal(spark) -> list[tuple]:
 def main() -> None:
     import __spark_entry__ as entrymod
     from sensomics_data_pipeline_spark.session import get_spark
+
+    if len(sys.argv) > 1 and sys.argv[1] == "embeddings_100x":
+        # 100x embeddings rehearsal (r7 verdict ask): (a) WALLS of the
+        # auto-knob scale paths on 100x the sf0.1 vectors (500k —
+        # rotated+negated novel replicas, near-dup structure per
+        # replica like the original); (b) RECALL floors with zero
+        # knobs at 100x the sf0.001 base (50k noisy copies, the same
+        # construction as test_ivf_auto_probe_recall_holds_at_10x) vs
+        # chunked exact brute force. Brute force at 500k would be
+        # 2.5e11 pair sims — recall is measured at the 50k point, the
+        # largest exact ground truth this box computes in minutes.
+        import numpy as np
+        import pandas as pd
+
+        from sensomics_data_pipeline_spark.operators import (
+            similarity as sim_ops,
+        )
+
+        phase = sys.argv[2] if len(sys.argv) > 2 else "both"
+        out_md = sys.argv[3] if len(sys.argv) > 3 else "docs/SCALE_r08.md"
+        spark = get_spark("scale_rehearsal")
+        if phase in ("walls", "both"):
+            big_dir = build_embeddings_replica(spark, 100)
+            rows = []
+            for name, fn in emb_scaled_variants():
+                fn(spark, "/root/testdata/sf0.001").write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                t100 = time_query(spark, fn, big_dir)
+                rows.append((name, t100))
+                print(f"{name:28s} 100x {t100:7.2f}s", flush=True)
+            with open(out_md, "a") as f:
+                f.write(
+                    "\n## Embeddings-family 100x rehearsal\n\n"
+                    "Auto-capacity walls at 100x sf0.1 (500,000 rotated+"
+                    "negated novel vectors), no explicit knobs:\n\n"
+                    "| variant | 100x (s) |\n|---|---|\n"
+                )
+                for name, t100 in rows:
+                    f.write(f"| {name} | {t100:.2f} |\n")
+            print(f"appended 100x walls table to {out_md}")
+        if phase not in ("recall", "both"):
+            return
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        pdf = emb.toPandas()
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        rng = np.random.default_rng(7)
+        reps = [mat] + [
+            mat + rng.normal(0, 0.08, mat.shape) for _ in range(99)
+        ]
+        big = np.concatenate(reps)
+        big_df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": np.arange(len(big)),
+                    "embedding": [r.astype("float32") for r in big],
+                }
+            )
+        ).repartition(32)
+        t0 = time.time()
+        b1 = sim_ops.brute_force_topk(big_df, k=1, n_chunks=64).toPandas()
+        t_truth1 = time.time() - t0
+        truth1 = dict(zip(b1["query_id"], b1["neighbor_id"]))
+        ivf = sim_ops.ivf_topk(big_df, k=1).toPandas()
+        r1 = sum(
+            truth1.get(q) == n for q, n in zip(ivf.query_id, ivf.neighbor_id)
+        ) / len(truth1)
+        t0 = time.time()
+        b5 = sim_ops.brute_force_topk(big_df, k=5, n_chunks=64).toPandas()
+        t_truth5 = time.time() - t0
+        t5 = set(zip(b5.query_id, b5.neighbor_id))
+        pq = sim_ops.ivf_pq_topk(big_df, k=5, m=16, n_codes=32).toPandas()
+        r5 = len(t5 & set(zip(pq.query_id, pq.neighbor_id))) / len(t5)
+        print(
+            f"recall@1 IVF(auto) {r1:.3f}  recall@5 IVF-PQ(auto) {r5:.3f}"
+            f"  (truth walls {t_truth1:.1f}s / {t_truth5:.1f}s)",
+            flush=True,
+        )
+        with open(out_md, "a") as f:
+            f.write(
+                "\nRecall with ZERO knobs at 100x sf0.001 (50,000 "
+                "noisy-copy vectors, exact chunked brute-force ground "
+                "truth):\n\n"
+                "| metric | value | truth wall (s) |\n|---|---|---|\n"
+                f"| IVF recall@1 (auto lists/probe) | {r1:.3f} "
+                f"| {t_truth1:.1f} |\n"
+                f"| IVF-PQ recall@5 (auto, m=16 x 32) | {r5:.3f} "
+                f"| {t_truth5:.1f} |\n"
+            )
+        print(f"appended 100x recall table to {out_md}")
+        return
 
     if len(sys.argv) > 1 and sys.argv[1] == "events":
         out_md = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE_r04.md"
