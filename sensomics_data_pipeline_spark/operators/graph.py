@@ -169,6 +169,214 @@ def pagerank(
     return ranks, history
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    weight_col: str | None = None,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    undirected: bool = True,
+    tol: float | None = None,
+):
+    """Personalized PageRank: the teleport distribution is uniform
+    over ``seeds`` instead of over all nodes — ranks measure proximity
+    TO THE SEED SET, the similarity-search/recommendation variant of
+    :func:`pagerank` (same power iteration, same plan shape: one
+    shuffle join + one groupBy per iteration, plus one broadcast join
+    of the seed mass — seed sets are small by definition).
+
+    Returns ``(ranks, history)`` with the same laws ``pagerank``
+    certifies, personalized: total mass 1 per iteration (dangling /
+    non-seed-reachable leakage re-enters via the SEED teleport),
+    L1 contraction, and the floor ``rank(s) ≥ (1−d)/|seeds|`` for
+    every seed (non-seed nodes have no floor — unreachable ones
+    converge to 0, which is the point).
+    """
+    n_iter = int(n_iter)
+    d = float(damping)
+    cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("_ew"))
+    e = edges.select(*cols)
+    if undirected:
+        back = [F.col("dst").alias("src"), F.col("src").alias("dst")]
+        if weight_col is not None:
+            back.append(F.col("_ew"))
+        e = e.unionByName(e.select(*back))
+    if weight_col is None:
+        deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    else:
+        deg = e.groupBy("src").agg(F.sum("_ew").alias("_deg"))
+    out_mass = F.lit(1.0) if weight_col is None else F.col("_ew")
+    ew = (
+        e.join(deg, "src")
+        .select("src", "dst", (out_mass / F.col("_deg")).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    seed_set = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .localCheckpoint(eager=False)
+    )
+    n_seeds = seed_set.count()
+    if n == 0 or n_seeds == 0:
+        return (
+            edges.sparkSession.createDataFrame([], "node long, rank double"),
+            [],
+        )
+    # teleport mass per node: 1/|seeds| on seeds, 0 elsewhere — kept
+    # as a broadcastable column on the node set
+    p = nodes.join(
+        F.broadcast(seed_set.withColumn("_p", F.lit(1.0 / n_seeds))),
+        "node",
+        "left",
+    ).select("node", F.coalesce(F.col("_p"), F.lit(0.0)).alias("_p"))
+    ranks = p.select("node", F.col("_p").alias("rank"))
+    history: list[tuple[float, float]] = []
+    for _ in range(n_iter):
+        contrib = (
+            ew.join(ranks, ew["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("w")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        dmass = (
+            p.join(contrib, "node", "left")
+            .select(
+                "node",
+                "_p",
+                (F.coalesce(F.col("_in"), F.lit(0.0)) * F.lit(d)).alias(
+                    "_dmass"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        if undirected:
+            leaked = 0.0
+        else:
+            surviving = dmass.agg(F.sum("_dmass")).first()[0] or 0.0
+            leaked = d - surviving
+        new = dmass.select(
+            "node",
+            (
+                F.col("_dmass") + F.lit(1.0 - d + leaked) * F.col("_p")
+            ).alias("rank"),
+        )
+        stats = (
+            new.join(ranks.withColumnRenamed("rank", "_old"), "node")
+            .agg(
+                F.sum("rank").alias("_mass"),
+                F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("_res"),
+            )
+            .first()
+        )
+        history.append((float(stats["_mass"]), float(stats["_res"])))
+        ranks = new
+        if tol is not None and history[-1][1] <= tol:
+            break
+    return ranks, history
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 5,
+    undirected: bool = True,
+    include_self: bool = True,
+):
+    """Deterministic SYNCHRONOUS label propagation (community
+    detection): every node starts labeled with its own id; each
+    iteration it adopts the most frequent label among its neighbors
+    (plus, with ``include_self=True`` — the default — one vote for
+    its own current label, the standard stabilized variant: pure
+    neighbor voting 2-cycles on bipartite structures as small as a
+    single edge, self-voting converges cliques of EVERY size to
+    their minimum id), ties broken by the SMALLEST label (the
+    repo-wide deterministic tie-break rule); isolated or
+    in-edge-less nodes keep their current label. Returns
+    ``(labels, history)`` — a ``(node, label)`` DataFrame and the
+    per-iteration count of nodes that changed label (0 = converged;
+    ``n_iter`` is a hard cap, not a promise).
+
+    The training-data use is the same as :func:`pagerank`'s: community
+    structure over near-dup / citation / co-occurrence graphs, e.g.
+    grouping duplicate-cluster members beyond connected components.
+
+    Scale shape per iteration: one shuffle join (edges ⋈ labels on
+    src) + one groupBy((node, label)) count + one per-node window
+    top-1 — all hash-partitioned on the node key; driver traffic is
+    the single changed-count scalar. Labels can only travel along
+    edges, so a node's label always names a node in its own connected
+    component (the containment law ``lpa_invariants``-style checks
+    rely on)."""
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    history: list[int] = []
+    w = Window.partitionBy("node").orderBy(
+        F.col("_cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(int(n_iter)):
+        votes = e.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        if include_self:
+            votes = votes.unionByName(labels)
+        neigh = votes.groupBy("node", "label").agg(
+            F.count("*").alias("_cnt")
+        )
+        top = (
+            neigh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        stepped = (
+            labels.join(top, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
+                (~F.col("_new").eqNullSafe(F.col("label"))
+                 & F.col("_new").isNotNull()).cast("long").alias("_chg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        n_changed = stepped.agg(F.sum("_chg")).first()[0] or 0
+        history.append(int(n_changed))
+        labels = stepped.select("node", "label")
+        if n_changed == 0:
+            break
+    return labels, history
+
+
 def top_ranked_per_group(
     ranks: DataFrame,
     members: DataFrame,

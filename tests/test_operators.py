@@ -3624,6 +3624,72 @@ def test_pagerank_directed_dangling_conserves_mass(spark):
     assert got[2] > got[1] > got[0]  # rank flows down the chain
 
 
+def test_personalized_pagerank_matches_numpy(spark):
+    """PPR equals the dense numpy iteration with the seed-teleport
+    distribution; mass stays 1, seeds keep their (1-d)/|seeds| floor,
+    and proximity ordering holds (nodes near the seed outrank far
+    ones)."""
+    import numpy as np
+
+    from sensomics_data_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]  # path graph
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    ranks, hist = personalized_pagerank(df, seeds, n_iter=15, damping=0.85)
+    got = {r.node: r.rank for r in ranks.collect()}
+
+    n, d = 5, 0.85
+    adj = np.zeros((n, n))
+    for a, b in edges:
+        adj[a, b] = adj[b, a] = 1.0
+    pmat = adj / adj.sum(axis=1, keepdims=True)
+    pvec = np.zeros(n)
+    pvec[0] = 1.0
+    r = pvec.copy()
+    for _ in range(15):
+        r = (1 - d) * pvec + d * (pmat.T @ r)
+    assert all(abs(got[i] - r[i]) < 1e-9 for i in range(n))
+    for mass, _res in hist:
+        assert abs(mass - 1.0) < 1e-9
+    assert got[0] >= (1 - d) / 1 - 1e-12  # seed floor
+    assert got[1] > got[3] > got[4]  # proximity to the seed decays
+
+
+def test_label_propagation_cliques_and_laws(spark):
+    """Disjoint cliques — including the size-2 edge case — converge to
+    each clique's min id with the default self-vote (history ends at
+    0 changes); labels always name a node of the same component; the
+    pure-neighbor variant's documented 2-cycle is bounded by n_iter."""
+    from sensomics_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    cl1 = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+    cl2 = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    k2 = [(20, 21)]  # the bipartite case pure neighbor-voting 2-cycles on
+    df = spark.createDataFrame(cl1 + cl2 + k2, "src long, dst long")
+    labels, hist = label_propagation(df, n_iter=6)
+    got = {r.node: r.label for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
+    assert hist[-1] == 0 and len(hist) <= 3  # converged, early exit
+    # containment: a label never crosses a component boundary
+    comp = lambda x: 0 if x < 10 else (1 if x < 20 else 2)
+    assert all(comp(n) == comp(l) for n, l in got.items())
+    # pure neighbor voting: capped on the 2-cycle, still contained
+    path = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    lab2, hist2 = label_propagation(path, n_iter=4, include_self=False)
+    assert len(hist2) == 4  # cap reached (2-cycle), not an error
+    assert set(r.label for r in lab2.collect()) <= {0, 1, 2}
+    # self-vote converges the same path
+    lab3, hist3 = label_propagation(path, n_iter=6)
+    assert hist3[-1] == 0
+    assert {r.node: r.label for r in lab3.collect()} == {0: 0, 1: 0, 2: 0}
+
+
 def test_top_ranked_per_group_picks_canonical(spark):
     """Representative selection: each cluster keeps its top-ranked
     member, ties break on the smaller node id."""
