@@ -263,6 +263,28 @@ def cmd_pagerank(args) -> int:
     return 0
 
 
+def cmd_lpa(args) -> int:
+    """Label propagation over an edge-list parquet: write
+    (node, label) communities, print the per-iteration change counts."""
+    from sensomics_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    spark = _spark()
+    edges = spark.read.parquet(args.input)
+    labels, hist = label_propagation(
+        edges,
+        src_col=args.src,
+        dst_col=args.dst,
+        n_iter=args.n_iter,
+        undirected=not args.directed,
+        include_self=not args.no_self_vote,
+    )
+    labels.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {args.out} (changes/iter: {hist})")
+    return 0
+
+
 def cmd_profile(args) -> int:
     from sensomics_data_pipeline_spark.operators.profile import (
         heavy_hitters,
@@ -450,6 +472,20 @@ def main(argv=None) -> int:
                     help="treat edges as directed (dangling mass "
                          "re-enters via teleport)")
     pg.set_defaults(fn=cmd_pagerank)
+
+    lp = sub.add_parser(
+        "lpa", help="label-propagation communities over an edge list"
+    )
+    lp.add_argument("-i", "--input", required=True)
+    lp.add_argument("-o", "--out", required=True)
+    lp.add_argument("--src", default="src")
+    lp.add_argument("--dst", default="dst")
+    lp.add_argument("--n-iter", type=int, default=5)
+    lp.add_argument("--directed", action="store_true")
+    lp.add_argument("--no-self-vote", action="store_true",
+                    help="pure neighbor voting (can 2-cycle on "
+                         "bipartite structures)")
+    lp.set_defaults(fn=cmd_lpa)
 
     pr = sub.add_parser(
         "profile",

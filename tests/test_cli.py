@@ -326,6 +326,13 @@ def test_cli_cluster_and_pagerank(spark, tmp_path):
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     assert all(ranks[0] > ranks[i] for i in range(1, 6))
 
+    # lpa: star graph is a clique-free tree; self-vote converges to
+    # the hub's community = min id 0 everywhere
+    out_lpa = str(tmp_path / "lpa")
+    assert cli.main(["lpa", "-i", edges, "-o", out_lpa]) == 0
+    got_lpa = {r.node: r.label for r in spark.read.parquet(out_lpa).collect()}
+    assert got_lpa == {i: 0 for i in range(6)}
+
     # pagerank --tol: a huge threshold stops after one iteration
     out_tol = str(tmp_path / "ranks_tol")
     assert cli.main(["pagerank", "-i", edges, "-o", out_tol,
