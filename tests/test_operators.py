@@ -339,6 +339,18 @@ def test_ivf_auto_probe_recall_holds_at_10x(spark, sf_dir):
         f1, f5 = floors[name]
         assert r1 >= f1, f"{name} IVF recall@1 {r1:.2f} < {f1}"
         assert r5 >= f5, f"{name} IVF-PQ recall@5 {r5:.2f} < {f5}"
+        if name == "10x":
+            # IVFADC+R: exact re-rank of the ADC top-25 restores the
+            # near-tie resolution m=16 codes lack on noisy siblings
+            # (measured 0.744 -> 0.982; remaining misses are IVF
+            # pruning, not scoring). Output column flips to cos_sim.
+            rr = sim_ops.ivf_pq_topk(
+                df, k=5, m=16, n_codes=32, rerank=25
+            ).toPandas()
+            r5_rr = len(t5 & set(zip(rr.query_id, rr.neighbor_id))) / len(t5)
+            assert r5_rr >= 0.95, f"rerank recall@5 {r5_rr:.2f}"
+            assert r5_rr > r5
+            assert "cos_sim" in rr.columns
 
 
 # ---------------------------------------------------------------------------

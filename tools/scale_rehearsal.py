@@ -560,8 +560,13 @@ def main() -> None:
         t5 = set(zip(b5.query_id, b5.neighbor_id))
         pq = sim_ops.ivf_pq_topk(big_df, k=5, m=16, n_codes=32).toPandas()
         r5 = len(t5 & set(zip(pq.query_id, pq.neighbor_id))) / len(t5)
+        rr = sim_ops.ivf_pq_topk(
+            big_df, k=5, m=16, n_codes=32, rerank=25
+        ).toPandas()
+        r5_rr = len(t5 & set(zip(rr.query_id, rr.neighbor_id))) / len(t5)
         print(
             f"recall@1 IVF(auto) {r1:.3f}  recall@5 IVF-PQ(auto) {r5:.3f}"
+            f"  rerank25 {r5_rr:.3f}"
             f"  (truth walls {t_truth1:.1f}s / {t_truth5:.1f}s)",
             flush=True,
         )
@@ -574,6 +579,8 @@ def main() -> None:
                 f"| IVF recall@1 (auto lists/probe) | {r1:.3f} "
                 f"| {t_truth1:.1f} |\n"
                 f"| IVF-PQ recall@5 (auto, m=16 x 32) | {r5:.3f} "
+                f"| {t_truth5:.1f} |\n"
+                f"| IVF-PQ recall@5 + rerank=25 (IVFADC+R) | {r5_rr:.3f} "
                 f"| {t_truth5:.1f} |\n"
             )
         print(f"appended 100x recall table to {out_md}")
