@@ -3436,10 +3436,14 @@ def test_kmeans_inertia_monotone_and_assignment_optimal(spark):
     assert all(len(set(row)) == 1 for row in labels)
     assert len({row[0] for row in labels}) == 3
     # persist=True is a pure execution hint: bit-identical fit, and
-    # the pin is released before returning
+    # its OWN pin is released before returning (other suites sharing
+    # this session may hold pins — compare against the baseline set,
+    # not zero)
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     cent_p, hist_p = kmeans_fit(df, k=3, n_iter=10, persist=True)
     assert (cent_p == cent).all() and hist_p == hist
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= before
 
 
 def test_kmeans_empty_cluster_and_early_exit(spark):

@@ -121,6 +121,9 @@ SCALAR_BROADCAST_OK = {
     # 1-row structural counters ⋈ 1-row dim agg ⋈ 1-row optimality
     # counter, all on a literal key — same shape as ann_invariants
     "pq_invariants",
+    # 1-row rank aggregate ⋈ 1-row seed-floor counter on a literal
+    # key (plus the broadcast seed semi-join, bounded by the seed set)
+    "ppr_invariants",
     # k-row sketch broadcast onto exact counts + 1-row scalar
     # (kth-est, undercount mass) attachments — all bounded by k
     "hh_invariants",
