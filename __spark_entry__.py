@@ -4812,8 +4812,11 @@ def q_pagerank_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         tol, expect_len = 1.01 * hist[1][1], 2
     else:
         tol, expect_len = 1e-9, 1
+    # n_iter=3: the law predicts a stop at 1 or 2, so a tighter cap
+    # proves the early exit fired (a cap-stop would return 3 entries
+    # and fail the length check) while saving the unused iterations
     _, hist_tol = pagerank(
-        pairs, n_iter=n_it, damping=d, undirected=True, tol=tol
+        pairs, n_iter=3, damping=d, undirected=True, tol=tol
     )
     n_earlyexit = int(
         not (
@@ -4901,6 +4904,53 @@ WITH g AS (
 SELECT d.doc_id::BIGINT AS node, g.mn::BIGINT AS label
 FROM documents d JOIN g USING (source, lang)
 WHERE g.n >= 2
+"""
+
+
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (``operators.graph.bfs_distances`` — frontier
+    join + anti-join per hop, O(diameter) rounds, O(1) driver
+    traffic). FULL-VALUE oracle: on the disjoint (source, lang)
+    clique graph every node is at distance 1 from any clique-mate,
+    so DuckDB can state the exact distance table — seeds (doc_id
+    divisible by 97, members of ≥2-doc groups) at 0, other members
+    of seeded groups at 1, everything else unreachable and therefore
+    ABSENT (the relational convention both sides share)."""
+    from sensomics_data_pipeline_spark.operators.graph import bfs_distances
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    pairs = (
+        docs.alias("a")
+        .join(docs.alias("b"), ["source", "lang"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+    )
+    seeds = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    labels, _hist = bfs_distances(pairs, seeds, max_iter=4)
+    return labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+_SQL_BFS_DISTANCES = """
+WITH g AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+), member AS (
+  SELECT d.doc_id, d.source, d.lang
+  FROM documents d JOIN g USING (source, lang) WHERE g.n >= 2
+), seeded AS (
+  SELECT DISTINCT source, lang FROM member WHERE doc_id % 97 = 0
+)
+SELECT m.doc_id::BIGINT AS node,
+       (CASE WHEN m.doc_id % 97 = 0 THEN 0 ELSE 1 END)::BIGINT AS dist
+FROM member m JOIN seeded USING (source, lang)
 """
 
 
@@ -5080,25 +5130,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window = the 10 queries whose driver rows aged to r5 (the r7
     # verdict's top ask — the whole rotation debt retires this round),
     # the corpus pair (changed gram-memo path + debris-sensitive bench
-    # target, kept EARLY), the 4 queries NEW this round
+    # target, kept EARLY), the 5 queries NEW this round
     # (pq_invariants, merge_idempotency, label_propagation,
-    # ppr_invariants), the entries whose implementation changed in
-    # round 8 (pagerank_invariants: early exit + weighted edges +
-    # single-materialization; ngram_jaccard: giant-list pair chunking;
-    # kmeans_invariants: persist knob; streaming_ingest: availableNow
-    # + memoized static sides), and the 30 stalest r6-checked entries.
-    # The 13 r6-checked entries left outside — duplicate_spans,
-    # pack_sequences, embedding_centroids, embedding_topk,
-    # embedding_lsh, embedding_near_dup_exact, semantic_dedup,
-    # exact_dedup, decontaminate, doc_fingerprint, tfidf_top_terms,
-    # simhash_pairs, token_stats — each keep an in-window or
-    # r7-checked family twin (remove_dup_spans, pack_invariants,
-    # kmeans_invariants, ann_invariants+embedding_pq, ann_invariants,
-    # embedding_near_dup, dedup_clusters, minhash_lsh,
+    # ppr_invariants, bfs_distances), the entries whose implementation
+    # changed in round 8 (pagerank_invariants: early exit + weighted
+    # edges + single-materialization; ngram_jaccard: giant-list pair
+    # chunking; kmeans_invariants: persist knob; streaming_ingest:
+    # availableNow + memoized static sides), and the 29 stalest
+    # r6-checked entries. The 14 r6-checked entries left outside —
+    # duplicate_spans, pack_sequences, embedding_centroids,
+    # embedding_topk, embedding_lsh, embedding_near_dup_exact,
+    # semantic_dedup, exact_dedup, decontaminate, doc_fingerprint,
+    # tfidf_top_terms, simhash_pairs, token_stats, pivot_wide — each
+    # keep an in-window or r7-checked family twin (remove_dup_spans,
+    # pack_invariants, kmeans_invariants, ann_invariants+embedding_pq,
+    # ann_invariants, embedding_near_dup, dedup_clusters, minhash_lsh,
     # corpus_invariants+bloom_decon_invariants, simhash, vocab_topk,
-    # simhash, lexical_stats/text_quality respectively) and are first
-    # in line for the r9 rotation; after this round no query's latest
-    # driver row is older than r6. The guard test
+    # simhash, lexical_stats/text_quality, unpivot_wide+stack_split
+    # respectively) and are first in line for the r9 rotation; after
+    # this round no query's latest driver row is older than r6. The
+    # guard test
     # (tests/test_oracle_queries.py) derives the never-checked set from
     # the committed CORRECTNESS_r*.json files rather than a hard-coded
     # list, so this rotation cannot silently strand an unchecked query.
@@ -5129,6 +5180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_idempotency": q_merge_idempotency,
         "label_propagation": q_label_propagation,
         "ppr_invariants": q_ppr_invariants,
+        "bfs_distances": q_bfs_distances,
         # ---- implementation CHANGED in round 8: pagerank gained
         # tol/weight_col and the single-materialization directed
         # iteration (invariants output adds n_earlyexit_violation);
@@ -5154,7 +5206,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "multimodal_frames": q_multimodal_frames,
         "pack_invariants": q_pack_invariants,
-        "pivot_wide": q_pivot_wide,
         "posexplode_resample": q_posexplode_resample,
         "profile_table": q_profile_table,
         "repetition_signals": q_repetition_signals,
@@ -5178,6 +5229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail entry holds a green driver row at most 2 rounds old ----
         "simhash_pairs": q_simhash_pairs,
         "token_stats": q_token_stats,
+        "pivot_wide": q_pivot_wide,
         "duplicate_spans": q_duplicate_spans,
         "pack_sequences": q_pack_sequences,
         "embedding_centroids": q_embedding_centroids,
@@ -5308,6 +5360,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_invariants": _SQL_PAGERANK_INVARIANTS,
         "label_propagation": _SQL_LABEL_PROPAGATION,
         "ppr_invariants": _SQL_PPR_INVARIANTS,
+        "bfs_distances": _SQL_BFS_DISTANCES,
         "quality_gate": _SQL_QUALITY_GATE,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "chunk_documents": _SQL_CHUNKS,

@@ -377,6 +377,76 @@ def label_propagation(
     return labels, history
 
 
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    max_iter: int = 20,
+    undirected: bool = True,
+):
+    """Multi-source BFS over an edge list: returns ``(labels, history)``
+    where labels is a ``(node, dist)`` DataFrame of every node
+    REACHABLE from the seed set within ``max_iter`` hops (seeds at
+    dist 0; unreachable nodes are simply absent — the relational
+    convention, mirrored by the oracle) and history is the
+    per-iteration newly-reached count (0-terminated unless the cap
+    hit first).
+
+    The frontier-expansion shape every iterative-graph op here shares:
+    per hop, ONE shuffle join (frontier ⋈ edges on src) + ONE
+    left-anti join against the known set + distinct — all
+    hash-partitioned on the node key; the driver sees only the
+    frontier-size scalar. ``localCheckpoint`` truncates lineage per
+    hop (the pagerank/CC idiom). Hop count bounds the iteration, so
+    wall-clock is O(diameter) rounds like the reference-free CC
+    operator — use ``duplicate_clusters``'s pointer jumping when you
+    need components, BFS when you need DEPTH from a seed set."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    known = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .select("node", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = known
+    history: list[int] = []
+    for depth in range(1, int(max_iter) + 1):
+        nxt = (
+            e.join(
+                frontier.withColumnRenamed("node", "src").drop("dist"),
+                "src",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(known, "node", "left_anti")
+            .select("node", F.lit(depth).alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        n_new = nxt.count()
+        history.append(int(n_new))
+        if n_new == 0:
+            break
+        known = known.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return known, history
+
+
 def top_ranked_per_group(
     ranks: DataFrame,
     members: DataFrame,

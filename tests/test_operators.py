@@ -3706,6 +3706,41 @@ def test_label_propagation_cliques_and_laws(spark):
     assert {r.node: r.label for r in lab3.collect()} == {0: 0, 1: 0, 2: 0}
 
 
+def test_bfs_distances_matches_reference(spark):
+    """Multi-source BFS equals a deque reference on a mixed graph
+    (chain + branch + disconnected component); unreachable nodes are
+    absent; max_iter caps depth; seeds outside the node set are
+    ignored."""
+    from collections import deque
+
+    from sensomics_data_pipeline_spark.operators.graph import bfs_distances
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (99,)], "node long")  # 99 absent
+    labels, hist = bfs_distances(df, seeds, max_iter=20)
+    got = {r.node: r.dist for r in labels.collect()}
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    ref = {0: 0}
+    dq = deque([0])
+    while dq:
+        u = dq.popleft()
+        for v in adj[u]:
+            if v not in ref:
+                ref[v] = ref[u] + 1
+                dq.append(v)
+    assert got == ref  # 10, 11 unreachable -> absent
+    assert hist[-1] == 0  # converged, not capped
+    # depth cap: max_iter=2 reaches only dist <= 2
+    lab2, hist2 = bfs_distances(df, seeds, max_iter=2)
+    got2 = {r.node: r.dist for r in lab2.collect()}
+    assert got2 == {n: d for n, d in ref.items() if d <= 2}
+
+
 def test_top_ranked_per_group_picks_canonical(spark):
     """Representative selection: each cluster keeps its top-ranked
     member, ties break on the smaller node id."""
