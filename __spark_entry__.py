@@ -4954,6 +4954,62 @@ FROM member m JOIN seeded USING (source, lang)
 """
 
 
+def q_sssp_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source shortest paths
+    (``operators.graph.sssp_distances`` — relational Bellman-Ford:
+    one relax join + one min-fold groupBy per iteration, O(1) driver
+    traffic). FULL-VALUE oracle: on the (source, lang) clique graph
+    with edge weight ``|doc_id_a − doc_id_b|`` the integer line's
+    TRIANGLE EQUALITY makes the fixpoint closed-form — any multi-hop
+    detour costs at least the direct edge (``|a−c|+|c−b| ≥ |a−b|``,
+    with equality on monotone chains), so the shortest distance from
+    the seed set is exactly ``min over seeds s in the same group of
+    |doc_id − s|`` — which DuckDB states directly. Seeds: doc_ids
+    divisible by 97 in ≥2-doc groups; groups without a seed are
+    unreachable and absent on both engines."""
+    from sensomics_data_pipeline_spark.operators.graph import sssp_distances
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    pairs = (
+        docs.alias("a")
+        .join(docs.alias("b"), ["source", "lang"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+            F.abs(F.col("a.doc_id") - F.col("b.doc_id"))
+            .cast("double")
+            .alias("weight"),
+        )
+    )
+    seeds = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    labels, _hist = sssp_distances(pairs, seeds, max_iter=4)
+    return labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+_SQL_SSSP_DISTANCES = """
+WITH g AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+), member AS (
+  SELECT d.doc_id, d.source, d.lang
+  FROM documents d JOIN g USING (source, lang) WHERE g.n >= 2
+), seed AS (
+  SELECT doc_id, source, lang FROM member WHERE doc_id % 97 = 0
+)
+SELECT m.doc_id::BIGINT AS node,
+       round(min(abs(m.doc_id - s.doc_id))::DOUBLE, 6) AS dist
+FROM member m JOIN seed s USING (source, lang)
+GROUP BY m.doc_id
+"""
+
+
 def q_ppr_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-hash certification of personalized PageRank
     (``operators.graph.personalized_pagerank`` — the seed-teleport
@@ -5130,26 +5186,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window = the 10 queries whose driver rows aged to r5 (the r7
     # verdict's top ask — the whole rotation debt retires this round),
     # the corpus pair (changed gram-memo path + debris-sensitive bench
-    # target, kept EARLY), the 5 queries NEW this round
+    # target, kept EARLY), the 6 queries NEW this round
     # (pq_invariants, merge_idempotency, label_propagation,
-    # ppr_invariants, bfs_distances), the entries whose implementation
-    # changed in round 8 (pagerank_invariants: early exit + weighted
-    # edges + single-materialization; ngram_jaccard: giant-list pair
-    # chunking; kmeans_invariants: persist knob; streaming_ingest:
-    # availableNow + memoized static sides), and the 29 stalest
-    # r6-checked entries. The 14 r6-checked entries left outside —
-    # duplicate_spans, pack_sequences, embedding_centroids,
-    # embedding_topk, embedding_lsh, embedding_near_dup_exact,
-    # semantic_dedup, exact_dedup, decontaminate, doc_fingerprint,
-    # tfidf_top_terms, simhash_pairs, token_stats, pivot_wide — each
-    # keep an in-window or r7-checked family twin (remove_dup_spans,
-    # pack_invariants, kmeans_invariants, ann_invariants+embedding_pq,
-    # ann_invariants, embedding_near_dup, dedup_clusters, minhash_lsh,
-    # corpus_invariants+bloom_decon_invariants, simhash, vocab_topk,
-    # simhash, lexical_stats/text_quality, unpivot_wide+stack_split
-    # respectively) and are first in line for the r9 rotation; after
-    # this round no query's latest driver row is older than r6. The
-    # guard test
+    # ppr_invariants, bfs_distances, sssp_distances), the entries
+    # whose implementation changed in round 8 (pagerank_invariants:
+    # early exit + weighted edges + single-materialization;
+    # ngram_jaccard: giant-list pair chunking; kmeans_invariants:
+    # persist knob; streaming_ingest: availableNow + memoized static
+    # sides), and the 28 stalest r6-checked entries. The 15
+    # r6-checked entries left outside — duplicate_spans,
+    # pack_sequences, embedding_centroids, embedding_topk,
+    # embedding_lsh, embedding_near_dup_exact, semantic_dedup,
+    # exact_dedup, decontaminate, doc_fingerprint, tfidf_top_terms,
+    # simhash_pairs, token_stats, pivot_wide, posexplode_resample —
+    # each keep an in-window or r7-checked family twin
+    # (remove_dup_spans, pack_invariants, kmeans_invariants,
+    # ann_invariants+embedding_pq, ann_invariants, embedding_near_dup,
+    # dedup_clusters, minhash_lsh, corpus_invariants+
+    # bloom_decon_invariants, simhash, vocab_topk, simhash,
+    # lexical_stats/text_quality, unpivot_wide+stack_split,
+    # resample_ffill respectively) and are first in line for the r9
+    # rotation; after this round no query's latest driver row is
+    # older than r6. The guard test
     # (tests/test_oracle_queries.py) derives the never-checked set from
     # the committed CORRECTNESS_r*.json files rather than a hard-coded
     # list, so this rotation cannot silently strand an unchecked query.
@@ -5181,6 +5239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "ppr_invariants": q_ppr_invariants,
         "bfs_distances": q_bfs_distances,
+        "sssp_distances": q_sssp_distances,
         # ---- implementation CHANGED in round 8: pagerank gained
         # tol/weight_col and the single-materialization directed
         # iteration (invariants output adds n_earlyexit_violation);
@@ -5206,7 +5265,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "multimodal_frames": q_multimodal_frames,
         "pack_invariants": q_pack_invariants,
-        "posexplode_resample": q_posexplode_resample,
         "profile_table": q_profile_table,
         "repetition_signals": q_repetition_signals,
         "resample_ffill": q_resample_ffill,
@@ -5230,6 +5288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "token_stats": q_token_stats,
         "pivot_wide": q_pivot_wide,
+        "posexplode_resample": q_posexplode_resample,
         "duplicate_spans": q_duplicate_spans,
         "pack_sequences": q_pack_sequences,
         "embedding_centroids": q_embedding_centroids,
@@ -5361,6 +5420,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _SQL_LABEL_PROPAGATION,
         "ppr_invariants": _SQL_PPR_INVARIANTS,
         "bfs_distances": _SQL_BFS_DISTANCES,
+        "sssp_distances": _SQL_SSSP_DISTANCES,
         "quality_gate": _SQL_QUALITY_GATE,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "chunk_documents": _SQL_CHUNKS,

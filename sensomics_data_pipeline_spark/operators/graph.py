@@ -447,6 +447,98 @@ def bfs_distances(
     return known, history
 
 
+def sssp_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    seed_col: str = "node",
+    max_iter: int = 20,
+    undirected: bool = True,
+):
+    """Multi-source WEIGHTED shortest paths (non-negative weights):
+    relational Bellman-Ford — per iteration every known distance
+    relaxes across its out-edges (``dist(dst) ← min(dist(dst),
+    dist(src) + w)``), converging in at most `longest shortest path
+    in hops` iterations. Returns ``(labels, history)``: a ``(node,
+    dist)`` DataFrame of reachable nodes (seeds at 0.0, unreachable
+    absent — the :func:`bfs_distances` convention) and the
+    per-iteration count of improved nodes (0-terminated unless the
+    ``max_iter`` cap hit first).
+
+    Plan shape per iteration: ONE shuffle join (known ⋈ edges on src)
+    + ONE groupBy(node) min folding candidates into the running
+    table + a changed-count aggregate — all hash-partitioned on the
+    node key, O(1) driver traffic, ``localCheckpoint`` lineage
+    truncation per hop. Negative weights are rejected (Bellman-Ford
+    detects negative cycles only with |V| iterations; this operator
+    targets the non-negative metric/latency/cost case).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    if undirected:
+        e = e.unionByName(
+            e.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                F.col("w"),
+            )
+        )
+    e = e.localCheckpoint(eager=False)
+    if (e.agg(F.min("w")).first()[0] or 0.0) < 0.0:
+        raise ValueError("sssp_distances requires non-negative weights")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    known = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .select("node", F.lit(0.0).alias("dist"))
+        .localCheckpoint(eager=False)
+    )
+    history: list[int] = []
+    for _ in range(int(max_iter)):
+        relaxed = (
+            e.join(
+                known.withColumnRenamed("node", "src")
+                .withColumnRenamed("dist", "_sd"),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("_sd") + F.col("w")).alias("dist"),
+            )
+        )
+        new = (
+            known.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        n_improved = (
+            new.join(
+                known.withColumnRenamed("dist", "_old"), "node", "left"
+            )
+            .filter(
+                F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
+            )
+            .count()
+        )
+        history.append(int(n_improved))
+        known = new
+        if n_improved == 0:
+            break
+    return known, history
+
+
 def top_ranked_per_group(
     ranks: DataFrame,
     members: DataFrame,

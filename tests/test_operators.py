@@ -3741,6 +3741,53 @@ def test_bfs_distances_matches_reference(spark):
     assert got2 == {n: d for n, d in ref.items() if d <= 2}
 
 
+def test_sssp_distances_matches_dijkstra(spark):
+    """Weighted multi-source shortest paths equal a heapq Dijkstra
+    reference on a graph where the shortest route is NOT the fewest
+    hops; unreachable nodes are absent; negative weights rejected."""
+    import heapq
+
+    import pytest as _pytest
+
+    from sensomics_data_pipeline_spark.operators.graph import sssp_distances
+
+    edges = [
+        (0, 1, 10.0),  # direct but expensive
+        (0, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0),  # 3 hops, cost 3
+        (1, 4, 2.0),
+        (7, 8, 1.0),  # disconnected
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    labels, hist = sssp_distances(df, seeds, max_iter=10)
+    got = {r.node: r.dist for r in labels.collect()}
+
+    adj: dict = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    ref = {0: 0.0}
+    pq = [(0.0, 0)]
+    while pq:
+        dd, u = heapq.heappop(pq)
+        if dd > ref.get(u, float("inf")):
+            continue
+        for v, w in adj[u]:
+            nd = dd + w
+            if nd < ref.get(v, float("inf")):
+                ref[v] = nd
+                heapq.heappush(pq, (nd, v))
+    assert got == ref  # 1 reached at cost 3, not 10; 7/8 absent
+    assert hist[-1] == 0
+    with _pytest.raises(ValueError, match="non-negative"):
+        sssp_distances(
+            spark.createDataFrame(
+                [(0, 1, -1.0)], "src long, dst long, weight double"
+            ),
+            seeds,
+        )
+
+
 def test_top_ranked_per_group_picks_canonical(spark):
     """Representative selection: each cluster keeps its top-ranked
     member, ties break on the smaller node id."""
