@@ -21,6 +21,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_positive_weights(e: DataFrame) -> None:
+    """Upfront guard for the ``weight_col`` path (the sssp_distances
+    pattern): NULL or non-positive transition weights would silently
+    leak mass through ``w = out_mass / _deg`` (or raise an opaque
+    DIVIDE_BY_ZERO under ANSI mode) and break the certified
+    mass-conservation invariant, so reject them loudly instead.
+    One single-row aggregate; only runs when weights were asked for."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_ew").alias("_mn"),
+        F.sum(F.col("_ew").isNull().cast("long")).alias("_nulls"),
+    ).first()
+    if row["_n"] and ((row["_nulls"] or 0) > 0 or row["_mn"] <= 0.0):
+        raise ValueError(
+            "pagerank weight_col requires strictly positive, non-NULL "
+            "edge weights (found min=%s, nulls=%s)"
+            % (row["_mn"], row["_nulls"])
+        )
+
+
+def _empty_ranks(edges: DataFrame, src_col: str) -> DataFrame:
+    """Empty-graph result whose node type MATCHES the input edge
+    schema (string ids get a string node column, not a hardcoded
+    long — keeps the empty path union-compatible with the non-empty
+    one)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("node", edges.schema[src_col].dataType),
+            StructField("rank", DoubleType()),
+        ]
+    )
+    return edges.sparkSession.createDataFrame([], schema)
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",
@@ -84,6 +120,7 @@ def pagerank(
     if weight_col is None:
         deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
     else:
+        _check_positive_weights(e)
         deg = e.groupBy("src").agg(F.sum("_ew").alias("_deg"))
     # localCheckpoint (the connected-components idiom, dedup.py:885)
     # truncates lineage so iteration t's plan does not embed every
@@ -103,10 +140,7 @@ def pagerank(
     )
     n = nodes.count()  # materializes the nodes checkpoint
     if n == 0:
-        return (
-            edges.sparkSession.createDataFrame([], "node long, rank double"),
-            [],
-        )
+        return (_empty_ranks(edges, src_col), [])
     # initial ranks are a one-deep projection of the checkpointed
     # node set — no truncation needed yet
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
@@ -209,6 +243,7 @@ def personalized_pagerank(
     if weight_col is None:
         deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
     else:
+        _check_positive_weights(e)
         deg = e.groupBy("src").agg(F.sum("_ew").alias("_deg"))
     out_mass = F.lit(1.0) if weight_col is None else F.col("_ew")
     ew = (
@@ -231,10 +266,7 @@ def personalized_pagerank(
     )
     n_seeds = seed_set.count()
     if n == 0 or n_seeds == 0:
-        return (
-            edges.sparkSession.createDataFrame([], "node long, rank double"),
-            [],
-        )
+        return (_empty_ranks(edges, src_col), [])
     # teleport mass per node: 1/|seeds| on seeds, 0 elsewhere — kept
     # as a broadcastable column on the node set
     p = nodes.join(

@@ -502,6 +502,85 @@ def decode_flac_subset(payload: bytes):
     return info["rate"], info["channels"], x
 
 
+#: IMA/DVI ADPCM quantizer tables (public spec: IMA Digital Audio
+#: Focus/Technical Working Groups recommendation, the codec WAV
+#: registers as wFormatTag 0x11).
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, index: int, nibble: int):
+    """One IMA ADPCM decode step: returns the new (pred, index). The
+    same routine drives the tests' encoder twin, which is what keeps
+    encoder and decoder state in lockstep (ADPCM is a delta codec —
+    any divergence compounds)."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nibble & 7]))
+    return pred, index
+
+
+def decode_ima_adpcm(data: bytes, n_channels: int, block_align: int):
+    """Hermetic IMA/DVI ADPCM decoder (WAV wFormatTag 0x11) — the
+    compressed-audio representative alongside the FLAC-subset decoder:
+    pure-Python + numpy, no external codec.
+
+    Block layout (per the public IMA WAV mapping): each
+    ``block_align``-byte block carries one 4-byte header per channel
+    (int16 LE predictor = the block's first decoded sample, uint8 step
+    index, 1 reserved byte), then the 4-bit samples in 4-byte
+    per-channel words — channels interleave word-by-word, nibbles run
+    low-before-high within each byte. Returns int16 samples, shape
+    ``(frames, channels)``."""
+    import struct
+
+    import numpy as np
+
+    if block_align <= 4 * n_channels or len(data) % block_align:
+        raise ValueError("bad IMA ADPCM block layout")
+    out = [[] for _ in range(n_channels)]
+    for bstart in range(0, len(data), block_align):
+        block = data[bstart : bstart + block_align]
+        preds, idxs = [], []
+        for c in range(n_channels):
+            pred, index, reserved = struct.unpack_from("<hBB", block, 4 * c)
+            if index > 88:
+                raise ValueError(f"step index {index} > 88")
+            preds.append(pred)
+            idxs.append(index)
+            out[c].append(pred)  # header predictor IS sample 0
+        pos = 4 * n_channels
+        while pos + 4 * n_channels <= len(block):
+            for c in range(n_channels):
+                word = block[pos + 4 * c : pos + 4 * c + 4]
+                for byte in word:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        preds[c], idxs[c] = _ima_step(
+                            preds[c], idxs[c], nib
+                        )
+                        out[c].append(preds[c])
+            pos += 4 * n_channels
+    return np.array(out, dtype=np.int16).T
+
+
 def decode_wav(payload: bytes):
     """Parse a PCM WAV (RIFF) payload → (sample_rate, n_channels,
     float64 samples in [-1, 1], shape (frames, channels)). Pure
@@ -537,7 +616,12 @@ def decode_wav(payload: bytes):
         pos += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
+    if audio_format == 0x11:
+        # IMA/DVI ADPCM: hermetic decode first (external codecs
+        # disagree on trailing-partial-block handling)
+        x = decode_ima_adpcm(data, n_channels, block_align)
+        return sample_rate, n_channels, x.astype("float64") / 32768.0
     if audio_format != 1:
         ext = _decode_audio_external(payload)
         if ext is not None:

@@ -223,6 +223,81 @@ def auto_n_probe(n_lists: int) -> int:
     return max(2, -(-n_lists // 8))
 
 
+def auto_rerank(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    sample_size: int = 512,
+) -> int:
+    """Zero-knob IVFADC+R nomination depth (the r8 SCALE reading made
+    a default): plain ADC cannot rank near-tie neighbors, so the top-R
+    nomination set must COVER the corpus's near-tie multiplicity M —
+    the expected number of vectors crowding a query's best match
+    closer than the quantization error can resolve. R < M leaves true
+    top-k hiding below the nomination cut (measured: recall@5 = 0.755
+    with a pinned R=25 against M≈100 sibling groups at the 100×
+    rehearsal, vs 0.982 at 10× where R=25 ≥ M).
+
+    Estimator: a bounded deterministic HASH-SPREAD sample
+    (``orderBy(xxhash64(key)).limit(sample_size)`` — key-prefix
+    sampling would systematically miss siblings laid out at
+    key-offset strides, the replica-construction worst case),
+    collected driver-side (KBs), one s×s cosine matrix, and per-row
+    counts of "near-ties": sample rows with cosine ≥ max(0.5,
+    0.8 · that row's nearest-neighbor cosine). The relative bound
+    tracks each row's own duplicate structure; the 0.5 floor sits
+    ≥ 4σ above the random-cosine regime (std 1/√dim) for dim ≥ 64,
+    so duplicate-free corpora estimate M ≈ 1 and fall back to the
+    4k minimum. Counts scale by (n−1)/(s−1): each sampled row sees
+    any given corpus row with probability (s−1)/(n−1).
+
+    Returns ``clamp(max(4k, ⌈1.5·M⌉), ≤ 4096)``: 1.5× absorbs the
+    estimator's sampling noise; the cap bounds the exact-rescore join
+    at pathological duplicate densities (where near-dup DEDUP, not
+    ANN nomination depth, is the right tool)."""
+    import math
+
+    import numpy as np
+
+    floor_r = 4 * int(k)
+    v = valid_vectors(df, vec_col)
+    n = v.count()
+    if n <= 1:
+        return floor_r
+    rows = (
+        v.select(key_col, vec_col)
+        .orderBy(F.xxhash64(F.col(key_col)), F.col(key_col))
+        .limit(int(sample_size))
+        .collect()
+    )
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    s = len(mat)
+    if s < 2:
+        return floor_r
+    matn = mat / _norms_guarded(mat)[:, None]
+    sims = matn @ matn.T
+    np.fill_diagonal(sims, -1.0)
+    nearest = sims.max(axis=1)
+    ties = (sims >= np.maximum(0.5, 0.8 * nearest)[:, None]).sum(axis=1)
+    mult = 1.0 + float(ties.mean()) * (n - 1) / max(s - 1, 1)
+    return min(4096, max(floor_r, math.ceil(1.5 * mult)))
+
+
+def _resolve_rerank(
+    rerank, df: DataFrame, key_col: str, vec_col: str, k: int
+):
+    """Shared ``rerank`` knob resolution for the ADC scans: ints pass
+    through, ``"auto"`` runs :func:`auto_rerank`."""
+    if isinstance(rerank, str):
+        if rerank != "auto":
+            raise ValueError(
+                f"rerank must be an int, None, or 'auto' (got {rerank!r})"
+            )
+        return auto_rerank(df, key_col, vec_col, k)
+    return rerank
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y),
@@ -1041,7 +1116,8 @@ def pq_topk(
     train_sample: int = 4096,
     n_chunks: int = 8,
     codebooks=None,
-    rerank: int | None = None,
+    rerank: int | str | None = None,
+    score_col: str | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via product quantization with
     asymmetric distance computation (ADC): queries stay exact, the
@@ -1073,10 +1149,18 @@ def pq_topk(
     becomes ``cos_sim``): ADC codes cannot rank near-tie neighbors
     (quantization error exceeds sibling gaps — measured recall@5
     0.32 on the 100× noisy-sibling rehearsal), and R exact sims per
-    query buys that resolution back at negligible cost."""
+    query buys that resolution back at negligible cost.
+    ``rerank="auto"`` sizes R from the corpus's sampled near-tie
+    multiplicity (:func:`auto_rerank`).
+
+    Return contract: the score column is ``adc_sim`` (compressed-
+    domain score) without rerank and ``cos_sim`` (exact) with it —
+    pass ``score_col`` to get a STABLE caller-chosen name on either
+    path."""
     import numpy as np
     import pandas as pd
 
+    rerank = _resolve_rerank(rerank, df, key_col, vec_col, k)
     if codebooks is None:
         books = pq_train(df, key_col, vec_col, m, n_codes, n_iter, train_sample)
     else:
@@ -1141,9 +1225,20 @@ def pq_topk(
         .select("query_id", "neighbor_id", "adc_sim", "rank")
     )
     if rerank:
-        return _exact_rerank(out, valid_vectors(df, vec_col), key_col,
-                             vec_col, k)
-    return out
+        out = _exact_rerank(out, valid_vectors(df, vec_col), key_col,
+                            vec_col, k)
+    return _stable_score_col(out, rerank, score_col)
+
+
+def _stable_score_col(out: DataFrame, rerank, score_col) -> DataFrame:
+    """Apply the optional ``score_col`` rename: the ADC scans emit
+    ``adc_sim`` plain and ``cos_sim`` reranked — a caller that wants a
+    knob-independent schema names the score column once here."""
+    if not score_col:
+        return out
+    return out.withColumnRenamed(
+        "cos_sim" if rerank else "adc_sim", score_col
+    )
 
 
 def semantic_dedup(
@@ -1212,7 +1307,8 @@ def ivf_pq_topk(
     train_sample: int = 4096,
     centroids=None,
     codebooks=None,
-    rerank: int | None = None,
+    rerank: int | str | None = None,
+    score_col: str | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production ANN shape at 10^8+ vectors — IVF prunes
     WHICH vectors to score (probe ``n_probe`` of ``n_lists`` inverted
@@ -1235,11 +1331,15 @@ def ivf_pq_topk(
     ``rerank=R``: IVFADC+R — the ADC scan nominates top-R per query
     and :func:`_exact_rerank` re-scores them exactly (output column
     becomes ``cos_sim``); R exact sims per query restores the
-    near-tie resolution the m-code ADC lacks.
+    near-tie resolution the m-code ADC lacks. ``rerank="auto"`` sizes
+    R from the sampled near-tie multiplicity (:func:`auto_rerank`);
+    ``score_col`` gives the score column a knob-independent name
+    (same contract as :func:`pq_topk`).
     """
     import numpy as np
     import pandas as pd
 
+    rerank = _resolve_rerank(rerank, df, key_col, vec_col, k)
     if n_lists is None:
         if centroids is not None:
             n_lists = int(np.asarray(centroids).shape[0])
@@ -1346,8 +1446,8 @@ def ivf_pq_topk(
         .select("query_id", "neighbor_id", "adc_sim", "rank")
     )
     if rerank:
-        return _exact_rerank(out, vdf, key_col, vec_col, k)
-    return out
+        out = _exact_rerank(out, vdf, key_col, vec_col, k)
+    return _stable_score_col(out, rerank, score_col)
 
 
 def kmeans_fit(

@@ -790,6 +790,12 @@ def eval_gram_hashes_cached(
     key = (spark.sparkContext.applicationId, cache_key, text_col, n)
     hit = _EVAL_GRAM_MEMO.get(key)
     if hit is not None:
+        # true LRU: a hit refreshes recency (dicts preserve insertion
+        # order, so re-inserting moves the entry to the tail) — without
+        # this, eviction is FIFO and a hot entry can be dropped while a
+        # cold one survives
+        _EVAL_GRAM_MEMO.pop(key)
+        _EVAL_GRAM_MEMO[key] = hit
         return hit
     val = eval_gram_hashes(eval_df, text_col, n)
     while len(_EVAL_GRAM_MEMO) >= _EVAL_GRAM_MEMO_MAX:

@@ -131,6 +131,10 @@ def _ingest_static_sides(
     )
     hit = _STATIC_SIDE_MEMO.get(key)
     if hit is not None:
+        # LRU recency refresh (re-insert moves to the ordered-dict
+        # tail); without it eviction below is FIFO
+        _STATIC_SIDE_MEMO.pop(key)
+        _STATIC_SIDE_MEMO[key] = hit
         return hit
     docs = (
         spark.read.option("pathGlobFilter", "documents.parquet")
@@ -146,7 +150,13 @@ def _ingest_static_sides(
     bc = spark.sparkContext.broadcast(frozenset(ev))
     val = (rows, th.schema, bc)
     while len(_STATIC_SIDE_MEMO) >= _STATIC_SIDE_MEMO_MAX:
-        _STATIC_SIDE_MEMO.pop(next(iter(_STATIC_SIDE_MEMO)))
+        _, _, old_bc = _STATIC_SIDE_MEMO.pop(next(iter(_STATIC_SIDE_MEMO)))
+        try:
+            # evicted entries must release their JVM-side broadcast
+            # blocks now, not at session end
+            old_bc.destroy()
+        except Exception:
+            pass  # already destroyed / session gone — nothing to free
     _STATIC_SIDE_MEMO[key] = val
     return val
 
