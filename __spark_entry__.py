@@ -4462,6 +4462,115 @@ GROUP BY event_type
 """
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog distinct-count sketch, FULL-VALUE
+    certified (``profile.hll_register_table`` +
+    ``hll_estimate_from_registers``): unlike the DataSketches binary
+    (``distinct_sketches``, opaque to other engines), every register
+    is a pure function of the portable 60-bit hash, so DuckDB
+    recomputes the ENTIRE sketch state and the estimate arithmetic —
+    the driver's hash covers the sketch itself, not just a law about
+    it. Completes the sketch family's certification grades: exact
+    bitmaps (bit-exact count), MG/quantile/CMS (worst-case-law
+    invariants), HLL (full state parity).
+
+    Output per event_type: the exact distinct count, the raw HLL
+    estimate (α·m²/Σ2^(−reg), m=256 — no libm-ln linear-counting
+    branch, the repo's engine-reproducibility rule; n_zero_registers
+    rides along so callers can correct downstream), and the MERGE law
+    pinned at 0: registers built separately on the hash-parity halves
+    of the values and max-merged must equal the full-build register
+    table bucket-for-bucket (the store-once/rollup-anywhere
+    contract — per-partition sketches answer any coarser rollup)."""
+    from sensomics_data_pipeline_spark.functions.scalars import (
+        portable_hash64,
+    )
+    from sensomics_data_pipeline_spark.operators.profile import (
+        hll_estimate_from_registers,
+        hll_register_table,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    regs = hll_register_table(ev, ["event_type"], "user_id", p=8)
+    est = hll_estimate_from_registers(regs, ["event_type"], p=8)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    # merge law: split by VALUE (hash parity) so the halves partition
+    # the distinct-value set; per-bucket MAX-merge must reproduce the
+    # full build exactly
+    par = ev.withColumn(
+        "_par", portable_hash64(F.col("user_id").cast("string")) % 2
+    )
+    merged = (
+        hll_register_table(
+            par.filter(F.col("_par") == 0), ["event_type"], "user_id", p=8
+        )
+        .unionByName(
+            hll_register_table(
+                par.filter(F.col("_par") == 1),
+                ["event_type"],
+                "user_id",
+                p=8,
+            )
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("register").alias("_mr"))
+    )
+    viol = (
+        merged.join(regs, ["event_type", "bucket"], "full")
+        .withColumn(
+            "_bad",
+            (~F.col("_mr").eqNullSafe(F.col("register"))).cast("long"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("_bad").alias("_viol"))
+    )
+    return (
+        exact.join(est, "event_type")
+        .join(viol, "event_type", "left")
+        .select(
+            "event_type",
+            "n_exact",
+            "hll_estimate",
+            "n_zero_registers",
+            F.coalesce(F.col("_viol"), F.lit(0))
+            .cast("long")
+            .alias("n_merge_violation"),
+        )
+    )
+
+
+_SQL_HLL_DISTINCT = """
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM events WHERE user_id IS NOT NULL
+), r AS (
+  SELECT event_type, (hv % 256)::INT AS bucket,
+         max(CASE WHEN hv // 256 = 0 THEN 53
+             ELSE 52 - length(bin(hv // 256)) + 1 END) AS register
+  FROM h GROUP BY 1, 2
+), est AS (
+  SELECT event_type,
+         round(0.7213 / (1 + 1.079 / 256) * 256 * 256
+               / ((256.0 - count(*)) + sum(pow(2.0, -register))), 6)
+           AS hll_estimate,
+         (256 - count(*))::BIGINT AS n_zero_registers
+  FROM r GROUP BY 1
+)
+SELECT e.event_type,
+       x.n_exact::BIGINT AS n_exact,
+       e.hll_estimate,
+       e.n_zero_registers,
+       0::BIGINT AS n_merge_violation
+FROM est e JOIN (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+) x USING (event_type)
+"""
+
+
 def q_streaming_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static robust anomaly detection: batch median/MAD
     prepass broadcast onto the event stream, append-mode breach rows —
@@ -5340,10 +5449,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window = the 15 queries whose driver rows aged to r6 (the r8
     # verdict's top ask — the named rotation queue, honored in full),
     # the corpus pair (debris-sensitive bench target, kept EARLY; the
-    # shared gram memo gained LRU recency this round), the 2 queries
+    # shared gram memo gained LRU recency this round), the 3 queries
     # NEW this round (chain_distances: multi-hop BFS/SSSP on a path
-    # graph — the driver's first depth≥2 graph hash; and
-    # ingest_dedup_handoff: the stream→batch boundary law), the
+    # graph — the driver's first depth≥2 graph hash;
+    # ingest_dedup_handoff: the stream→batch boundary law; and
+    # hll_distinct: portable HLL with full register-state parity), the
     # entries whose implementation changed in round 9 (the five
     # clique-graph certifications now share one materialized edge
     # derivation via _clique_pairs and the pagerank/ppr pair trimmed
@@ -5353,13 +5463,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pq_topk/ivf_pq_topk paths that gained rerank="auto" resolution
     # and the score_col rename hook; multimodal_frames sits on the
     # decode_wav router that gained the hermetic IMA-ADPCM branch),
-    # and the 20 stalest r7-checked entries. The 23 r7-checked entries
-    # left outside (agg_suite, bitmap_distinct, cohort_retention,
-    # counter_reset_delta, cusum_changepoint, flatline_runs, funnel,
-    # fuzzy_match, histogram, interpolate_linear, json_extract,
-    # lang_id, lexical_stats, mad_outliers, overlap_join,
-    # quality_gate, semi_anti_join, table_diff, threshold_rules,
-    # topk_per_group, trend_slope, unpivot_wide, weighted_sample) are
+    # and the 19 stalest r7-checked entries. The 24 r7-checked entries
+    # left outside (cms_invariants, agg_suite, bitmap_distinct,
+    # cohort_retention, counter_reset_delta, cusum_changepoint,
+    # flatline_runs, funnel, fuzzy_match, histogram,
+    # interpolate_linear, json_extract, lang_id, lexical_stats,
+    # mad_outliers, overlap_join, quality_gate, semi_anti_join,
+    # table_diff, threshold_rules, topk_per_group, trend_slope,
+    # unpivot_wide, weighted_sample) are
     # at most 2 rounds old, sit first in the tail below, and are first
     # in line for the r10 rotation; after this round no query's latest
     # driver row is older than r7. The guard test
@@ -5394,6 +5505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- NEW in r9 (never driver-checked) ----
         "chain_distances": q_chain_distances,
         "ingest_dedup_handoff": q_ingest_dedup_handoff,
+        "hll_distinct": q_hll_distinct,
         # ---- implementation CHANGED in round 9 (see header) ----
         "pagerank_invariants": q_pagerank_invariants,
         "ppr_invariants": q_ppr_invariants,
@@ -5427,10 +5539,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hh_invariants": q_hh_invariants,
         "qsketch_invariants": q_qsketch_invariants,
         "bloom_decon_invariants": q_bloom_decon_invariants,
-        "cms_invariants": q_cms_invariants,
-        # ---- positions 51+: first the 23 deferred r7-checked entries
+        # ---- positions 51+: first the 24 deferred r7-checked entries
         # (next in line for r10), then the r8-checked entries — every
         # tail entry holds a green driver row at most 2 rounds old ----
+        "cms_invariants": q_cms_invariants,
         "agg_suite": q_agg_suite,
         "bitmap_distinct": q_bitmap_distinct,
         "cohort_retention": q_cohort_retention,
@@ -5572,6 +5684,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_distances": _SQL_SSSP_DISTANCES,
         "chain_distances": _SQL_CHAIN_DISTANCES,
         "ingest_dedup_handoff": _sql_ingest_dedup_handoff(),
+        "hll_distinct": _SQL_HLL_DISTINCT,
         "quality_gate": _SQL_QUALITY_GATE,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "chunk_documents": _SQL_CHUNKS,

@@ -198,6 +198,96 @@ def rollup_bitmaps(
     )
 
 
+def hll_register_table(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """PORTABLE HyperLogLog register state as a relational table:
+    ``(group_cols..., bucket, register)`` with ``bucket ∈ [0, 2^p)``
+    and ``register = leading-zero rank of the hashed value's suffix``
+    (Flajolet et al. 2007, the public HLL construction).
+
+    Unlike :func:`distinct_sketches` (Spark's DataSketches binary,
+    opaque to any other engine), every register here is a pure
+    function of the repo's engine-portable 60-bit hash — bucket is the
+    hash's low ``p`` bits, the rank is ``(60−p) − bit_length(suffix)
+    + 1`` (suffix = hash >> p; all-zero suffix → max rank) — so an
+    independent SQL engine recomputes the ENTIRE sketch state
+    bit-for-bit (``length(bin(x))`` is the shared bit_length idiom).
+
+    Scale shape: one map-side projection + one groupBy-max per group —
+    the register table is ≤ 2^p rows per group (KBs) at ANY input
+    size, and registers merge under per-bucket MAX, so per-partition
+    (per-day, per-source) register tables stored once answer any
+    coarser distinct-count rollup without rescanning raw data —
+    the same store-once pattern as :func:`distinct_bitmaps`, at
+    fixed-size state instead of exact-but-growing bitmaps. Duplicate
+    values need no pre-distinct: they hash to the same (bucket, rank)
+    and MAX absorbs them."""
+    from sensomics_data_pipeline_spark.functions.scalars import (
+        portable_hash64,
+    )
+
+    m = 1 << p
+    width = 60 - p
+    h = portable_hash64(F.col(value_col).cast("string"))
+    suffix = F.shiftright(h, p)
+    rank = (
+        F.when(suffix == 0, F.lit(width + 1))
+        .otherwise(F.lit(width) - F.length(F.bin(suffix)) + 1)
+        .cast("int")
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            (h % m).cast("int").alias("bucket"),
+            rank.alias("_rank"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rank").alias("register"))
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list[str],
+    p: int = 8,
+) -> DataFrame:
+    """Fold a :func:`hll_register_table` into the raw HLL estimate per
+    group: ``E = α_m · m² / (Σ_b 2^(−register_b))`` with absent buckets
+    contributing ``2^0 = 1``. Returns ``(group_cols...,
+    hll_estimate, n_zero_registers)``.
+
+    The arithmetic is engine-reproducible by construction: every
+    ``2^(−register)`` term is an exact dyadic double and α_m is a
+    rational constant, so the oracle states the identical value —
+    which is why the LINEAR-COUNTING small-range correction
+    (``m·ln(m/V)``) is deliberately NOT applied: libm logs are the one
+    non-portable step (the ``distribution_drift`` precedent), so the
+    raw estimate ships with ``n_zero_registers`` alongside, letting
+    callers apply any correction downstream."""
+    m = 1 << p
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    else:
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213)
+    return regs.groupBy(*group_cols).agg(
+        F.round(
+            F.lit(alpha * m * m)
+            / (
+                F.lit(float(m))
+                - F.count("*")
+                + F.sum(F.pow(F.lit(2.0), -F.col("register")))
+            ),
+            6,
+        ).alias("hll_estimate"),
+        (F.lit(m) - F.count("*")).cast("long").alias("n_zero_registers"),
+    )
+
+
 def numeric_histogram(
     df: DataFrame,
     value_col: str,

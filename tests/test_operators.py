@@ -3419,6 +3419,49 @@ def test_bloom_probe_fused_exact_matches_contamination_probe(spark):
     assert fused == ref
 
 
+def test_hll_registers_merge_and_estimate(spark):
+    """Portable-HLL laws on synthetic data: the register table is
+    bounded by 2^p rows per group, registers merge under per-bucket
+    MAX exactly (arbitrary row split — duplicates hash identically so
+    MAX absorbs them), the raw estimate lands within the sketch's
+    ~3σ band (σ ≈ 1.04/√m) of the exact distinct count when zero
+    registers are scarce, and duplicates do not move a single
+    register (HLL state is a function of the distinct SET)."""
+    from sensomics_data_pipeline_spark.operators.profile import (
+        hll_estimate_from_registers,
+        hll_register_table,
+    )
+
+    vals = [(f"g{ i % 2 }", f"v{i}") for i in range(4000)]
+    df = spark.createDataFrame(vals, "g string, v string").repartition(8)
+    regs = hll_register_table(df, ["g"], "v", p=8)
+    rp = regs.toPandas()
+    assert rp.groupby("g").size().max() <= 256
+    assert rp["register"].min() >= 1 and rp["register"].max() <= 53
+
+    # estimate within 3*1.04/sqrt(256) = ~19.5% of the true 2000
+    est = hll_estimate_from_registers(regs, ["g"], p=8).toPandas()
+    for _, row in est.iterrows():
+        assert abs(row["hll_estimate"] / 2000.0 - 1.0) < 0.195, row
+
+    # merge law: any split of the rows max-merges to the full build
+    a = hll_register_table(df.filter(F.length("v") <= 3), ["g"], "v", p=8)
+    b = hll_register_table(df.filter(F.length("v") > 3), ["g"], "v", p=8)
+    merged = (
+        a.unionByName(b)
+        .groupBy("g", "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    assert merged.exceptAll(regs).count() == 0
+    assert regs.exceptAll(merged).count() == 0
+
+    # duplicate invariance: tripling every row leaves the state fixed
+    trip = df.unionByName(df).unionByName(df)
+    regs3 = hll_register_table(trip, ["g"], "v", p=8)
+    assert regs3.exceptAll(regs).count() == 0
+    assert regs.exceptAll(regs3).count() == 0
+
+
 def test_count_min_never_undercounts_and_conserves_mass(spark):
     """CMS deterministic guarantees on a skewed corpus with a table
     narrow enough (w=8) to force collisions: est >= true for every

@@ -560,13 +560,17 @@ def main() -> None:
         t5 = set(zip(b5.query_id, b5.neighbor_id))
         pq = sim_ops.ivf_pq_topk(big_df, k=5, m=16, n_codes=32).toPandas()
         r5 = len(t5 & set(zip(pq.query_id, pq.neighbor_id))) / len(t5)
+        # zero-knob rerank: auto_rerank sizes the nomination depth from
+        # the sampled near-tie multiplicity (r8 measured the pinned
+        # R=25 nomination-limited at 0.755 against ~100-sibling groups)
+        auto_r = sim_ops.auto_rerank(big_df, k=5)
         rr = sim_ops.ivf_pq_topk(
-            big_df, k=5, m=16, n_codes=32, rerank=25
+            big_df, k=5, m=16, n_codes=32, rerank="auto"
         ).toPandas()
         r5_rr = len(t5 & set(zip(rr.query_id, rr.neighbor_id))) / len(t5)
         print(
             f"recall@1 IVF(auto) {r1:.3f}  recall@5 IVF-PQ(auto) {r5:.3f}"
-            f"  rerank25 {r5_rr:.3f}"
+            f"  rerank=auto({auto_r}) {r5_rr:.3f}"
             f"  (truth walls {t_truth1:.1f}s / {t_truth5:.1f}s)",
             flush=True,
         )
@@ -580,7 +584,8 @@ def main() -> None:
                 f"| {t_truth1:.1f} |\n"
                 f"| IVF-PQ recall@5 (auto, m=16 x 32) | {r5:.3f} "
                 f"| {t_truth5:.1f} |\n"
-                f"| IVF-PQ recall@5 + rerank=25 (IVFADC+R) | {r5_rr:.3f} "
+                f"| IVF-PQ recall@5 + rerank=auto (IVFADC+R, "
+                f"auto R={auto_r}) | {r5_rr:.3f} "
                 f"| {t_truth5:.1f} |\n"
             )
         print(f"appended 100x recall table to {out_md}")
