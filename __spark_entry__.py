@@ -5324,32 +5324,49 @@ def q_ppr_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r1 > d * r0 + 1e-12
     )
     # seed count as the operator saw it: distinct seeds present in
-    # the node set (groups of one doc produce no edges)
+    # the node set (groups of one doc produce no edges). The count
+    # enters the floor predicate as a BROADCAST SCALAR (the
+    # SCALAR_BROADCAST_OK pattern) instead of a separate driver
+    # action — the whole certification below is ONE job.
     seeded = ranks.join(
         F.broadcast(seeds.distinct()), "node", "left_semi"
     )
-    n_seeds = seeded.count()
-    floor = (1.0 - d) / n_seeds if n_seeds else 0.0
+    cnt = (
+        seeded.agg(F.count("*").alias("_ns")).withColumn("_k", F.lit(0))
+    )
     agg_all = ranks.agg(
         F.count("*").alias("_n"),
         F.sum((F.col("rank") < -1e-15).cast("long")).alias("_neg"),
     ).withColumn("_k", F.lit(0))
-    agg_seed = seeded.agg(
-        F.sum(
-            (F.col("rank") < F.lit(floor) - F.lit(1e-12)).cast("long")
-        ).alias("_floor_v")
-    ).withColumn("_k", F.lit(0))
+    agg_seed = (
+        seeded.withColumn("_k", F.lit(0))
+        .join(F.broadcast(cnt), "_k")
+        .agg(
+            F.sum(
+                (
+                    F.col("rank")
+                    < (F.lit(1.0 - d) / F.col("_ns")) - F.lit(1e-12)
+                ).cast("long")
+            ).alias("_floor_v"),
+            F.min("_ns").alias("_ns"),
+        )
+        .withColumn("_k", F.lit(0))
+    )
     return (
         agg_all.join(F.broadcast(agg_seed), "_k")
         .select(
             F.col("_n").cast("long").alias("n_nodes"),
-            F.lit(n_seeds).cast("long").alias("n_seeds"),
+            F.coalesce(F.col("_ns"), F.lit(0))
+            .cast("long")
+            .alias("n_seeds"),
             F.lit(n_it).cast("long").alias("n_iterations"),
             F.lit(n_mass).cast("long").alias("n_mass_violation"),
             F.lit(n_contraction)
             .cast("long")
             .alias("n_contraction_violation"),
-            F.col("_floor_v").cast("long").alias("n_seed_floor_violation"),
+            F.coalesce(F.col("_floor_v"), F.lit(0))
+            .cast("long")
+            .alias("n_seed_floor_violation"),
             F.col("_neg").cast("long").alias("n_negative_violation"),
         )
     )
