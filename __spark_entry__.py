@@ -5197,23 +5197,26 @@ def q_chain_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     query makes the driver's full-value hash cover depth ≥ 2 and
     weight accumulation across ≥ 2 edges).
 
-    Construction: within each (source, lang) group, the first 6
+    Construction: within each (source, lang) group, the first 4
     documents by doc_id form a CHAIN (successor edges between
     consecutive doc_id ranks — a per-group window lag, O(n log n), no
     quadratic join); the seed is each chain's head (rank 1). Both
     fixpoints are then closed-form for DuckDB:
 
     - BFS hops: the only route from the head to rank r walks r−1
-      edges, so ``hops = rk − 1`` (up to 5 — genuinely multi-hop);
+      edges, so ``hops = rk − 1`` (up to 3 — genuinely multi-hop);
     - weighted SSSP with edge weight ``doc_id(dst) − doc_id(src)``
       (positive — doc_ids are strictly increasing in rank): the
       telescoping sum makes ``wdist = doc_id − min(doc_id of the
-      chain)``, accumulated across up to 5 relaxation rounds.
+      chain)``, accumulated across up to 3 relaxation rounds.
 
     Singleton groups produce no edges, hence no node (absent on both
-    engines). Diameter is capped at 5 by the rank cut, so the
-    frontier/relaxation loop is O(1) rounds at ANY corpus scale —
-    chain length is a certification knob, not a data-volume knob."""
+    engines). Diameter is capped at 3 by the rank cut (each BFS hop /
+    relaxation round is a driver-synced job, so chain length prices
+    the certification directly; 3 hops is the minimum that separates
+    frontier expansion from a 2-hop join), and the loop is O(1)
+    rounds at ANY corpus scale — chain length is a certification
+    knob, not a data-volume knob."""
     from sensomics_data_pipeline_spark.operators.graph import (
         bfs_distances,
         sssp_distances,
@@ -5225,7 +5228,7 @@ def q_chain_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("source", "lang").orderBy("doc_id")
     chain = docs.select(
         "doc_id", "source", "lang", F.row_number().over(w).alias("rk")
-    ).filter(F.col("rk") <= 6)
+    ).filter(F.col("rk") <= 4)
     wc = Window.partitionBy("source", "lang").orderBy("rk")
     edges = (
         chain.select(
@@ -5246,8 +5249,8 @@ def q_chain_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = chain.filter(F.col("rk") == 1).select(
         F.col("doc_id").alias("node")
     )
-    hops, _ = bfs_distances(edges, seeds, max_iter=8)
-    wdist, _ = sssp_distances(edges, seeds, max_iter=8)
+    hops, _ = bfs_distances(edges, seeds, max_iter=6)
+    wdist, _ = sssp_distances(edges, seeds, max_iter=6)
     return hops.select(
         F.col("node").cast("long").alias("node"),
         F.col("dist").cast("long").alias("hops"),
@@ -5268,7 +5271,7 @@ WITH ranked AS (
          ) AS rk
   FROM documents
 ), chain AS (
-  SELECT * FROM ranked WHERE rk <= 6
+  SELECT * FROM ranked WHERE rk <= 4
 ), g AS (
   SELECT source, lang, count(*) AS n, min(doc_id) AS mn
   FROM chain GROUP BY source, lang
