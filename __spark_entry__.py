@@ -5284,6 +5284,63 @@ WHERE g.n >= 2
 """
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle counting
+    (``operators.graph.triangle_counts`` — Schank-Wagner
+    node-iterator: orient edges toward the larger (degree, id),
+    wedge-join out-edge pairs, semi-join the closing edge; each
+    triangle generated exactly once, wedge volume bounded by the
+    O(√|E|) oriented out-degree). FULL-VALUE oracle: on mini-cliques
+    (the first 8 docs per (source, lang) by doc_id — the bounded-rank
+    cut chain_distances uses) every member of an m-doc clique sits in
+    exactly ``C(m−1, 2)`` triangles, which DuckDB states in closed
+    form; groups with m < 3 have no triangles and their nodes are
+    absent (the relational convention)."""
+    from sensomics_data_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    w = Window.partitionBy("source", "lang").orderBy("doc_id")
+    mini = docs.select(
+        "doc_id", "source", "lang", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= 8)
+    pairs = (
+        mini.alias("a")
+        .join(mini.alias("b"), ["source", "lang"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+    )
+    out = triangle_counts(pairs)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    )
+
+
+_SQL_TRIANGLE_COUNTS = """
+WITH ranked AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source, lang ORDER BY doc_id
+         ) AS rk
+  FROM documents
+), mini AS (
+  SELECT * FROM ranked WHERE rk <= 8
+), g AS (
+  SELECT source, lang, count(*) AS m FROM mini GROUP BY source, lang
+)
+SELECT c.doc_id::BIGINT AS node,
+       ((g.m - 1) * (g.m - 2) / 2)::BIGINT AS n_triangles
+FROM mini c JOIN g USING (source, lang)
+WHERE g.m >= 3
+"""
+
+
 def q_ppr_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-hash certification of personalized PageRank
     (``operators.graph.personalized_pagerank`` — the seed-teleport
@@ -5469,11 +5526,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window = the 15 queries whose driver rows aged to r6 (the r8
     # verdict's top ask — the named rotation queue, honored in full),
     # the corpus pair (debris-sensitive bench target, kept EARLY; the
-    # shared gram memo gained LRU recency this round), the 3 queries
+    # shared gram memo gained LRU recency this round), the 4 queries
     # NEW this round (chain_distances: multi-hop BFS/SSSP on a path
     # graph — the driver's first depth≥2 graph hash;
-    # ingest_dedup_handoff: the stream→batch boundary law; and
-    # hll_distinct: portable HLL with full register-state parity), the
+    # ingest_dedup_handoff: the stream→batch boundary law;
+    # hll_distinct: portable HLL with full register-state parity; and
+    # triangle_counts: degree-ordered triangle counting with a
+    # closed-form C(m−1,2) mini-clique oracle), the
     # entries whose implementation changed in round 9 (the five
     # clique-graph certifications now share one materialized edge
     # derivation via _clique_pairs and the pagerank/ppr pair trimmed
@@ -5483,14 +5542,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pq_topk/ivf_pq_topk paths that gained rerank="auto" resolution
     # and the score_col rename hook; multimodal_frames sits on the
     # decode_wav router that gained the hermetic IMA-ADPCM branch),
-    # and the 19 stalest r7-checked entries. The 24 r7-checked entries
-    # left outside (cms_invariants, agg_suite, bitmap_distinct,
-    # cohort_retention, counter_reset_delta, cusum_changepoint,
-    # flatline_runs, funnel, fuzzy_match, histogram,
-    # interpolate_linear, json_extract, lang_id, lexical_stats,
-    # mad_outliers, overlap_join, quality_gate, semi_anti_join,
-    # table_diff, threshold_rules, topk_per_group, trend_slope,
-    # unpivot_wide, weighted_sample) are
+    # and the 18 stalest r7-checked entries. The 25 r7-checked entries
+    # left outside (bloom_decon_invariants, cms_invariants, agg_suite,
+    # bitmap_distinct, cohort_retention, counter_reset_delta,
+    # cusum_changepoint, flatline_runs, funnel, fuzzy_match,
+    # histogram, interpolate_linear, json_extract, lang_id,
+    # lexical_stats, mad_outliers, overlap_join, quality_gate,
+    # semi_anti_join, table_diff, threshold_rules, topk_per_group,
+    # trend_slope, unpivot_wide, weighted_sample) are
     # at most 2 rounds old, sit first in the tail below, and are first
     # in line for the r10 rotation; after this round no query's latest
     # driver row is older than r7. The guard test
@@ -5526,6 +5585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_distances": q_chain_distances,
         "ingest_dedup_handoff": q_ingest_dedup_handoff,
         "hll_distinct": q_hll_distinct,
+        "triangle_counts": q_triangle_counts,
         # ---- implementation CHANGED in round 9 (see header) ----
         "pagerank_invariants": q_pagerank_invariants,
         "ppr_invariants": q_ppr_invariants,
@@ -5558,10 +5618,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf": q_embedding_ivf,
         "hh_invariants": q_hh_invariants,
         "qsketch_invariants": q_qsketch_invariants,
-        "bloom_decon_invariants": q_bloom_decon_invariants,
-        # ---- positions 51+: first the 24 deferred r7-checked entries
+        # ---- positions 51+: first the 25 deferred r7-checked entries
         # (next in line for r10), then the r8-checked entries — every
         # tail entry holds a green driver row at most 2 rounds old ----
+        "bloom_decon_invariants": q_bloom_decon_invariants,
         "cms_invariants": q_cms_invariants,
         "agg_suite": q_agg_suite,
         "bitmap_distinct": q_bitmap_distinct,
@@ -5705,6 +5765,7 @@ def oracle_sql() -> dict[str, str]:
         "chain_distances": _SQL_CHAIN_DISTANCES,
         "ingest_dedup_handoff": _sql_ingest_dedup_handoff(),
         "hll_distinct": _SQL_HLL_DISTINCT,
+        "triangle_counts": _SQL_TRIANGLE_COUNTS,
         "quality_gate": _SQL_QUALITY_GATE,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "chunk_documents": _SQL_CHUNKS,

@@ -628,6 +628,90 @@ def sssp_distances(
     return known, history
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts — the clustering /
+    community-density primitive (how interlinked a near-dup cluster
+    or citation neighborhood is). Returns ``(node, n_triangles)``
+    with zero-triangle nodes ABSENT (the relational convention
+    :func:`bfs_distances` set).
+
+    DEGREE-ORDERED node-iterator (Schank & Wagner 2005, the public
+    algorithm every distributed triangle count builds on): orient
+    every undirected edge from the endpoint with the smaller
+    ``(degree, id)`` to the larger, enumerate wedges as pairs of
+    out-edges of the same source, and keep the wedges whose far
+    endpoints are themselves an oriented edge. Each triangle
+    ``{a,b,c}`` (ordered by degree) is generated EXACTLY ONCE — as
+    the wedge at its lowest-degree corner — so no post-dedup.
+
+    Why this survives 100 TB graphs: under degree orientation every
+    node's out-degree is bounded by O(√|E|) (the arboricity bound),
+    so the wedge join's output is O(|E|^1.5) worst case and far less
+    on real skewed graphs — a hub with degree 10^6 contributes
+    wedges only through its (few) higher-degree neighbors, not
+    deg² pairs. The plan is three hash joins + one groupBy, all
+    partitioned on node keys; no driver state."""
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("_deg"))
+    )
+    # orient each edge toward the larger (degree, id); carry the far
+    # endpoint's order key so the wedge join can order its two legs
+    # without re-joining degrees
+    ed = (
+        e.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("_deg", "_da")
+        .join(
+            deg.withColumnRenamed("node", "b").withColumnRenamed(
+                "_deg", "_db"
+            ),
+            "b",
+        )
+    )
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("_dv"),
+    ).localCheckpoint(eager=False)
+    o1 = oriented.select("u", F.col("v").alias("x"), F.col("_dv").alias("_dx"))
+    o2 = oriented.select("u", F.col("v").alias("y"), F.col("_dv").alias("_dy"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("_dx") < F.col("_dy"))
+        | ((F.col("_dx") == F.col("_dy")) & (F.col("x") < F.col("y")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("x").alias("node")))
+        .unionByName(tri.select(F.col("y").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").alias("n_triangles")
+    )
+
+
 def top_ranked_per_group(
     ranks: DataFrame,
     members: DataFrame,

@@ -3855,6 +3855,57 @@ def test_bfs_distances_matches_reference(spark):
     assert got2 == {n: d for n, d in ref.items() if d <= 2}
 
 
+def test_triangle_counts_matches_bruteforce(spark):
+    """Degree-ordered triangle counting equals an itertools brute
+    force on a mixed graph (K4 + pendant + triangle sharing a vertex
+    + triangle-free path + duplicate/reversed edge noise); nodes in
+    no triangle are absent; a seeded random graph pins the general
+    case (every triangle counted once regardless of degree ties)."""
+    import itertools
+    import random
+
+    from sensomics_data_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    def brute(edge_list):
+        es = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+        nodes = sorted({n for e in es for n in e})
+        cnt: dict = {}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if (
+                (a, b) in es and (a, c) in es and (b, c) in es
+            ):
+                for n in (a, b, c):
+                    cnt[n] = cnt.get(n, 0) + 1
+        return cnt
+
+    # K4 on 0-3, pendant 4, triangle (3,5,6) sharing vertex 3,
+    # path 7-8-9, plus duplicate and reversed edges (must not
+    # double-count)
+    edges = (
+        list(itertools.combinations(range(4), 2))
+        + [(0, 4), (3, 5), (5, 6), (6, 3), (7, 8), (8, 9)]
+        + [(1, 0), (2, 3), (2, 3)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == brute(edges)
+    assert 4 not in got and 7 not in got  # triangle-free -> absent
+
+    rng = random.Random(7)
+    redges = [
+        (rng.randrange(30), rng.randrange(30)) for _ in range(120)
+    ]
+    rdf = spark.createDataFrame(
+        [e for e in redges if e[0] != e[1]], "src long, dst long"
+    )
+    got_r = {
+        r.node: r.n_triangles for r in triangle_counts(rdf).collect()
+    }
+    assert got_r == brute(redges)
+
+
 def test_sssp_distances_matches_dijkstra(spark):
     """Weighted multi-source shortest paths equal a heapq Dijkstra
     reference on a graph where the shortest route is NOT the fewest

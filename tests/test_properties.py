@@ -791,3 +791,51 @@ def test_kmeans_laws_on_random_points(spark, pts):
     assigned = kmeans_assign(df, cent).toPandas()
     assert len(assigned) == len(rows)
     assert set(assigned["cluster"]) <= set(range(k))
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    sig=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=130,
+        max_size=130,
+    ),
+    stereo=st.booleans(),
+)
+def test_adpcm_roundtrip_lockstep_on_any_signal(sig, stereo):
+    """On ANY int16 signal (including full-scale jumps that saturate
+    the step table): decode_ima_adpcm reproduces the encoder twin's
+    lockstep reconstruction EXACTLY, across block boundaries (the
+    step index carries, the predictor resets), mono and stereo. ADPCM
+    is a delta codec — a single divergent step would compound, so
+    exact equality is the strongest possible pin. Pure-Python path,
+    no Spark session needed."""
+    import numpy as np
+
+    from adpcm_fixture import encode_ima_adpcm_wav
+    from sensomics_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    if stereo:
+        arr = np.array(
+            [sig[:65], sig[65:]], dtype=np.int16
+        ).T  # 65 frames x 2ch
+        payload, recon = encode_ima_adpcm_wav(
+            arr, sample_rate=16000, block_align=72
+        )
+    else:
+        arr = np.array(sig, dtype=np.int16)
+        payload, recon = encode_ima_adpcm_wav(
+            arr, sample_rate=8000, block_align=36
+        )
+    rate, nch, x = decode_wav(payload)
+    assert nch == (2 if stereo else 1)
+    assert np.array_equal(
+        np.round(x * 32768.0).astype(np.int64),
+        recon.reshape(x.shape).astype(np.int64),
+    )
