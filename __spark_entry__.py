@@ -5322,6 +5322,128 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core extraction (``operators.graph.k_core`` — iterative
+    peeling: per round one degree groupBy + two semi-joins + one
+    scalar, O(peel depth) rounds). FULL-VALUE oracle on the mini-
+    clique demo graph (first 8 docs per (source, lang)): the 3-core
+    of an m-clique is the WHOLE clique when m ≥ 4 (every degree is
+    m−1 ≥ 3) and EMPTY otherwise (an m ≤ 3 clique's degrees are all
+    < 3, so the first peel round removes everything) — so DuckDB
+    states the survivor set and its in-core degrees closed-form:
+    every member of an m ≥ 4 group, ``core_degree = m − 1``."""
+    from sensomics_data_pipeline_spark.operators.graph import k_core
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    w = Window.partitionBy("source", "lang").orderBy("doc_id")
+    mini = docs.select(
+        "doc_id", "source", "lang", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= 8)
+    pairs = (
+        mini.alias("a")
+        .join(mini.alias("b"), ["source", "lang"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+    )
+    out = k_core(pairs, k=3)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+    )
+
+
+_SQL_KCORE_MEMBERS = """
+WITH ranked AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source, lang ORDER BY doc_id
+         ) AS rk
+  FROM documents
+), mini AS (
+  SELECT * FROM ranked WHERE rk <= 8
+), g AS (
+  SELECT source, lang, count(*) AS m FROM mini GROUP BY source, lang
+)
+SELECT c.doc_id::BIGINT AS node,
+       (g.m - 1)::BIGINT AS core_degree
+FROM mini c JOIN g USING (source, lang)
+WHERE g.m >= 4
+"""
+
+
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable-HLL STORE-ONCE/ROLLUP-ANYWHERE law at the
+    production grain: per-(event_type, day) register tables — what an
+    ingest pass would persist — max-merged up to event_type must
+    equal the direct event_type build REGISTER-FOR-REGISTER, and the
+    estimate computed from the rolled-up state is the one DuckDB
+    derives from the raw data. This is the operational claim that
+    makes fixed-size sketches worth storing (answer any coarser
+    distinct-count rollup without rescanning raw data), certified
+    full-value: the oracle recomputes the registers and the estimate
+    arithmetic; the per-bucket-MAX rollup-equality violation count is
+    pinned at 0."""
+    from sensomics_data_pipeline_spark.operators.profile import (
+        hll_estimate_from_registers,
+        hll_register_table,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .withColumn("day", F.date_trunc("day", "ts"))
+    )
+    fine = hll_register_table(ev, ["event_type", "day"], "user_id", p=8)
+    rolled = fine.groupBy("event_type", "bucket").agg(
+        F.max("register").alias("register")
+    )
+    est = hll_estimate_from_registers(rolled, ["event_type"], p=8)
+    direct = hll_register_table(ev, ["event_type"], "user_id", p=8)
+    viol = (
+        rolled.withColumnRenamed("register", "_rr")
+        .join(direct, ["event_type", "bucket"], "full")
+        .withColumn(
+            "_bad",
+            (~F.col("_rr").eqNullSafe(F.col("register"))).cast("long"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("_bad").alias("_viol"))
+    )
+    return est.join(viol, "event_type", "left").select(
+        "event_type",
+        "hll_estimate",
+        "n_zero_registers",
+        F.coalesce(F.col("_viol"), F.lit(0))
+        .cast("long")
+        .alias("n_rollup_violation"),
+    )
+
+
+_SQL_HLL_ROLLUP = """
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM events WHERE user_id IS NOT NULL
+), r AS (
+  SELECT event_type, (hv % 256)::INT AS bucket,
+         max(CASE WHEN hv // 256 = 0 THEN 53
+             ELSE 52 - length(bin(hv // 256)) + 1 END) AS register
+  FROM h GROUP BY 1, 2
+)
+SELECT event_type,
+       round(0.7213 / (1 + 1.079 / 256) * 256 * 256
+             / ((256.0 - count(*)) + sum(pow(2.0, -register))), 6)
+         AS hll_estimate,
+       (256 - count(*))::BIGINT AS n_zero_registers,
+       0::BIGINT AS n_rollup_violation
+FROM r GROUP BY event_type
+"""
+
+
 _SQL_TRIANGLE_COUNTS = """
 WITH ranked AS (
   SELECT doc_id, source, lang,
@@ -5526,13 +5648,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window = the 15 queries whose driver rows aged to r6 (the r8
     # verdict's top ask — the named rotation queue, honored in full),
     # the corpus pair (debris-sensitive bench target, kept EARLY; the
-    # shared gram memo gained LRU recency this round), the 4 queries
+    # shared gram memo gained LRU recency this round), the 6 queries
     # NEW this round (chain_distances: multi-hop BFS/SSSP on a path
     # graph — the driver's first depth≥2 graph hash;
     # ingest_dedup_handoff: the stream→batch boundary law;
-    # hll_distinct: portable HLL with full register-state parity; and
+    # hll_distinct: portable HLL with full register-state parity;
     # triangle_counts: degree-ordered triangle counting with a
-    # closed-form C(m−1,2) mini-clique oracle), the
+    # closed-form C(m−1,2) mini-clique oracle; kcore_members:
+    # iterative 3-core peeling, survivors closed-form on
+    # mini-cliques; and hll_rollup: the store-once/rollup-anywhere
+    # law at the (event_type, day)→event_type grain), the
     # entries whose implementation changed in round 9 (the five
     # clique-graph certifications now share one materialized edge
     # derivation via _clique_pairs and the pagerank/ppr pair trimmed
@@ -5542,8 +5667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pq_topk/ivf_pq_topk paths that gained rerank="auto" resolution
     # and the score_col rename hook; multimodal_frames sits on the
     # decode_wav router that gained the hermetic IMA-ADPCM branch),
-    # and the 18 stalest r7-checked entries. The 25 r7-checked entries
-    # left outside (bloom_decon_invariants, cms_invariants, agg_suite,
+    # and the 16 stalest r7-checked entries. The 27 r7-checked entries
+    # left outside (hh_invariants, qsketch_invariants,
+    # bloom_decon_invariants, cms_invariants, agg_suite,
     # bitmap_distinct, cohort_retention, counter_reset_delta,
     # cusum_changepoint, flatline_runs, funnel, fuzzy_match,
     # histogram, interpolate_linear, json_extract, lang_id,
@@ -5586,6 +5712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_dedup_handoff": q_ingest_dedup_handoff,
         "hll_distinct": q_hll_distinct,
         "triangle_counts": q_triangle_counts,
+        "kcore_members": q_kcore_members,
+        "hll_rollup": q_hll_rollup,
         # ---- implementation CHANGED in round 9 (see header) ----
         "pagerank_invariants": q_pagerank_invariants,
         "ppr_invariants": q_ppr_invariants,
@@ -5616,11 +5744,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "remove_dup_spans": q_remove_dup_spans,
         "embedding_ivf": q_embedding_ivf,
-        "hh_invariants": q_hh_invariants,
-        "qsketch_invariants": q_qsketch_invariants,
-        # ---- positions 51+: first the 25 deferred r7-checked entries
+        # ---- positions 51+: first the 27 deferred r7-checked entries
         # (next in line for r10), then the r8-checked entries — every
         # tail entry holds a green driver row at most 2 rounds old ----
+        "hh_invariants": q_hh_invariants,
+        "qsketch_invariants": q_qsketch_invariants,
         "bloom_decon_invariants": q_bloom_decon_invariants,
         "cms_invariants": q_cms_invariants,
         "agg_suite": q_agg_suite,
@@ -5766,6 +5894,8 @@ def oracle_sql() -> dict[str, str]:
         "ingest_dedup_handoff": _sql_ingest_dedup_handoff(),
         "hll_distinct": _SQL_HLL_DISTINCT,
         "triangle_counts": _SQL_TRIANGLE_COUNTS,
+        "kcore_members": _SQL_KCORE_MEMBERS,
+        "hll_rollup": _SQL_HLL_ROLLUP,
         "quality_gate": _SQL_QUALITY_GATE,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "chunk_documents": _SQL_CHUNKS,

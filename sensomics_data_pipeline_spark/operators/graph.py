@@ -712,6 +712,72 @@ def triangle_counts(
     )
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node has degree ≥ k — the standard density filter for graph
+    cleanup (drop weakly-connected riffraff before community
+    detection / PageRank; in the training-data setting, isolate the
+    densely-interlinked portion of a near-dup or citation graph).
+    Returns ``(node, core_degree)`` — surviving nodes with their
+    degree INSIDE the core (nodes peeled away are absent, the
+    relational convention).
+
+    Iterative peeling (the textbook fixpoint, run relationally):
+    per round, compute degrees over the surviving edge set, drop
+    nodes below k, and semi-join the edge set down to survivors —
+    one groupBy + two semi-joins + one count scalar per round,
+    hash-partitioned on node keys, lazy ``localCheckpoint`` lineage
+    truncation. Converges in O(peel depth) rounds (each round
+    removes EVERY currently-under-k node, not one) — bounded by
+    ``max_iter`` as a safety cap. Driver traffic is one scalar per
+    round at any graph size."""
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # doubled form: one row per (node, neighbor) — degrees are a
+    # plain groupBy count
+    alive = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_alive = alive.count()  # materializes the doubled-edge checkpoint
+    for _ in range(int(max_iter)):
+        deg = alive.groupBy("u").agg(F.count("*").alias("_deg"))
+        keep = deg.filter(F.col("_deg") >= k).select("u")
+        nxt = (
+            alive.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        # ONE scalar per round: the surviving edge count (carried
+        # across rounds — edge-count stability ⟺ node-set stability,
+        # since a peeled node removes its incident edges)
+        n_nxt = nxt.count()
+        alive = nxt
+        if n_nxt == n_alive or n_nxt == 0:
+            break
+        n_alive = n_nxt
+    return (
+        alive.groupBy("u")
+        .agg(F.count("*").alias("core_degree"))
+        .withColumnRenamed("u", "node")
+    )
+
+
 def top_ranked_per_group(
     ranks: DataFrame,
     members: DataFrame,

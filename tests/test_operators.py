@@ -3906,6 +3906,50 @@ def test_triangle_counts_matches_bruteforce(spark):
     assert got_r == brute(redges)
 
 
+def test_k_core_matches_peeling_reference(spark):
+    """k-core extraction equals a python peeling reference on a mixed
+    graph where the peel CASCADES (removing one node drags another
+    under k): K4 + a tail 4-5-6 hanging off it, plus a triangle and a
+    pendant; k=2 and k=3 cores differ; empty core when k exceeds the
+    max coreness; duplicate/reversed edges don't inflate degrees."""
+    from sensomics_data_pipeline_spark.operators.graph import k_core
+
+    def ref(edge_list, k):
+        es = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+        adj: dict = {}
+        for x, y in es:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj.pop(n):
+                        adj[m].discard(n)
+                    changed = True
+        return {n: len(vs) for n, vs in adj.items()}
+
+    import itertools
+
+    edges = (
+        list(itertools.combinations(range(4), 2))  # K4
+        + [(3, 4), (4, 5), (5, 6)]  # cascading tail
+        + [(7, 8), (8, 9), (9, 7)]  # triangle (2-core, not 3-core)
+        + [(0, 10)]  # pendant
+        + [(1, 0), (2, 3)]  # reversed/duplicate noise
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 3, 5):
+        got = {
+            r.node: r.core_degree for r in k_core(df, k=k).collect()
+        }
+        assert got == ref(edges, k), k
+    # k=3: the tail 4-5-6 and pendant cascade away, triangle dies,
+    # K4 survives with degree 3 each
+    assert {r.node for r in k_core(df, k=3).collect()} == {0, 1, 2, 3}
+
+
 def test_sssp_distances_matches_dijkstra(spark):
     """Weighted multi-source shortest paths equal a heapq Dijkstra
     reference on a graph where the shortest route is NOT the fewest
