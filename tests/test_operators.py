@@ -4015,3 +4015,45 @@ def test_top_ranked_per_group_picks_canonical(spark):
         for r in top_ranked_per_group(ranks, members).collect()
     }
     assert got == {10: 1, 20: 3}  # cluster 20 ties 0.25/0.25 -> node 3
+
+
+def test_auto_rerank_edges_and_sizing(spark):
+    """auto_rerank edge cases: empty / single-vector tables fall back
+    to the 4k floor; a duplicate-free corpus stays at the floor; a
+    corpus of near-identical siblings sizes R to cover the sibling
+    multiplicity; explicit garbage strings raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 1, (40, 16))
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    assert sim_ops.auto_rerank(empty, k=5) == 20
+    one = spark.createDataFrame(
+        [(0, [float(x) for x in base[0]])],
+        "vec_id long, embedding array<float>",
+    )
+    assert sim_ops.auto_rerank(one, k=5) == 20
+
+    # duplicate-free random vectors: near-tie estimate ~1 -> floor
+    free = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    assert sim_ops.auto_rerank(free, k=5) == 20
+
+    # 20 siblings per base vector (tiny noise): R must cover them
+    sib = np.concatenate(
+        [base + rng.normal(0, 0.01, base.shape) for _ in range(20)]
+    )
+    sdf = spark.createDataFrame(
+        [(i, [float(x) for x in sib[i]]) for i in range(len(sib))],
+        "vec_id long, embedding array<float>",
+    )
+    r = sim_ops.auto_rerank(sdf, k=5)
+    assert r >= 20, r
+
+    with _pytest.raises(ValueError, match="rerank"):
+        sim_ops.pq_topk(free, k=2, m=8, n_codes=4, rerank="bogus")

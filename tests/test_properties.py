@@ -839,3 +839,118 @@ def test_adpcm_roundtrip_lockstep_on_any_signal(sig, stereo):
         np.round(x * 32768.0).astype(np.int64),
         recon.reshape(x.shape).astype(np.int64),
     )
+
+
+_graph_edges = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_graph_edges)
+def test_triangle_counts_on_random_graphs(spark, edges):
+    """On ANY random multigraph (self-loops, duplicates, reversed
+    edges): degree-ordered triangle counting equals the itertools
+    brute force — the degree-ordering must count each triangle
+    exactly once regardless of degree ties."""
+    import itertools
+
+    from sensomics_data_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    if not es:
+        return
+    ref: dict = {}
+    nodes = sorted({n for e in es for n in e})
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (a, c) in es and (b, c) in es:
+            for n in (a, b, c):
+                ref[n] = ref.get(n, 0) + 1
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {
+        r.node: r.n_triangles for r in triangle_counts(df).collect()
+    }
+    assert got == ref
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_graph_edges, k=st.integers(2, 5))
+def test_k_core_on_random_graphs(spark, edges, k):
+    """On ANY random multigraph and any k: iterative peeling equals
+    the sequential python reference — including the cascade order
+    independence (synchronous per-round removal vs one-at-a-time
+    peeling reach the same fixpoint, the classic k-core uniqueness
+    property)."""
+    from sensomics_data_pipeline_spark.operators.graph import k_core
+
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    if not es:
+        return
+    adj: dict = {}
+    for x, y in es:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if n in adj and len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    ref = {n: len(vs) for n, vs in adj.items()}
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {r.node: r.core_degree for r in k_core(df, k=k).collect()}
+    assert got == ref
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.text(
+            alphabet="abcdefgh0123456789", min_size=1, max_size=6
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_hll_registers_match_python_reference(spark, vals):
+    """On ANY value multiset: the Spark register table equals a
+    pure-Python HLL built from the same portable hash (md5-prefix
+    60-bit, bucket = low 8 bits, rank = 52-bit-suffix leading zeros
+    + 1) — the full sketch state, not just the estimate."""
+    import hashlib
+
+    from sensomics_data_pipeline_spark.operators.profile import (
+        hll_register_table,
+    )
+
+    ref: dict = {}
+    for v in vals:
+        hv = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        bucket = hv % 256
+        suffix = hv >> 8
+        rank = 53 if suffix == 0 else 52 - suffix.bit_length() + 1
+        ref[bucket] = max(ref.get(bucket, 0), rank)
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {
+        r.bucket: r.register
+        for r in hll_register_table(df, [], "v", p=8).collect()
+    }
+    assert got == ref
