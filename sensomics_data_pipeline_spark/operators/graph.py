@@ -27,17 +27,30 @@ def _check_positive_weights(e: DataFrame) -> None:
     leak mass through ``w = out_mass / _deg`` (or raise an opaque
     DIVIDE_BY_ZERO under ANSI mode) and break the certified
     mass-conservation invariant, so reject them loudly instead.
-    One single-row aggregate; only runs when weights were asked for."""
+    One single-row aggregate; only runs when weights were asked for.
+
+    NaN is rejected explicitly: Spark's ``min()`` sorts NaN greater
+    than every number, so an all-NaN (or mixed-NaN) weight column
+    would otherwise sail past the ``min <= 0`` test and silently
+    produce NaN ranks — the exact corruption class this guard exists
+    to reject."""
     row = e.agg(
         F.count(F.lit(1)).alias("_n"),
         F.min("_ew").alias("_mn"),
         F.sum(F.col("_ew").isNull().cast("long")).alias("_nulls"),
+        F.sum(F.isnan(F.col("_ew").cast("double")).cast("long")).alias(
+            "_nans"
+        ),
     ).first()
-    if row["_n"] and ((row["_nulls"] or 0) > 0 or row["_mn"] <= 0.0):
+    if row["_n"] and (
+        (row["_nulls"] or 0) > 0
+        or (row["_nans"] or 0) > 0
+        or row["_mn"] <= 0.0
+    ):
         raise ValueError(
-            "pagerank weight_col requires strictly positive, non-NULL "
-            "edge weights (found min=%s, nulls=%s)"
-            % (row["_mn"], row["_nulls"])
+            "pagerank weight_col requires strictly positive, finite, "
+            "non-NULL edge weights (found min=%s, nulls=%s, nans=%s)"
+            % (row["_mn"], row["_nulls"], row["_nans"])
         )
 
 
@@ -215,7 +228,7 @@ def pagerank(
         ranks = new
         if tol is not None and history and history[-1][1] <= tol:
             break
-    if batched:
+    if batched and stats_frames:
         from functools import reduce
 
         rows = reduce(
@@ -367,7 +380,7 @@ def personalized_pagerank(
         ranks = new
         if tol is not None and history and history[-1][1] <= tol:
             break
-    if batched:
+    if batched and stats_frames:
         from functools import reduce
 
         rows = reduce(

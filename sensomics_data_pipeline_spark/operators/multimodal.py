@@ -538,7 +538,13 @@ def _ima_step(pred: int, index: int, nibble: int):
     return pred, index
 
 
-def decode_ima_adpcm(data: bytes, n_channels: int, block_align: int):
+def decode_ima_adpcm(
+    data: bytes,
+    n_channels: int,
+    block_align: int,
+    samples_per_block: int | None = None,
+    total_frames: int | None = None,
+):
     """Hermetic IMA/DVI ADPCM decoder (WAV wFormatTag 0x11) — the
     compressed-audio representative alongside the FLAC-subset decoder:
     pure-Python + numpy, no external codec.
@@ -549,16 +555,27 @@ def decode_ima_adpcm(data: bytes, n_channels: int, block_align: int):
     index, 1 reserved byte), then the 4-bit samples in 4-byte
     per-channel words — channels interleave word-by-word, nibbles run
     low-before-high within each byte. Returns int16 samples, shape
-    ``(frames, channels)``."""
+    ``(frames, channels)``.
+
+    Real-world tolerance: a short trailing block (data length not a
+    multiple of ``block_align``) is decoded for the nibbles that fit
+    rather than rejected; ``samples_per_block`` (the fmt-extension
+    ``wSamplesPerBlock``) truncates each block's output, and
+    ``total_frames`` (the ``fact`` chunk's declared frame count)
+    truncates the whole stream — padded final blocks would otherwise
+    emit synthetic trailing samples."""
     import struct
 
     import numpy as np
 
-    if block_align <= 4 * n_channels or len(data) % block_align:
+    if block_align <= 4 * n_channels:
         raise ValueError("bad IMA ADPCM block layout")
     out = [[] for _ in range(n_channels)]
     for bstart in range(0, len(data), block_align):
         block = data[bstart : bstart + block_align]
+        if len(block) < 4 * n_channels:
+            break  # trailing fragment too short for the header — drop
+        block_frames = 0
         preds, idxs = [], []
         for c in range(n_channels):
             pred, index, reserved = struct.unpack_from("<hBB", block, 4 * c)
@@ -567,8 +584,13 @@ def decode_ima_adpcm(data: bytes, n_channels: int, block_align: int):
             preds.append(pred)
             idxs.append(index)
             out[c].append(pred)  # header predictor IS sample 0
+        block_frames += 1
         pos = 4 * n_channels
         while pos + 4 * n_channels <= len(block):
+            if samples_per_block is not None and (
+                block_frames >= samples_per_block
+            ):
+                break
             for c in range(n_channels):
                 word = block[pos + 4 * c : pos + 4 * c + 4]
                 for byte in word:
@@ -577,8 +599,16 @@ def decode_ima_adpcm(data: bytes, n_channels: int, block_align: int):
                             preds[c], idxs[c], nib
                         )
                         out[c].append(preds[c])
+            block_frames += 8  # 4 bytes/channel-word = 8 nibbles
             pos += 4 * n_channels
-    return np.array(out, dtype=np.int16).T
+        if samples_per_block is not None and block_frames > samples_per_block:
+            trim = block_frames - samples_per_block
+            for c in range(n_channels):
+                del out[c][-trim:]
+    x = np.array(out, dtype=np.int16).T
+    if total_frames is not None and total_frames < x.shape[0]:
+        x = x[:total_frames]
+    return x
 
 
 def decode_wav(payload: bytes):
@@ -604,6 +634,7 @@ def decode_wav(payload: bytes):
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
+    samples_per_block, fact_frames = None, None
     while pos + 8 <= len(payload):
         cid, size = payload[pos : pos + 4], struct.unpack(
             "<I", payload[pos + 4 : pos + 8]
@@ -611,6 +642,17 @@ def decode_wav(payload: bytes):
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            if len(body) >= 20:
+                # fmt extension: uint16 cbSize then (for ADPCM)
+                # uint16 wSamplesPerBlock
+                cb = struct.unpack("<H", body[16:18])[0]
+                if cb >= 2:
+                    spb = struct.unpack("<H", body[18:20])[0]
+                    samples_per_block = spb if spb > 0 else None
+        elif cid == b"fact" and size >= 4:
+            # declared frame count — authoritative for padded final
+            # blocks in compressed formats
+            fact_frames = struct.unpack("<I", body[:4])[0]
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)
@@ -620,7 +662,13 @@ def decode_wav(payload: bytes):
     if audio_format == 0x11:
         # IMA/DVI ADPCM: hermetic decode first (external codecs
         # disagree on trailing-partial-block handling)
-        x = decode_ima_adpcm(data, n_channels, block_align)
+        x = decode_ima_adpcm(
+            data,
+            n_channels,
+            block_align,
+            samples_per_block=samples_per_block,
+            total_frames=fact_frames,
+        )
         return sample_rate, n_channels, x.astype("float64") / 32768.0
     if audio_format != 1:
         ext = _decode_audio_external(payload)

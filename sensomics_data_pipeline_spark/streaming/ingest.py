@@ -152,11 +152,16 @@ def _ingest_static_sides(
     while len(_STATIC_SIDE_MEMO) >= _STATIC_SIDE_MEMO_MAX:
         _, _, old_bc = _STATIC_SIDE_MEMO.pop(next(iter(_STATIC_SIDE_MEMO)))
         try:
-            # evicted entries must release their JVM-side broadcast
-            # blocks now, not at session end
-            old_bc.destroy()
+            # Release the evicted entry's executor-side broadcast
+            # blocks now, not at session end. unpersist (NOT destroy):
+            # a streaming DataFrame returned earlier may still capture
+            # this broadcast and execute later — destroy() would fail
+            # those tasks with "Broadcast used after destroy";
+            # unpersist(blocking=False) frees the blocks but lets the
+            # driver re-broadcast on next use.
+            old_bc.unpersist(blocking=False)
         except Exception:
-            pass  # already destroyed / session gone — nothing to free
+            pass  # already released / session gone — nothing to free
     _STATIC_SIDE_MEMO[key] = val
     return val
 

@@ -4057,3 +4057,142 @@ def test_auto_rerank_edges_and_sizing(spark):
 
     with _pytest.raises(ValueError, match="rerank"):
         sim_ops.pq_topk(free, k=2, m=8, n_codes=4, rerank="bogus")
+
+
+def test_pagerank_n_iter_zero_batched_path(spark):
+    """r9-ADVICE regression: the batched-stats path (tol=None,
+    undirected=True — the default) must handle n_iter=0 without
+    reduce()-ing an empty iterable; both pagerank and
+    personalized_pagerank return (uniform/seed ranks, []) cleanly."""
+    from sensomics_data_pipeline_spark.operators.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    ranks, hist = pagerank(df, n_iter=0)
+    assert hist == []
+    got = {r["node"]: r["rank"] for r in ranks.collect()}
+    assert len(got) == 3
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    seeds = spark.createDataFrame([(1,)], "node long")
+    ranks_p, hist_p = personalized_pagerank(df, seeds, n_iter=0)
+    assert hist_p == []
+    assert ranks_p.count() == 3
+
+
+def test_pagerank_rejects_nan_weights(spark):
+    """r9-ADVICE regression: Spark's min() sorts NaN above every
+    number, so NaN weights used to sail past the positivity guard and
+    silently produce NaN ranks — they must raise loudly instead."""
+    import pytest as _pytest
+
+    from sensomics_data_pipeline_spark.operators.graph import pagerank
+
+    all_nan = spark.createDataFrame(
+        [(1, 2, float("nan")), (2, 3, float("nan"))],
+        "src long, dst long, wt double",
+    )
+    # undirected default doubles each edge, so 2 NaN edges -> 4
+    with _pytest.raises(ValueError, match="nans=4"):
+        pagerank(all_nan, n_iter=2, weight_col="wt")
+
+    mixed = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, float("nan"))],
+        "src long, dst long, wt double",
+    )
+    with _pytest.raises(ValueError, match="nans=2"):
+        pagerank(mixed, n_iter=2, weight_col="wt")
+
+    # sanity: valid weights still pass the tightened guard
+    ok = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0)], "src long, dst long, wt double"
+    )
+    ranks, _ = pagerank(ok, n_iter=2, weight_col="wt")
+    assert ranks.count() == 3
+
+
+def test_ima_adpcm_short_trailing_block_and_fact_truncation(spark):
+    """r9-ADVICE regression: real-world IMA WAVs may carry a short
+    trailing block (data not a multiple of block_align) and declare
+    their true frame count via the fact chunk / wSamplesPerBlock —
+    the decoder must decode the nibbles that fit and truncate padded
+    final blocks to the declared count instead of raising."""
+    import struct
+
+    import numpy as np
+
+    from adpcm_fixture import encode_ima_adpcm_wav
+    from sensomics_data_pipeline_spark.operators import multimodal as mm_ops
+
+    t = np.arange(130)
+    mono = (3000 * np.sin(t / 5.0) + 40 * t).astype(np.int16)
+    payload, recon = encode_ima_adpcm_wav(
+        mono, sample_rate=8000, block_align=36
+    )
+
+    # 1. truncate the data chunk mid-block: decode what fits, no raise
+    data_pos = payload.rindex(b"data")
+    data_size = struct.unpack_from("<I", payload, data_pos + 4)[0]
+    cut = 12  # drop 12 bytes -> short trailing block (3 words fewer)
+    short = bytearray(payload[: len(payload) - cut])
+    struct.pack_into("<I", short, data_pos + 4, data_size - cut)
+    struct.pack_into("<I", short, 4, len(short) - 8)
+    rate, nch, x = mm_ops.decode_wav(bytes(short))
+    # full first block (65 frames) + partial second: 1 header frame +
+    # (5 remaining words x 8 nibbles) = 106 total
+    assert x.shape == (106, 1)
+    assert np.array_equal(
+        np.round(x * 32768.0).astype(np.int64).ravel(),
+        recon[:106].astype(np.int64).ravel(),
+    )
+
+    # 2. fact chunk: declared frame count truncates padded output
+    fact = b"fact" + struct.pack("<I", 4) + struct.pack("<I", 100)
+    with_fact = bytearray(payload[:12] + fact + payload[12:])
+    struct.pack_into("<I", with_fact, 4, len(with_fact) - 8)
+    _, _, xf = mm_ops.decode_wav(bytes(with_fact))
+    assert xf.shape == (100, 1)
+    assert np.array_equal(
+        np.round(xf * 32768.0).astype(np.int64).ravel(),
+        recon[:100].astype(np.int64).ravel(),
+    )
+
+
+def test_auto_rerank_memoizes_per_dataset(spark):
+    """r9-verdict item: rerank='auto' must pay the count + sample jobs
+    once per (application, dataset plan) — the second call on a
+    semantically identical DataFrame is a pure memo hit."""
+    import numpy as np
+
+    from sensomics_data_pipeline_spark.operators import (
+        similarity as sim_mod,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 1, (30, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    schema = "vec_id long, embedding array<float>"
+    sim_mod._AUTO_RERANK_MEMO.clear()
+    df1 = spark.createDataFrame(rows, schema)
+    r1 = sim_mod.auto_rerank(df1, k=5)
+    assert len(sim_mod._AUTO_RERANK_MEMO) == 1
+    (n_memo, _mult) = next(iter(sim_mod._AUTO_RERANK_MEMO.values()))
+    assert n_memo == 30
+    # same plan -> same semanticHash -> memo hit, no new entry, same R
+    r2 = sim_mod.auto_rerank(df1, k=5)
+    assert r2 == r1 and len(sim_mod._AUTO_RERANK_MEMO) == 1
+    # different k reuses the SAME estimate (k only moves the floor)
+    r3 = sim_mod.auto_rerank(df1, k=7)
+    assert r3 >= 28 and len(sim_mod._AUTO_RERANK_MEMO) == 1
+    # a different dataset definition gets its own entry
+    df2 = spark.createDataFrame(rows[:20], schema)
+    sim_mod.auto_rerank(df2, k=5)
+    assert len(sim_mod._AUTO_RERANK_MEMO) == 2
+    # bounded: eviction keeps the memo at its cap
+    for j in range(sim_mod._AUTO_RERANK_MEMO_MAX + 2):
+        sim_mod.auto_rerank(
+            spark.createDataFrame(rows[: 5 + j], schema), k=5
+        )
+    assert len(sim_mod._AUTO_RERANK_MEMO) <= sim_mod._AUTO_RERANK_MEMO_MAX
