@@ -33,6 +33,7 @@ from sensomics_data_pipeline_spark.operators import similarity as sim_ops
 from sensomics_data_pipeline_spark.operators import text as text_ops
 from sensomics_data_pipeline_spark.operators import unpivot as unpivot_ops
 from sensomics_data_pipeline_spark.operators import windows as window_ops
+from sensomics_data_pipeline_spark.plans import pipelines as plan_pipelines
 from sensomics_data_pipeline_spark.sources.readers import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -557,6 +558,213 @@ flagged AS (
 )
 SELECT min(start_time) AS start_time, max(end_time) AS end_time, category
 FROM grp GROUP BY category, _g
+"""
+
+
+def q_activity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-point-3 COMPOSITION certified as ONE query (the r9
+    verdict's top structural ask): the reference's full activity
+    pipeline (``/root/reference/activity_categorize.py:209-343``,
+    W1 dedup → W2/W3 counter-reset intervals → W7 merge → J4 subtract
+    step windows → J3+A2 in-sleep quantile thresholds → W5+A3/A4
+    5-min categorize → W6 merge windows → J4×2 interval algebra →
+    union) via ``plans.pipelines.categorize_activity`` — the same
+    composed operator the local parity tests pin, now driver-hashed.
+
+    Events mapping: ``click`` rows are the resetting sleep counter
+    (``floor(value)`` minutes), ``purchase`` rows the step stream,
+    ``view`` rows the accelerometer (``value`` as g-force); the
+    pipeline runs per-user (``partition_cols=["user_id"]``) — the
+    scale generalization of the reference's single-subject flow.
+    Thresholds are rounded to 6 decimals on BOTH engines (repo oracle
+    convention for aggregate-derived doubles feeding comparisons)."""
+    ev = _t(spark, sf_dir, "events")
+    measurements = ev.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        F.col("ts").alias("date_time"),
+        F.when(F.col("event_type") == "click", "sleep_total")
+        .otherwise("step")
+        .alias("kind"),
+        F.floor("value").cast("double").alias("data"),
+    )
+    acc = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("date_time"),
+        F.col("value").alias("g_force"),
+    )
+    final, _, _ = plan_pipelines.categorize_activity(
+        measurements,
+        acc,
+        ["user_id"],
+        step_lookback_min=10,
+        reset_gap_hours=48,
+        threshold_round_decimals=6,
+    )
+    return final.select("user_id", "start_time", "end_time", "category")
+
+
+def _sql_iv_merge_body(src: str) -> str:
+    """W7 merge-intervals SQL over a relation with
+    (user_id, start_time, end_time) — the certified islands pattern,
+    parameterized so the composition chain can reuse it."""
+    return f"""
+  SELECT user_id, min(start_time) AS start_time, max(end_time) AS end_time
+  FROM (
+    SELECT user_id, start_time, end_time,
+           CAST(sum(_new) OVER (PARTITION BY user_id
+                                ORDER BY start_time, end_time
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _g
+    FROM (
+      SELECT user_id, start_time, end_time,
+             CASE WHEN max(end_time) OVER w IS NULL
+                    OR start_time > max(end_time) OVER w
+                  THEN 1 ELSE 0 END AS _new
+      FROM {src}
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_time, end_time
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+  ) GROUP BY user_id, _g
+"""
+
+
+def _sql_iv_subtract_body(base: str, sub: str) -> str:
+    """J4 subtract-intervals SQL (temporal EXCEPT) mirroring
+    ``operators.intervals.subtract_intervals`` exactly: merge the sub
+    side, clip to each base interval (row_number ``_bid`` keys
+    duplicate-safe gap windows), emit gap pieces + tails with the
+    reference's boundary/zero-width semantics."""
+    return f"""
+  WITH _b AS (
+    SELECT user_id, start_time, end_time,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY start_time, end_time) AS _bid
+    FROM {base}
+  ), _s AS ({_sql_iv_merge_body(sub)}),
+  _clip AS (
+    SELECT b.user_id, b._bid, b.start_time AS _bs, b.end_time AS _be,
+           s.start_time AS _ss0,
+           CASE WHEN s.start_time IS NULL THEN NULL
+                ELSE greatest(s.start_time, b.start_time) END AS _cs,
+           CASE WHEN s.end_time IS NULL THEN NULL
+                ELSE least(s.end_time, b.end_time) END AS _ce
+    FROM _b b LEFT JOIN _s s
+      ON b.user_id = s.user_id
+     AND s.start_time <= b.end_time AND s.end_time >= b.start_time
+  ), _gaps AS (
+    SELECT *, coalesce(max(_ce) OVER (PARTITION BY user_id, _bid ORDER BY _cs
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               _bs) AS _prev_end
+    FROM _clip
+  )
+  SELECT user_id, _prev_end AS start_time, _cs AS end_time
+  FROM _gaps WHERE _cs IS NOT NULL AND _prev_end <= _ss0
+  UNION ALL
+  SELECT user_id, coalesce(max(_ce), min(_bs)) AS start_time,
+         min(_be) AS end_time
+  FROM _clip GROUP BY user_id, _bid, _bs, _be
+  HAVING max(_ce) IS NULL OR max(_ce) < min(_be)
+"""
+
+
+_SQL_ACTIVITY_PIPELINE = f"""
+WITH meas AS (
+  SELECT user_id, ts AS date_time,
+         CASE WHEN event_type = 'click' THEN 'sleep_total'
+              ELSE 'step' END AS kind,
+         floor(value) AS data
+  FROM events WHERE event_type IN ('click', 'purchase')
+), acc AS (
+  SELECT user_id, ts AS date_time, value AS g_force
+  FROM events WHERE event_type = 'view'
+), sleep_dedup AS (
+  SELECT user_id, date_time, data FROM (
+    SELECT user_id, date_time, data,
+           lag(data) OVER (PARTITION BY user_id ORDER BY date_time) AS _prev
+    FROM meas WHERE kind = 'sleep_total' AND data IS NOT NULL
+  ) WHERE _prev IS NULL OR data != _prev
+), sleep_delta AS (
+  SELECT user_id, date_time,
+         CASE WHEN prev_t IS NULL
+                OR date_diff('second', prev_t, date_time) > 172800 THEN data
+              WHEN data > prev_v THEN data - prev_v
+              ELSE data END AS sleep_minutes
+  FROM (
+    SELECT *, lag(date_time) OVER w AS prev_t, lag(data) OVER w AS prev_v
+    FROM sleep_dedup WINDOW w AS (PARTITION BY user_id ORDER BY date_time)
+  )
+), sleep_iv0 AS (
+  SELECT user_id,
+         date_time - to_minutes(CAST(floor(sleep_minutes) AS BIGINT))
+           AS start_time,
+         date_time AS end_time
+  FROM sleep_delta
+), sleep_iv AS ({_sql_iv_merge_body("sleep_iv0")}
+), step_iv AS (
+  SELECT user_id, date_time - INTERVAL 10 MINUTE AS start_time,
+         date_time AS end_time
+  FROM (
+    SELECT user_id, date_time, data,
+           lag(data) OVER (PARTITION BY user_id ORDER BY date_time) AS _prev
+    FROM meas WHERE kind = 'step' AND data IS NOT NULL
+  ) WHERE (_prev IS NULL OR data != _prev) AND data > 0
+), sms AS ({_sql_iv_subtract_body("sleep_iv", "step_iv")}
+), thresholds AS (
+  SELECT user_id,
+         round(quantile_cont(g_force, 0.025), 6) AS lower_threshold,
+         round(quantile_cont(g_force, 0.975), 6) AS upper_threshold
+  FROM acc a
+  WHERE EXISTS (
+    SELECT 1 FROM sms m
+    WHERE m.user_id = a.user_id
+      AND a.date_time >= m.start_time AND a.date_time <= m.end_time
+  )
+  GROUP BY user_id
+), cat0 AS (
+  SELECT user_id, start_time,
+         start_time + INTERVAL 5 MINUTE AS end_time,
+         CASE WHEN outlier_pct > 10 THEN 'high active'
+              WHEN outlier_pct > 5  THEN 'low active'
+              ELSE 'rest' END AS category
+  FROM (
+    SELECT a.user_id,
+           CAST(to_timestamp(floor(epoch(a.date_time) / 300) * 300)
+                AS TIMESTAMP) AS start_time,
+           avg(CAST(a.g_force < t.lower_threshold
+                    OR a.g_force > t.upper_threshold AS DOUBLE)) * 100
+             AS outlier_pct
+    FROM acc a JOIN thresholds t ON a.user_id = t.user_id
+    GROUP BY 1, 2
+  )
+), catm AS (
+  SELECT user_id, min(start_time) AS start_time,
+         max(end_time) AS end_time, category
+  FROM (
+    SELECT *, CAST(sum(_new) OVER (PARTITION BY user_id ORDER BY start_time
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _g
+    FROM (
+      SELECT *, CASE WHEN lag(category) OVER w IS NULL
+                       OR category != lag(category) OVER w
+                       OR start_time != lag(end_time) OVER w
+                     THEN 1 ELSE 0 END AS _new
+      FROM cat0
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_time)
+    )
+  ) GROUP BY user_id, category, _g
+), active AS (
+  SELECT user_id, start_time, end_time, category
+  FROM catm WHERE category != 'rest'
+), restw AS (
+  SELECT user_id, start_time, end_time FROM catm WHERE category = 'rest'
+), sleep_final AS ({_sql_iv_subtract_body("sms", "active")}
+), wake_rest AS ({_sql_iv_subtract_body("restw", "sleep_final")}
+)
+SELECT user_id, start_time, end_time, category FROM active
+UNION ALL
+SELECT user_id, start_time, end_time, 'sleep' AS category FROM sleep_final
+UNION ALL
+SELECT user_id, start_time, end_time, 'rest' AS category FROM wake_rest
 """
 
 
@@ -5714,6 +5922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "kcore_members": q_kcore_members,
         "hll_rollup": q_hll_rollup,
+        "activity_pipeline": q_activity_pipeline,
         # ---- implementation CHANGED in round 9 (see header) ----
         "pagerank_invariants": q_pagerank_invariants,
         "ppr_invariants": q_ppr_invariants,
@@ -5820,6 +6029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": _SQL_PRICING,
+        "activity_pipeline": _SQL_ACTIVITY_PIPELINE,
         "agg_suite": _SQL_AGG_SUITE,
         "quantiles": _SQL_QUANTILES,
         "profile_table": _SQL_PROFILE,

@@ -21,6 +21,7 @@ def sleep_acc_thresholds(
     ts_col: str = "date_time",
     g_col: str = "g_force",
     quantiles: tuple[float, float] = (0.025, 0.975),
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """A2+J3: exact quantiles of g-force inside sleep intervals
     (``sleep_acc_thresh``, ``/root/reference/activity_categorize.py:
@@ -30,13 +31,27 @@ def sleep_acc_thresholds(
     SQL percentile_cont); swap to ``percentile_approx`` at 100 TB and
     document the tolerance — the thresholds feed a 5/10% cutoff so 1e-3
     relative error is immaterial.
+
+    ``round_decimals``: optional rounding of both thresholds before
+    they feed the outlier comparison — the repo-wide oracle-parity
+    convention for aggregate-derived doubles (interpolated quantiles
+    can differ across engines in the last ulp; the downstream 5/10%
+    cutoff makes 1e-6 rounding semantically free). ``None`` keeps the
+    reference's unrounded floats.
     """
     in_sleep = interval_semijoin(acc, sleep_intervals, partition_cols, ts_col)
     grouping = in_sleep.groupBy(*partition_cols) if partition_cols else in_sleep.groupBy()
-    return grouping.agg(
+    out = grouping.agg(
         F.expr(f"percentile({g_col}, {quantiles[0]})").alias("lower_threshold"),
         F.expr(f"percentile({g_col}, {quantiles[1]})").alias("upper_threshold"),
     )
+    if round_decimals is not None:
+        out = out.select(
+            *partition_cols,
+            F.round("lower_threshold", round_decimals).alias("lower_threshold"),
+            F.round("upper_threshold", round_decimals).alias("upper_threshold"),
+        )
+    return out
 
 
 def categorize_windows(

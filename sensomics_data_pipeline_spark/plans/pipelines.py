@@ -130,6 +130,8 @@ def categorize_activity(
     partition_cols: list[str] | None = None,
     step_lookback_min: int = 10,
     reset_gap_hours: int = 12,
+    threshold_round_decimals: int | None = None,
+    materialize_reused: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Entry point 4 (``activity_categorize.py main``, ``:209-343``):
     sleep intervals from the resetting counter → subtract step windows →
@@ -138,8 +140,23 @@ def categorize_activity(
     (start, end, category) table.
 
     Returns (final_categorized, categorized_acc, thresholds).
+
+    ``materialize_reused``: the composed DAG fans three intermediates
+    out to 2+ consumers each (``sleep_minus_step`` → thresholds +
+    final-subtract base; ``categorized_acc`` → active + rest;
+    ``sleep_final`` → union + wake-rest subtrahend). Without a
+    materialization point Spark re-derives each one's full upstream
+    window chain per consumer — a ~4× stage multiplier measured at
+    sf0.001-0.1. Lazy ``localCheckpoint(eager=False)`` truncates the
+    lineage at exactly those reuse seams; pass False to keep the plan
+    fully declarative (e.g. for plan-shape tests).
     """
     pc = partition_cols or []
+    _mat = (
+        (lambda df: df.localCheckpoint(eager=False))
+        if materialize_reused
+        else (lambda df: df)
+    )
 
     # sleep intervals: W1 dedup → W2 delta w/ reset → W3 interval → W7 merge
     sleep = window_ops.dedup_consecutive(
@@ -181,19 +198,24 @@ def categorize_activity(
         F.col("date_time").alias("end_time"),
     )
 
-    sleep_minus_step = interval_ops.subtract_intervals(sleep_iv, step_iv, pc)
+    sleep_minus_step = _mat(
+        interval_ops.subtract_intervals(sleep_iv, step_iv, pc)
+    )
 
     thresholds = activity_ops.sleep_acc_thresholds(
-        acc, sleep_minus_step, pc, ts_col="date_time"
+        acc, sleep_minus_step, pc, ts_col="date_time",
+        round_decimals=threshold_round_decimals,
     )
-    categorized_acc = activity_ops.categorize_windows(
-        acc, thresholds, pc, ts_col="date_time"
+    categorized_acc = _mat(
+        activity_ops.categorize_windows(acc, thresholds, pc, ts_col="date_time")
     )
 
     active = categorized_acc.filter(F.col("category") != "rest").select(
         *pc, "start_time", "end_time"
     )
-    sleep_final = interval_ops.subtract_intervals(sleep_minus_step, active, pc)
+    sleep_final = _mat(
+        interval_ops.subtract_intervals(sleep_minus_step, active, pc)
+    )
     rest = categorized_acc.filter(F.col("category") == "rest").select(
         *pc, "start_time", "end_time"
     )
