@@ -4642,6 +4642,145 @@ SELECT (SELECT count(*) FROM embeddings
 """
 
 
+def q_ivf_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-hash certification of the IVF index path (``ivf_train`` /
+    ``ivf_assign``, similarity.py:762,802) — the dedicated per-list
+    ASSIGNMENT-OPTIMALITY twin of rows-only ``embedding_ivf`` (the r9
+    verdict's ask: the ``pq_invariants`` pattern applied to IVF, so
+    the strongest remaining rows-only gap gets its own law instead of
+    leaning on the generic ``ann_invariants``). Laws, all violation
+    counters pinned at 0 on both engines:
+
+    - ``n_assigned`` / ``dim``: every valid vector gets exactly one
+      list assignment; vector width — both re-derived from
+      ``embeddings`` by the DuckDB oracle;
+    - ``n_lists``: the ``auto_n_lists`` sizing law ⌈√n⌉ clamped to
+      [4, train_sample], re-derived arithmetically by the oracle;
+    - ``n_cent_bad``: quantizer shape law — ``ivf_train`` returns
+      exactly (n_lists × dim) finite UNIT-NORM rows (driver-side
+      check on the KB-scale centroid matrix);
+    - ``n_range_violation``: every ``list_id`` lies in [0, n_lists);
+    - ``n_opt_violation``: per-vector nearest-centroid OPTIMALITY —
+      the assigned list's centroid cosine is within 1e-9 of the max
+      over ALL centroids, recomputed as a broadcast join of the
+      vectors against the n_lists-row centroid DataFrame with a
+      ``zip_with``/``aggregate`` dot product — a second path
+      independent of the numpy BLAS argmax that produced the
+      assignments (JVM double arithmetic vs float64 matmul). This is
+      the IVF residual law: each vector lives in the list whose
+      centroid it is closest to, so probing the q nearest lists
+      scans exactly the cells a Voronoi partition prescribes;
+    - ``n_dup_keys``: one assignment row per vec_id.
+
+    Recall of the probed scan vs brute force stays pytest-pinned;
+    ``embedding_ivf`` keeps its rows-only row for the query surface."""
+    import math
+
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = sim_ops.valid_vectors(emb, "embedding").count()
+    n_lists = sim_ops.auto_n_lists(n)
+    cent = sim_ops.ivf_train(emb, n_lists=n_lists)
+    norms = np.sqrt((cent**2).sum(axis=1))
+    cent_bad = int(
+        cent.shape[0] != n_lists
+        or not np.isfinite(cent).all()
+        or bool((np.abs(norms - 1.0) > 1e-9).any())
+    )
+    assigned = sim_ops.ivf_assign(emb, cent).localCheckpoint(eager=False)
+    cent_df = spark.createDataFrame(
+        [(c, [float(v) for v in cent[c]]) for c in range(n_lists)],
+        "c int, cvec array<double>",
+    )
+    withnorm = assigned.withColumn(
+        "_vecd", F.transform("nvec", lambda x: x.cast("double"))
+    ).withColumn(
+        "_norm",
+        F.greatest(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("_vecd", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            F.lit(1e-30),
+        ),
+    )
+    # constant-key broadcast HASH join (not a nested loop): every
+    # vector scores every centroid — the n×n_lists expansion is the
+    # law's definition, the KB-scale centroid side rides a broadcast
+    scored = withnorm.withColumn("_k", F.lit(0)).join(
+        F.broadcast(cent_df.withColumn("_k", F.lit(0))), "_k"
+    ).withColumn(
+        "dot",
+        F.aggregate(
+            F.zip_with(
+                "_vecd", "cvec", lambda a, b: (a / F.col("_norm")) * b
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    opt = (
+        scored.groupBy("nid")
+        .agg(
+            F.max("dot").alias("_maxdot"),
+            F.max(
+                F.when(F.col("c") == F.col("list_id"), F.col("dot"))
+            ).alias("_assigned"),
+        )
+        .agg(
+            F.sum(
+                F.coalesce(
+                    (
+                        F.col("_assigned") < F.col("_maxdot") - F.lit(1e-9)
+                    ).cast("int"),
+                    F.lit(1),
+                )
+            ).alias("_opt_v")
+        )
+        .withColumn("_k", F.lit(0))
+    )
+    agg = assigned.agg(
+        F.count("*").alias("_n"),
+        F.sum(
+            ((F.col("list_id") < 0) | (F.col("list_id") >= n_lists)).cast(
+                "long"
+            )
+        ).alias("_range_v"),
+        (F.count("*") - F.count_distinct(F.col("nid"))).alias("_dup"),
+        F.min(F.size("nvec")).alias("_dim"),
+    ).withColumn("_k", F.lit(0))
+    return agg.join(F.broadcast(opt), "_k").select(
+        F.col("_n").cast("long").alias("n_assigned"),
+        F.col("_dim").cast("long").alias("dim"),
+        F.lit(n_lists).cast("long").alias("n_lists"),
+        F.lit(cent_bad).cast("long").alias("n_cent_bad"),
+        F.col("_range_v").cast("long").alias("n_range_violation"),
+        F.col("_opt_v").cast("long").alias("n_opt_violation"),
+        F.col("_dup").cast("long").alias("n_dup_keys"),
+    )
+
+
+_SQL_IVF_INVARIANTS = f"""
+WITH v AS (
+  SELECT count(*)::BIGINT AS n, min(len(embedding))::BIGINT AS dim
+  FROM embeddings WHERE {_d_valid_vec()}
+)
+SELECT n AS n_assigned,
+       dim,
+       greatest(4, least(CAST(ceil(sqrt(n)) AS BIGINT), 4096))::BIGINT
+         AS n_lists,
+       0::BIGINT AS n_cent_bad,
+       0::BIGINT AS n_range_violation,
+       0::BIGINT AS n_opt_violation,
+       0::BIGINT AS n_dup_keys
+FROM v
+"""
+
+
 def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT distinct users per event_type via mergeable bitmap
     partials: per-(type, day) bitmaps built once, rolled up to
@@ -5923,6 +6062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_members": q_kcore_members,
         "hll_rollup": q_hll_rollup,
         "activity_pipeline": q_activity_pipeline,
+        "ivf_invariants": q_ivf_invariants,
         # ---- implementation CHANGED in round 9 (see header) ----
         "pagerank_invariants": q_pagerank_invariants,
         "ppr_invariants": q_ppr_invariants,
@@ -6030,6 +6170,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": _SQL_PRICING,
         "activity_pipeline": _SQL_ACTIVITY_PIPELINE,
+        "ivf_invariants": _SQL_IVF_INVARIANTS,
         "agg_suite": _SQL_AGG_SUITE,
         "quantiles": _SQL_QUANTILES,
         "profile_table": _SQL_PROFILE,

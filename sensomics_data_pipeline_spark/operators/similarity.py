@@ -799,6 +799,53 @@ def ivf_train(
     return cent
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every valid vector to its IVF list: ``list_id =
+    argmax(normalized_vec · centroid)`` over a trained
+    :func:`ivf_train` matrix — the index-building half of
+    :func:`ivf_topk`, exposed so an index can be built once, persisted
+    as a table, and probed by many query batches (and so the
+    ``ivf_invariants`` certification can verify the operator's own
+    assignments against an independent JVM-side argmax).
+
+    Returns ``(nid, nvec, list_id)``. Distributed: the KB-scale
+    centroid matrix ships in the task closure; one BLAS matmul per
+    Arrow batch, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    def assign_lists(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["nvec"]), dtype=np.float64)
+            mat_n = mat / _norms_guarded(mat)[:, None]
+            yield pd.DataFrame(
+                {
+                    "nid": pdf["nid"].to_numpy(dtype=np.int64),
+                    "nvec": pdf["nvec"],
+                    "list_id": np.argmax(mat_n @ cent.T, axis=1).astype(
+                        np.int32
+                    ),
+                }
+            )
+
+    return (
+        valid_vectors(df, vec_col)
+        .select(F.col(key_col).alias("nid"), F.col(vec_col).alias("nvec"))
+        .mapInPandas(
+            assign_lists, "nid long, nvec array<float>, list_id int"
+        )
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     key_col: str = "vec_id",
@@ -868,21 +915,6 @@ def ivf_topk(
                 f"centroids rows {cent.shape[0]} != n_lists {n_lists}"
             )
 
-    def assign_lists(batches: Iterator) -> Iterator:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = np.array(list(pdf["nvec"]), dtype=np.float64)
-            mat_n = mat / _norms_guarded(mat)[:, None]
-            out = pd.DataFrame(
-                {
-                    "nid": pdf["nid"].to_numpy(dtype=np.int64),
-                    "nvec": pdf["nvec"],
-                    "list_id": np.argmax(mat_n @ cent.T, axis=1).astype(np.int32),
-                }
-            )
-            yield out
-
     def probe_lists(batches: Iterator) -> Iterator:
         for pdf in batches:
             if not len(pdf):
@@ -899,11 +931,7 @@ def ivf_topk(
             )
 
     vdf = valid_vectors(df, vec_col)
-    index = vdf.select(
-        F.col(key_col).alias("nid"), F.col(vec_col).alias("nvec")
-    ).mapInPandas(
-        assign_lists, "nid long, nvec array<float>, list_id int"
-    )
+    index = ivf_assign(df, cent, key_col, vec_col)
     queries = (
         vdf.select(F.col(key_col).alias("query_id"), F.col(vec_col).alias("qvec"))
         .mapInPandas(

@@ -4196,3 +4196,27 @@ def test_auto_rerank_memoizes_per_dataset(spark):
             spark.createDataFrame(rows[: 5 + j], schema), k=5
         )
     assert len(sim_mod._AUTO_RERANK_MEMO) <= sim_mod._AUTO_RERANK_MEMO_MAX
+
+
+def test_ivf_assign_matches_numpy_argmax(spark):
+    """ivf_assign (the index-building half of ivf_topk, public since
+    r10 for the ivf_invariants law) reproduces a direct numpy argmax
+    of normalized-vector x centroid cosine, keeps one row per valid
+    vector, and drops NULL/empty vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(0, 1, (40, 8))
+    cent = rng.normal(0, 1, (6, 8))
+    cent = cent / np.linalg.norm(cent, axis=1)[:, None]
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    rows += [(100, None), (101, [])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim_ops.ivf_assign(df, cent)
+    got = {r["nid"]: r["list_id"] for r in out.collect()}
+    assert len(got) == 40 and 100 not in got and 101 not in got
+    # float32 storage: recompute expectation from the float32 rounding
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    vn = v32 / np.maximum(np.linalg.norm(v32, axis=1), 1e-30)[:, None]
+    expect = np.argmax(vn @ cent.T, axis=1)
+    assert got == {i: int(expect[i]) for i in range(40)}
