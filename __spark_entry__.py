@@ -3882,12 +3882,16 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds (stream-static broadcast join) and the eval gram set
     (broadcast set probe) — so the stream itself is shuffle-free.
     The gate is BY-VALUE (``score >= threshold``; a stream cannot rank
-    against unseen documents), which the oracle mirrors exactly."""
+    against unseen documents), which the oracle mirrors exactly.
+    Since r10 the availableNow pass is memoized per (application,
+    sf_dir, knobs): this query and ``ingest_dedup_handoff`` consume
+    ONE shared run's survivors — the production sink/scan boundary —
+    instead of each paying a separate streaming pass."""
     from sensomics_data_pipeline_spark.streaming.ingest import (
-        corpus_ingest_stream,
+        corpus_ingest_survivors,
     )
 
-    return corpus_ingest_stream(
+    return corpus_ingest_survivors(
         spark, sf_dir, keep_frac=0.6, eval_source="src0"
     )
 
@@ -3921,8 +3925,9 @@ def q_ingest_dedup_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest pipeline deliberately keeps dedup batch-only (dedup needs
     corpus-global state a shuffle-free append stream cannot hold —
     docs/ROADMAP.md); this query certifies that the handoff loses
-    nothing. The STREAMING ingest's survivor set (availableNow run of
-    ``corpus_ingest_stream`` — scrub → repetition → by-value gate →
+    nothing. The STREAMING ingest's survivor set (the memoized
+    availableNow run shared with ``streaming_ingest`` — scrub →
+    repetition → by-value gate →
     decontamination, shuffle-free) is handed to the BATCH exact-dedup
     stage (content-hash clusters over the scrubbed text, the
     ``prepare_corpus`` stage-5 operator), and the DuckDB oracle states
@@ -3937,10 +3942,10 @@ def q_ingest_dedup_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup is one shuffle on the 60-bit content hash."""
     from sensomics_data_pipeline_spark.operators.text import scrub_pii
     from sensomics_data_pipeline_spark.streaming.ingest import (
-        corpus_ingest_stream,
+        corpus_ingest_survivors,
     )
 
-    surv = corpus_ingest_stream(
+    surv = corpus_ingest_survivors(
         spark, sf_dir, keep_frac=0.6, eval_source="src0"
     ).select("doc_id")
     docs = _t(spark, sf_dir, "documents")
