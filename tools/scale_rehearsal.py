@@ -483,9 +483,158 @@ def pr_rehearsal(spark) -> list[tuple]:
     return rows
 
 
+def tri_kcore_rehearsal(spark) -> list[tuple]:
+    """100x rehearsal for triangle_counts and k_core under HUB SKEW
+    (r9 verdict ask #4) — the quadratic failure mode for wedge
+    enumeration. Graph: a WHEEL (one hub adjacent to every rim node,
+    rim closed into a cycle — naive wedge volume at the hub is
+    C(d, 2), 5e9 pairs at d=100k) plus rank-8 cliques. Under degree
+    ordering the hub's oriented out-degree is 0 and every rim node's
+    is <= 3, so the measured oriented wedge volume stays ~|E| — the
+    arboricity bound in action, and the law the wall-clock slope
+    must follow.
+
+    Closed-form truth asserted per size: total triangles =
+    d + 56*n_cliques (one per rim edge + C(8,3) per clique); the hub
+    participates in exactly d; the 3-core is the whole wheel + all
+    cliques; the 4-core is the cliques alone (rim degree 3 < 4 peels
+    in round 1, the hub cascades in round 2)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from sensomics_data_pipeline_spark.operators.graph import (
+        k_core,
+        triangle_counts,
+    )
+
+    def wheel_clique_pairs(d: int, n_cliques: int):
+        hub = 0
+        spokes = spark.range(d).select(
+            F.lit(hub).alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        rim = spark.range(d).select(
+            (F.col("id") + 1).alias("src"),
+            ((F.col("id") + 1) % d + 1).alias("dst"),
+        )
+        base = 10_000_000
+        cliq = (
+            spark.range(n_cliques)
+            .select(F.col("id").alias("k"))
+            .crossJoin(spark.range(8).select(F.col("id").alias("i")))
+            .crossJoin(spark.range(8).select(F.col("id").alias("j")))
+            .filter(F.col("i") < F.col("j"))
+            .select(
+                (base + F.col("k") * 10 + F.col("i")).alias("src"),
+                (base + F.col("k") * 10 + F.col("j")).alias("dst"),
+            )
+        )
+        return spokes.unionByName(rim).unionByName(cliq)
+
+    def wedge_volumes(pairs):
+        """(naive, oriented) wedge counts: sum C(deg,2) over nodes vs
+        sum C(outdeg,2) under the operator's (degree, id) orientation."""
+        e = pairs.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        ).filter(F.col("a") != F.col("b")).distinct()
+        und = e.select(F.col("a").alias("n"), F.col("b").alias("m")).unionAll(
+            e.select(F.col("b").alias("n"), F.col("a").alias("m"))
+        )
+        deg = und.groupBy("n").agg(F.count("*").alias("deg"))
+        naive = deg.agg(
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        ).first()[0]
+        dd = und.join(deg, "n").join(
+            deg.select(
+                F.col("n").alias("m"), F.col("deg").alias("deg_m")
+            ),
+            "m",
+        )
+        oriented_src = dd.filter(
+            (F.col("deg") < F.col("deg_m"))
+            | ((F.col("deg") == F.col("deg_m")) & (F.col("n") < F.col("m")))
+        )
+        outdeg = oriented_src.groupBy("n").agg(F.count("*").alias("od"))
+        oriented = outdeg.agg(
+            F.sum(F.col("od") * (F.col("od") - 1) / 2)
+        ).first()[0]
+        return int(naive), int(oriented)
+
+    rows = []
+    for name, d, n_cliques in (
+        ("graph_1x", 1_000, 200),
+        ("graph_100x", 100_000, 20_000),
+    ):
+        pairs = wheel_clique_pairs(d, n_cliques)
+        n_edges = pairs.count()
+        naive_w, oriented_w = wedge_volumes(pairs)
+
+        t0 = time.time()
+        tri = triangle_counts(pairs).localCheckpoint(eager=True)
+        el_tri = time.time() - t0
+        agg = tri.agg(
+            F.sum("n_triangles").alias("s"), F.max("n_triangles").alias("mx")
+        ).first()
+        total_tri = int(agg["s"]) // 3
+        assert int(agg["s"]) % 3 == 0
+        expect_tri = d + 56 * n_cliques
+        assert total_tri == expect_tri, (total_tri, expect_tri)
+        assert int(agg["mx"]) == d, (agg["mx"], d)  # the hub's count
+
+        t0 = time.time()
+        core3 = k_core(pairs, 3).localCheckpoint(eager=True)
+        el_k3 = time.time() - t0
+        n3 = core3.count()
+        assert n3 == (d + 1) + 8 * n_cliques, (n3, d, n_cliques)
+        t0 = time.time()
+        core4 = k_core(pairs, 4).localCheckpoint(eager=True)
+        el_k4 = time.time() - t0
+        n4 = core4.count()
+        assert n4 == 8 * n_cliques, (n4, n_cliques)
+
+        rows.append(
+            (name, n_edges, naive_w, oriented_w, el_tri, el_k3, el_k4)
+        )
+        print(
+            f"{name:12s} edges {n_edges:8d}  naive_wedges {naive_w:12d}  "
+            f"oriented {oriented_w:8d}  tri {el_tri:6.2f}s  "
+            f"k3 {el_k3:6.2f}s  k4 {el_k4:6.2f}s",
+            flush=True,
+        )
+    return rows
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from sensomics_data_pipeline_spark.session import get_spark
+
+    if len(sys.argv) > 1 and sys.argv[1] == "graphs_100x":
+        out_md = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE_r10.md"
+        spark = get_spark("scale_rehearsal")
+        rows = tri_kcore_rehearsal(spark)
+        with open(out_md, "a") as f:
+            f.write(
+                "\n## triangle_counts / k_core 100x hub-skew rehearsal\n\n"
+                "Wheel graph (hub degree d, rim cycle) + rank-8 cliques; "
+                "closed-form triangle totals, hub participation, and "
+                "3-/4-core membership asserted in-harness (all passed). "
+                "naive_wedges = sum C(deg,2) (what a non-degree-ordered "
+                "enumeration would generate); oriented_wedges = sum "
+                "C(outdeg,2) under the operator's (degree, id) "
+                "orientation — the volume the wedge join actually "
+                "materializes.\n\n"
+                "| graph | edges | naive wedges | oriented wedges | "
+                "triangles (s) | 3-core (s) | 4-core (s) |\n"
+                "|---|---|---|---|---|---|---|\n"
+            )
+            for name, ne, nw, ow, t, k3, k4 in rows:
+                f.write(
+                    f"| {name} | {ne} | {nw} | {ow} | {t:.2f} | "
+                    f"{k3:.2f} | {k4:.2f} |\n"
+                )
+        print(f"appended graph rehearsal table to {out_md}")
+        return
 
     if len(sys.argv) > 1 and sys.argv[1] == "embeddings_100x":
         # 100x embeddings rehearsal (r7 verdict ask): (a) WALLS of the
