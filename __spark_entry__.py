@@ -4786,6 +4786,86 @@ FROM v
 """
 
 
+def q_ivf_pq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-hash certification of the FUSED IVF-PQ index build
+    (``ivf_pq_index``, the one-vector-read pass ``ivf_pq_topk``
+    ships) — closes the last family member's rows-only lean: with
+    ``ivf_invariants`` pinning list-assignment optimality and
+    ``pq_invariants`` pinning per-subspace code optimality, this
+    query pins FUSED ≡ STANDALONE, so the fused index inherits both
+    optimality certifications by composition. Laws, violation
+    counters pinned at 0 on both engines:
+
+    - ``n_indexed``: every valid vector appears in the fused index
+      AND in both standalone paths (the inner 3-way join on vec_id
+      must conserve the row count the oracle re-derives from
+      ``embeddings`` — a drop or duplication anywhere shrinks or
+      inflates it);
+    - ``n_list_mismatch``: fused ``list_id`` equals
+      ``ivf_assign``'s for every vector (identical float64 argmax on
+      identical inputs — any divergence is a real defect, not noise);
+    - ``n_code_mismatch``: fused ``codes`` array equals
+      ``pq_encode``'s element-for-element;
+    - ``n_range_violation``: fused lists in [0, n_lists), fused codes
+      all in [0, n_codes);
+    - ``n_dup_keys``: one fused index row per vec_id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    m, n_codes = 16, 32
+    n = sim_ops.valid_vectors(emb, "embedding").count()
+    n_lists = sim_ops.auto_n_lists(n)
+    cent = sim_ops.ivf_train(emb, n_lists=n_lists)
+    books = sim_ops.pq_train(emb, m=m, n_codes=n_codes)
+    fused = sim_ops.ivf_pq_index(emb, cent, books)
+    lists = sim_ops.ivf_assign(emb, cent).select(
+        "nid", F.col("list_id").alias("_l2")
+    )
+    codes = sim_ops.pq_encode(emb, books).select(
+        "nid", F.col("codes").alias("_c2")
+    )
+    j = fused.join(lists, "nid").join(codes, "nid")
+    return j.agg(
+        F.count("*").cast("long").alias("n_indexed"),
+        F.lit(n_lists).cast("long").alias("n_lists"),
+        F.lit(m).cast("long").alias("m_subspaces"),
+        F.lit(n_codes).cast("long").alias("n_codes"),
+        F.sum((F.col("list_id") != F.col("_l2")).cast("long"))
+        .cast("long")
+        .alias("n_list_mismatch"),
+        F.sum((F.col("codes") != F.col("_c2")).cast("long"))
+        .cast("long")
+        .alias("n_code_mismatch"),
+        F.sum(
+            (
+                (F.col("list_id") < 0)
+                | (F.col("list_id") >= n_lists)
+                | F.exists("codes", lambda c: (c < 0) | (c >= n_codes))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_range_violation"),
+        (F.count("*") - F.count_distinct(F.col("nid")))
+        .cast("long")
+        .alias("n_dup_keys"),
+    )
+
+
+_SQL_IVF_PQ_INVARIANTS = f"""
+WITH v AS (
+  SELECT count(*)::BIGINT AS n FROM embeddings WHERE {_d_valid_vec()}
+)
+SELECT n AS n_indexed,
+       greatest(4, least(CAST(ceil(sqrt(n)) AS BIGINT), 4096))::BIGINT
+         AS n_lists,
+       16::BIGINT AS m_subspaces,
+       32::BIGINT AS n_codes,
+       0::BIGINT AS n_list_mismatch,
+       0::BIGINT AS n_code_mismatch,
+       0::BIGINT AS n_range_violation,
+       0::BIGINT AS n_dup_keys
+FROM v
+"""
+
+
 def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT distinct users per event_type via mergeable bitmap
     partials: per-(type, day) bitmaps built once, rolled up to
@@ -6000,21 +6080,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window = the FULL 27-query r7-aged rotation queue (the r9
     # verdict's top ask, honored in full and leading the window), the
     # corpus pair (debris-sensitive bench target, kept EARLY), the 2
-    # queries NEW this round (activity_pipeline: the reference's
+    # queries NEW this round (3 total — activity_pipeline: the reference's
     # entry-point-3 COMPOSITION — W1 dedup → W2/W3 counter-reset
     # intervals → W7 merge → J4 step subtraction → J3+A2 in-sleep
     # quantile thresholds → W5+A3/A4 5-min categorize → W6 merge →
     # J4×2 interval algebra → union — as ONE driver hash, the r9
     # verdict's last local-only surface; and ivf_invariants: the
     # per-list assignment-optimality full-hash twin of rows-only
-    # embedding_ivf), the entries whose implementation changed in
+    # embedding_ivf; and ivf_pq_invariants: fused-index ≡ standalone
+    # equivalence, so the fused build inherits both optimality
+    # certifications by composition), the entries whose implementation changed in
     # round 10 (streaming_ingest + ingest_dedup_handoff now share ONE
     # memoized availableNow pass; pagerank/ppr gained the NaN-weight
     # and n_iter=0 guards; the embedding_pq / embedding_ivf /
     # embedding_ivf_pq / ann_invariants family sits on the ivf_assign
     # refactor and the memoized shuffle-free auto_rerank sampler),
-    # and the 11 stalest r8-checked entries. The 28 r8-checked entries
-    # left outside (join_revenue_by_nation, kmeans_invariants,
+    # and the 10 stalest r8-checked entries. The 29 r8-checked entries
+    # left outside (interval_merge, join_revenue_by_nation, kmeans_invariants,
     # lag_dedup, map_functions, merge_idempotency, merge_upsert,
     # ngram_jaccard, pack_invariants, paragraph_dedup, profile_table,
     # repetition_signals, resample_ffill, rolling_1h,
@@ -6068,6 +6150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- NEW in r10 (never driver-checked) ----
         "activity_pipeline": q_activity_pipeline,
         "ivf_invariants": q_ivf_invariants,
+        "ivf_pq_invariants": q_ivf_pq_invariants,
         # ---- implementation CHANGED in round 10 (see header) ----
         "streaming_ingest": q_streaming_ingest,
         "ingest_dedup_handoff": q_ingest_dedup_handoff,
@@ -6088,10 +6171,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution": q_entity_resolution,
         "feature_scaling": q_feature_scaling,
         "holdout_split": q_holdout_split,
-        "interval_merge": q_interval_merge,
-        # ---- positions 51+: first the 28 remaining r8-checked entries
+        # ---- positions 51+: first the 29 remaining r8-checked entries
         # (next in line for r11), then the r9-checked entries — every
         # tail entry holds a green driver row at most 2 rounds old ----
+        "interval_merge": q_interval_merge,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "kmeans_invariants": q_kmeans_invariants,
         "lag_dedup": q_lag_dedup,
@@ -6169,6 +6252,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _SQL_PRICING,
         "activity_pipeline": _SQL_ACTIVITY_PIPELINE,
         "ivf_invariants": _SQL_IVF_INVARIANTS,
+        "ivf_pq_invariants": _SQL_IVF_PQ_INVARIANTS,
         "agg_suite": _SQL_AGG_SUITE,
         "quantiles": _SQL_QUANTILES,
         "profile_table": _SQL_PROFILE,

@@ -1122,6 +1122,58 @@ def pq_encode(
     ).mapInPandas(encode, "nid long, codes array<int>")
 
 
+def ivf_pq_index(
+    df: DataFrame,
+    centroids,
+    codebooks,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the fused IVF-PQ index in ONE distributed pass:
+    ``(nid, list_id, codes)`` — the coarse-quantizer list assignment
+    (:func:`ivf_assign` semantics) and the PQ codes
+    (:func:`pq_encode` semantics) computed together per Arrow batch,
+    so the 10^8-vector index build reads the vectors once instead of
+    twice. Public since r10 so the ``ivf_pq_invariants`` law can pin
+    fused ≡ standalone (each standalone path carries its own
+    optimality certification)."""
+    import numpy as np
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    mloc, _, dsub = books.shape
+
+    def index_pass(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["_vec"]), dtype=np.float64)
+            mat_n = mat / _norms_guarded(mat)[:, None]
+            codes = np.empty((len(mat_n), mloc), dtype=np.int32)
+            for j in range(mloc):
+                sub = mat_n[:, j * dsub : (j + 1) * dsub]
+                d2 = (
+                    (sub**2).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ books[j].T)
+                    + (books[j] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "nid": pdf["nid"].to_numpy(dtype=np.int64),
+                    "list_id": np.argmax(mat_n @ cent.T, axis=1).astype(
+                        np.int32
+                    ),
+                    "codes": list(codes),
+                }
+            )
+
+    return valid_vectors(df, vec_col).select(
+        F.col(key_col).alias("nid"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(index_pass, "nid long, list_id int, codes array<int>")
+
+
 def _exact_rerank(
     candidates: DataFrame,
     vectors: DataFrame,
@@ -1448,31 +1500,6 @@ def ivf_pq_topk(
     dsub = books.shape[2]
     mloc = books.shape[0]
 
-    def index_pass(batches: Iterator) -> Iterator:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = np.array(list(pdf["_vec"]), dtype=np.float64)
-            mat_n = mat / _norms_guarded(mat)[:, None]
-            codes = np.empty((len(mat_n), mloc), dtype=np.int32)
-            for j in range(mloc):
-                sub = mat_n[:, j * dsub : (j + 1) * dsub]
-                d2 = (
-                    (sub**2).sum(axis=1)[:, None]
-                    - 2.0 * (sub @ books[j].T)
-                    + (books[j] ** 2).sum(axis=1)[None, :]
-                )
-                codes[:, j] = np.argmin(d2, axis=1)
-            yield pd.DataFrame(
-                {
-                    "nid": pdf["nid"].to_numpy(dtype=np.int64),
-                    "list_id": np.argmax(mat_n @ cent.T, axis=1).astype(
-                        np.int32
-                    ),
-                    "codes": list(codes),
-                }
-            )
-
     def probe_pass(batches: Iterator) -> Iterator:
         for pdf in batches:
             if not len(pdf):
@@ -1489,9 +1516,7 @@ def ivf_pq_topk(
             )
 
     vdf = valid_vectors(df, vec_col)
-    index = vdf.select(
-        F.col(key_col).alias("nid"), F.col(vec_col).alias("_vec")
-    ).mapInPandas(index_pass, "nid long, list_id int, codes array<int>")
+    index = ivf_pq_index(df, cent, books, key_col, vec_col)
     queries = (
         vdf.select(F.col(key_col).alias("query_id"), F.col(vec_col).alias("qvec"))
         .mapInPandas(probe_pass, "query_id long, qvec array<float>, probes array<int>")
