@@ -2668,6 +2668,53 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (``text.bm25_scores``): top-20 documents
+    for the query bag {spark, join, vector} by (rounded score,
+    doc_id) — the lexical-relevance slice operator of a curation
+    pipeline. Global top-k via orderBy+limit (TakeOrderedAndProject:
+    per-partition heaps, no global sort or unpartitioned window).
+    tf/df/dl/N are integer-exact on both engines; ln() is the one
+    libm call, so scores are rounded to 6 on both sides (measured
+    r10: JVM Math.log and DuckDB ln differ in the last ulp on ~10%
+    of idf inputs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text_ops.bm25_scores(docs, ["spark", "join", "vector"])
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+_SQL_BM25 = f"""
+WITH base AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(len(toks)) AS avgdl FROM base
+), tok AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM base
+), tf AS (
+  SELECT doc_id, dl, token, count(*)::BIGINT AS tf FROM tok
+  WHERE token IN ('spark', 'join', 'vector')
+  GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), per_term AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * ((tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / s.avgdl)))
+           AS _s
+  FROM tf JOIN dfreq USING (token) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(_s), 6) AS bm25,
+       count(*)::BIGINT AS n_terms_hit
+FROM per_term GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label element-wise embedding centroids in long form
     (label, pos, n_vecs, centroid) — exact via 1e-6 fixed-point long
@@ -6089,14 +6136,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-list assignment-optimality full-hash twin of rows-only
     # embedding_ivf; and ivf_pq_invariants: fused-index ≡ standalone
     # equivalence, so the fused build inherits both optimality
-    # certifications by composition), the entries whose implementation changed in
+    # certifications by composition; and bm25_topk: Okapi BM25
+    # lexical retrieval, NEW operator text.bm25_scores), the entries whose implementation changed in
     # round 10 (streaming_ingest + ingest_dedup_handoff now share ONE
     # memoized availableNow pass; pagerank/ppr gained the NaN-weight
     # and n_iter=0 guards; the embedding_pq / embedding_ivf /
     # embedding_ivf_pq / ann_invariants family sits on the ivf_assign
     # refactor and the memoized shuffle-free auto_rerank sampler),
-    # and the 10 stalest r8-checked entries. The 29 r8-checked entries
-    # left outside (interval_merge, join_revenue_by_nation, kmeans_invariants,
+    # and the 9 stalest r8-checked entries. The 30 r8-checked entries
+    # left outside (holdout_split, interval_merge, join_revenue_by_nation, kmeans_invariants,
     # lag_dedup, map_functions, merge_idempotency, merge_upsert,
     # ngram_jaccard, pack_invariants, paragraph_dedup, profile_table,
     # repetition_signals, resample_ffill, rolling_1h,
@@ -6151,6 +6199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_pipeline": q_activity_pipeline,
         "ivf_invariants": q_ivf_invariants,
         "ivf_pq_invariants": q_ivf_pq_invariants,
+        "bm25_topk": q_bm25_topk,
         # ---- implementation CHANGED in round 10 (see header) ----
         "streaming_ingest": q_streaming_ingest,
         "ingest_dedup_handoff": q_ingest_dedup_handoff,
@@ -6170,10 +6219,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "entity_resolution": q_entity_resolution,
         "feature_scaling": q_feature_scaling,
-        "holdout_split": q_holdout_split,
-        # ---- positions 51+: first the 29 remaining r8-checked entries
+        # ---- positions 51+: first the 30 remaining r8-checked entries
         # (next in line for r11), then the r9-checked entries — every
         # tail entry holds a green driver row at most 2 rounds old ----
+        "holdout_split": q_holdout_split,
         "interval_merge": q_interval_merge,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "kmeans_invariants": q_kmeans_invariants,
@@ -6253,6 +6302,7 @@ def oracle_sql() -> dict[str, str]:
         "activity_pipeline": _SQL_ACTIVITY_PIPELINE,
         "ivf_invariants": _SQL_IVF_INVARIANTS,
         "ivf_pq_invariants": _SQL_IVF_PQ_INVARIANTS,
+        "bm25_topk": _SQL_BM25,
         "agg_suite": _SQL_AGG_SUITE,
         "quantiles": _SQL_QUANTILES,
         "profile_table": _SQL_PROFILE,

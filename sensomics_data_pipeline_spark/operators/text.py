@@ -577,6 +577,85 @@ def tfidf_top_terms(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag-of-terms
+    query — the standard lexical retrieval score, used in a
+    training-data pipeline to pull topic-relevant slices out of a
+    crawl (and as the lexical half of hybrid BM25+embedding
+    retrieval). Output: ``(key, bm25, n_terms_hit)`` for every
+    document matching ≥ 1 query term.
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+        idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))   (Lucene's
+                   non-negative variant)
+
+    Plan shape: tokenize once; dl/avgdl/N from one aggregate
+    (broadcast-scalar attach); the explode is FILTERED to the query
+    terms before the tf groupBy, so the shuffled volume is
+    O(matching postings), not O(corpus tokens); df is a
+    |query_terms|-row broadcast. Scale: one corpus scan + one bounded
+    shuffle regardless of corpus size.
+
+    Engine parity: tf/df/dl/N are exact integers and avgdl is an
+    exact integer-sum average, so both engines build identical IEEE
+    expression trees; ln() is the one libm call (JVM vs libc differ
+    in the last ulp on ~10% of inputs — measured r10), so the final
+    score is ROUNDED on both sides (``round_decimals``, repo
+    convention for hash-borne doubles; None keeps raw floats)."""
+    from sensomics_data_pipeline_spark.util import fan_out, materialize
+
+    base = materialize(
+        fan_out(df), _toks=tokens(F.col(text_col))
+    ).select(F.col(key_col), F.size("_toks").alias("dl"), F.col("_toks"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).withColumn("_k", F.lit(0))
+    terms = [str(t) for t in query_terms]
+    tf = (
+        base.select(key_col, "dl", F.explode("_toks").alias("token"))
+        .filter(F.col("token").isin(terms))
+        .groupBy(key_col, "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .withColumn("_k", F.lit(0))
+        .join(F.broadcast(stats), "_k")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    agg = (
+        scored.withColumn("_s", idf * tf_norm)
+        .groupBy(key_col)
+        .agg(
+            F.sum("_s").alias("bm25"),
+            F.count("*").cast("long").alias("n_terms_hit"),
+        )
+    )
+    if round_decimals is not None:
+        agg = agg.withColumn(
+            "bm25", F.round("bm25", round_decimals)
+        )
+    return agg
+
+
 def quality_percentile_gate(
     df: DataFrame,
     keep_frac: float = 0.4,

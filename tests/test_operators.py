@@ -4220,3 +4220,44 @@ def test_ivf_assign_matches_numpy_argmax(spark):
     vn = v32 / np.maximum(np.linalg.norm(v32, axis=1), 1e-30)[:, None]
     expect = np.argmax(vn @ cent.T, axis=1)
     assert got == {i: int(expect[i]) for i in range(40)}
+
+
+def test_bm25_scores_matches_reference_formula(spark):
+    """bm25_scores reproduces a hand-computed Okapi BM25 (Lucene
+    non-negative idf) on a tiny corpus, only emits docs hitting >= 1
+    query term, and respects the rounding knob."""
+    import math
+
+    from sensomics_data_pipeline_spark.operators.text import bm25_scores
+
+    texts = {
+        1: "a b a c",
+        2: "b b d",
+        3: "a",
+        4: "x y z",   # no query term: absent from output
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    out = bm25_scores(df, ["a", "b"], round_decimals=6)
+    got = {r["doc_id"]: (r["bm25"], r["n_terms_hit"]) for r in out.collect()}
+    assert set(got) == {1, 2, 3}
+
+    n, k1, b = 4, 1.2, 0.75
+    dls = {k: len(v.split()) for k, v in texts.items()}
+    avgdl = sum(dls.values()) / n
+    dfreq = {"a": 2, "b": 2}
+    tfs = {1: {"a": 2, "b": 1}, 2: {"b": 2}, 3: {"a": 1}}
+
+    def score(doc):
+        s = 0.0
+        for t, tf in tfs[doc].items():
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * dls[doc] / avgdl)
+            )
+        return round(s, 6)
+
+    for doc in (1, 2, 3):
+        assert abs(got[doc][0] - score(doc)) < 1e-9, (doc, got[doc])
+        assert got[doc][1] == len(tfs[doc])
