@@ -127,6 +127,14 @@ SCALAR_BROADCAST_OK = {
     # k-row sketch broadcast onto exact counts + 1-row scalar
     # (kth-est, undercount mass) attachments — all bounded by k
     "hh_invariants",
+    # the optimality law's n_lists-row centroid broadcast (auto-sized
+    # ⌈√n⌉, clamped ≤ 4096 — KBs at any corpus scale) attached to
+    # every vector: the n×n_lists expansion IS the law's definition,
+    # same bounded-small-side class as hh_invariants
+    "ivf_invariants",
+    # 1-row corpus stats (N, avgdl) attached to the filtered posting
+    # rows — the standard attach-computed-scalars shape
+    "bm25_topk",
 }
 
 
