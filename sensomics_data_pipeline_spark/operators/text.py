@@ -619,11 +619,17 @@ def bm25_scores(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     ).withColumn("_k", F.lit(0))
     terms = [str(t) for t in query_terms]
+    # lazy checkpoint: tf feeds BOTH dfreq and the scored join — without
+    # a materialization seam each consumer re-runs the corpus
+    # scan+tokenize upstream (measured: 3 full tokenize passes; with
+    # the seam exactly 2 — the stats pass and this one, the minimum,
+    # since stats needs ALL docs and tf only matching postings)
     tf = (
         base.select(key_col, "dl", F.explode("_toks").alias("token"))
         .filter(F.col("token").isin(terms))
         .groupBy(key_col, "dl", "token")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     scored = (
