@@ -954,3 +954,64 @@ def test_hll_registers_match_python_reference(spark, vals):
         for r in hll_register_table(df, [], "v", p=8).collect()
     }
     assert got == ref
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "ee"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    terms=st.lists(
+        st.sampled_from(["a", "b", "dd"]), min_size=1, max_size=3, unique=True
+    ),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bm25_matches_pure_python_on_random_corpora(spark, docs, terms):
+    """Property: bm25_scores equals a from-scratch pure-Python Okapi
+    BM25 (Lucene idf) on arbitrary tiny corpora — coverage for empty
+    docs, tf>1, every-doc-matches, and no-doc-matches cases beyond
+    the pinned unit example."""
+    import math
+
+    from sensomics_data_pipeline_spark.operators.text import bm25_scores
+
+    texts = {i: " ".join(ws) for i, ws in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    out = bm25_scores(df, terms, round_decimals=6)
+    got = {r["doc_id"]: r["bm25"] for r in out.collect()}
+
+    n, k1, b = len(docs), 1.2, 0.75
+    dls = {i: len(ws) for i, ws in enumerate(docs)}
+    avgdl = sum(dls.values()) / n
+    dfreq = {
+        t: sum(1 for ws in docs if t in ws) for t in terms
+    }
+    expect = {}
+    for i, ws in enumerate(docs):
+        s = 0.0
+        hit = False
+        for t in terms:
+            tf = ws.count(t)
+            if not tf:
+                continue
+            hit = True
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * dls[i] / avgdl)
+            )
+        if hit:
+            expect[i] = round(s, 6)
+    assert set(got) == set(expect)
+    for i in expect:
+        assert abs(got[i] - expect[i]) < 1e-9, (i, got[i], expect[i])
