@@ -6114,6 +6114,311 @@ GROUP BY c.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Scale-path law queries (NEW r10 late): hot-key salting and the big-big
+# binned range join. Each runs the SCALE plan (shuffle-salted / binned)
+# and is hashed against the straightforward relational oracle — the law
+# is that the scale plan changes ROUTING, never results.
+# ---------------------------------------------------------------------------
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation law (``skew.salted_agg``): stage 1
+    aggregates on (group, salt) so one hot group splits across 16
+    reducers, stage 2 combines the partials. l_returnflag ×
+    l_linestatus has only 4 populated cells at any TPC-H scale — the
+    exact post-combine hot-key shape the helper exists for. sum/count/
+    min/max all have exact distributive combines (l_quantity is
+    integer-valued, so the two-stage double sum is order-exact)."""
+    from sensomics_data_pipeline_spark.operators import skew as skew_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = skew_ops.salted_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n_rows": ("l_quantity", "count"),
+            "sum_qty": ("l_quantity", "sum"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+_SQL_SKEW_SALTED_AGG = """
+SELECT l_returnflag, l_linestatus,
+       count(l_quantity)               AS n_rows,
+       round(sum(l_quantity), 2)       AS sum_qty,
+       round(min(l_extendedprice), 2)  AS min_price,
+       round(max(l_extendedprice), 2)  AS max_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salted join law (``skew.salted_join``): the 8 heaviest
+    customers' orders scatter over 8 salt variants while the customer
+    dim replicates ONLY those 8 rows; a SHUFFLE_HASH hint pins the
+    non-broadcast plan salting exists for. Result must equal the plain
+    equi-join — revenue by market segment. Hot keys are derived by
+    ``top_hot_keys`` (one count-agg + 8-row collect, the bounded-
+    scalar pattern); the result is invariant to the choice, so the
+    oracle certifies the law for the derived list."""
+    from sensomics_data_pipeline_spark.operators import skew as skew_ops
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    hot = skew_ops.top_hot_keys(orders, "o_custkey", n=8)
+    joined = skew_ops.salted_join(orders, cust, "o_custkey", hot, n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+_SQL_SKEW_SALTED_JOIN = """
+SELECT c.c_mktsegment,
+       count(*)                       AS n_orders,
+       round(sum(o.o_totalprice), 2)  AS revenue,
+       count(DISTINCT o.o_custkey)    AS n_customers
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_interval_semijoin_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3 scale path (``interval_semijoin_binned``): the big-big
+    twin of the broadcast containment semijoin — intervals explode
+    into 10-min epoch bins, points compute one bin, LEFT SEMI hash
+    join on (user, bin) + containment residual. No broadcast, no
+    BroadcastNestedLoop; both sides shuffle once on a bounded key.
+    Same merged purchase-lookback intervals as ``interval_semijoin``,
+    different aggregate surface — the oracle is the plain EXISTS
+    range predicate, so the binned routing is pinned result-exact."""
+    ev = _t(spark, sf_dir, "events")
+    intervals = q_interval_merge(spark, sf_dir)
+    kept = interval_ops.interval_semijoin_binned(
+        ev, intervals, ["user_id"], ts_col="ts", bin_width_s=600
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_in_interval"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+_SQL_INTERVAL_SEMIJOIN_BINNED = f"""
+WITH merged AS ({_SQL_INTERVAL_MERGE})
+SELECT e.event_type,
+       count(*)                    AS n_in_interval,
+       count(DISTINCT e.user_id)   AS n_users,
+       round(avg(e.value), 6)      AS avg_value
+FROM events e
+WHERE EXISTS (
+  SELECT 1 FROM merged m
+  WHERE m.user_id = e.user_id
+    AND e.ts >= m.start_time AND e.ts <= m.end_time
+)
+GROUP BY e.event_type
+"""
+
+
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between event types per user
+    timeline (``analytics.transition_matrix``): one lead-window pass
+    partitioned on the entity, a (from, to) group-count, and a
+    window-normalized P(to | from). The product-analytics staple next
+    to funnel/cohort; sequences never cross users so the shuffle key
+    is even at any scale."""
+    from sensomics_data_pipeline_spark.operators.analytics import (
+        transition_matrix,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(ev, "user_id", "event_type", ["ts", "event_id"])
+
+
+_SQL_TRANSITION_MATRIX = """
+WITH seq AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_state
+  FROM events
+), counts AS (
+  SELECT from_state, to_state, count(*) AS n_transitions
+  FROM seq WHERE to_state IS NOT NULL
+  GROUP BY from_state, to_state
+)
+SELECT from_state, to_state, n_transitions,
+       round(n_transitions::DOUBLE
+             / sum(n_transitions) OVER (PARTITION BY from_state), 6) AS p
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (NEW r10 late): distributed byte-pair-encoding
+# (operators/tokenizer.py) certified FULL-HASH against an unrolled
+# merge-stage DuckDB oracle — each of the 8 stages recomputes the pair
+# argmax and re-tokenizes the word table with a list_reduce fold, so the
+# oracle is a complete second implementation of the trainer, not an
+# invariants row.
+# ---------------------------------------------------------------------------
+
+_BPE_MEMO: dict = {}
+_BPE_MEMO_MAX = 4
+_BPE_N_MERGES = 8
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str):
+    """(merges, words) for the documents corpus at ``sf_dir``, trained
+    at most once per (application, sf_dir) — the ``_clique_pairs``
+    memo pattern; both BPE queries share one training run."""
+    from sensomics_data_pipeline_spark.operators import tokenizer as tok_ops
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BPE_MEMO.get(key)
+    if hit is not None:
+        _BPE_MEMO.pop(key)
+        _BPE_MEMO[key] = hit
+        return hit
+    docs = _t(spark, sf_dir, "documents")
+    val = tok_ops.bpe_train(spark, docs, "text", n_merges=_BPE_N_MERGES)
+    while len(_BPE_MEMO) >= _BPE_MEMO_MAX:
+        _BPE_MEMO.pop(next(iter(_BPE_MEMO)))
+    _BPE_MEMO[key] = val
+    return val
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table: 8 merges over the documents corpus
+    (whitespace pretokenization, character base vocabulary, ties on
+    count DESC then pair lexicographic). The trainer iterates on the
+    word-frequency table only (vocabulary-sized, never the corpus) with
+    one JVM fold + one 1-row argmax per merge — no Python UDFs. The
+    oracle replays ALL 8 stages in DuckDB (materialized CTE chain with
+    list_reduce folds), making this a trainer-vs-trainer full-value
+    certification."""
+    merges, _ = _bpe_trained(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_tok string, right_tok string, "
+        "merged string, pair_count long",
+    )
+
+
+def _sql_bpe_stages(k: int) -> str:
+    """The shared WITH-clause body: words + k unrolled merge stages.
+
+    Mirrors ``tokenizer.bpe_train`` exactly: per stage, adjacent-pair
+    counts weighted by word frequency, argmax with (cnt DESC, a, b)
+    tie-break, then a left-to-right greedy fold re-tokenizing every
+    word (DuckDB list slicing is INCLUSIVE, hence acc[:len(acc)-1]).
+    MATERIALIZED pins each stage to evaluate once (the chain is
+    re-referenced twice per stage, which un-materialized CTE inlining
+    turns exponential)."""
+    parts = [
+        """
+words AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS n,
+         list_transform(range(1, len(word)+1), i -> word[i]) AS toks
+  FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x != '')) AS word
+        FROM documents)
+  GROUP BY word
+)"""
+    ]
+    for i in range(1, k + 1):
+        prev = "words" if i == 1 else f"w{i-1}"
+        parts.append(
+            f"""
+p{i} AS MATERIALIZED (
+  SELECT toks[i] AS a, toks[i+1] AS b, sum(n)::BIGINT AS cnt
+  FROM {prev}, unnest(range(1, len(toks))) AS t(i)
+  GROUP BY 1, 2
+),
+best{i} AS MATERIALIZED (
+  SELECT a, b, a || b AS m, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
+),
+w{i} AS MATERIALIZED (
+  SELECT word, n,
+         CASE WHEN len(toks) < 2 THEN toks ELSE
+           list_reduce(list_transform(toks, t -> [t]),
+             (acc, t) -> CASE WHEN acc[-1] = best{i}.a AND t[1] = best{i}.b
+                          THEN acc[:len(acc)-1] || [best{i}.m]
+                          ELSE acc || t END)
+         END AS toks
+  FROM {prev} CROSS JOIN best{i}
+)"""
+        )
+    return ",".join(parts)
+
+
+_SQL_BPE_MERGES = (
+    "WITH "
+    + _sql_bpe_stages(_BPE_N_MERGES)
+    + "\nSELECT * FROM (\n  "
+    + "\n  UNION ALL ".join(
+        f"SELECT {i}::INT AS merge_rank, a AS left_tok, b AS right_tok, "
+        f"m AS merged, cnt AS pair_count FROM best{i}"
+        for i in range(1, _BPE_N_MERGES + 1)
+    )
+    + "\n) ORDER BY merge_rank"
+)
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the trained vocabulary and roll up BPE
+    token counts per language. The scale path is the word-table JOIN
+    (``tokenizer.bpe_token_counts``) — per-document merge loops never
+    run; a 100-TB corpus pays one explode + one join. Shares the
+    memoized training run with ``bpe_merges``."""
+    from sensomics_data_pipeline_spark.operators import tokenizer as tok_ops
+
+    _, words = _bpe_trained(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    counted = tok_ops.bpe_token_counts(docs, words, "text")
+    return counted.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        F.round(F.avg("n_bpe_tokens"), 6).alias("avg_bpe_tokens"),
+    )
+
+
+_SQL_BPE_TOKEN_STATS = (
+    "WITH "
+    + _sql_bpe_stages(_BPE_N_MERGES)
+    + f"""
+, doc_words AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> x != '')) AS word
+  FROM documents
+), per_doc AS (
+  SELECT dw.doc_id, dw.lang, sum(len(w.toks))::BIGINT AS n_bpe_tokens
+  FROM doc_words dw JOIN w{_BPE_N_MERGES} w USING (word)
+  GROUP BY dw.doc_id, dw.lang
+)
+SELECT lang, count(*) AS n_docs,
+       sum(n_bpe_tokens)::BIGINT AS total_bpe_tokens,
+       round(avg(n_bpe_tokens), 6) AS avg_bpe_tokens
+FROM per_doc GROUP BY lang
+"""
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, SF0001)
@@ -6137,14 +6442,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # embedding_ivf; and ivf_pq_invariants: fused-index ≡ standalone
     # equivalence, so the fused build inherits both optimality
     # certifications by composition; and bm25_topk: Okapi BM25
-    # lexical retrieval, NEW operator text.bm25_scores), the entries whose implementation changed in
+    # lexical retrieval, NEW operator text.bm25_scores; PLUS 4 late-r10
+    # additions — skew_salted_agg + skew_salted_join: the hot-key
+    # salting laws certifying operators/skew.py, interval_semijoin_binned:
+    # the big-big shuffle twin of the broadcast containment semijoin,
+    # transition_matrix: per-entity Markov transitions, and bpe_merges +
+    # bpe_token_stats: the distributed BPE trainer certified
+    # trainer-vs-trainer against an unrolled 8-stage DuckDB oracle),
+    # the entries whose implementation changed in
     # round 10 (streaming_ingest + ingest_dedup_handoff now share ONE
     # memoized availableNow pass; pagerank/ppr gained the NaN-weight
     # and n_iter=0 guards; the embedding_pq / embedding_ivf /
     # embedding_ivf_pq / ann_invariants family sits on the ivf_assign
     # refactor and the memoized shuffle-free auto_rerank sampler),
-    # and the 9 stalest r8-checked entries. The 30 r8-checked entries
-    # left outside (holdout_split, interval_merge, join_revenue_by_nation, kmeans_invariants,
+    # and the 3 stalest r8-checked entries. The 36 r8-checked entries
+    # left outside (cube_agg, distribution_drift, domain_mix,
+    # embedding_near_dup, entity_resolution, feature_scaling —
+    # displaced by the 6 late-r10 never-checked
+    # queries — plus holdout_split, interval_merge, join_revenue_by_nation, kmeans_invariants,
     # lag_dedup, map_functions, merge_idempotency, merge_upsert,
     # ngram_jaccard, pack_invariants, paragraph_dedup, profile_table,
     # repetition_signals, resample_ffill, rolling_1h,
@@ -6200,6 +6515,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_invariants": q_ivf_invariants,
         "ivf_pq_invariants": q_ivf_pq_invariants,
         "bm25_topk": q_bm25_topk,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
+        "interval_semijoin_binned": q_interval_semijoin_binned,
+        "transition_matrix": q_transition_matrix,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_stats": q_bpe_token_stats,
         # ---- implementation CHANGED in round 10 (see header) ----
         "streaming_ingest": q_streaming_ingest,
         "ingest_dedup_handoff": q_ingest_dedup_handoff,
@@ -6213,15 +6534,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_cust_avg": q_above_cust_avg,
         "char_diversity": q_char_diversity,
         "chunk_documents": q_chunk_documents,
+        # ---- positions 51+: first the 6 r8-checked fills displaced by
+        # the 6 late-r10 queries (never-checked takes precedence over
+        # staleness fills, per the policy above), then the remaining
+        # r8-checked entries (next in line for r11), then the
+        # r9-checked entries — every tail entry holds a green driver
+        # row at most 2 rounds old ----
         "cube_agg": q_cube_agg,
         "distribution_drift": q_distribution_drift,
         "domain_mix": q_domain_mix,
         "embedding_near_dup": q_embedding_near_dup,
         "entity_resolution": q_entity_resolution,
         "feature_scaling": q_feature_scaling,
-        # ---- positions 51+: first the 30 remaining r8-checked entries
-        # (next in line for r11), then the r9-checked entries — every
-        # tail entry holds a green driver row at most 2 rounds old ----
         "holdout_split": q_holdout_split,
         "interval_merge": q_interval_merge,
         "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -6303,6 +6627,12 @@ def oracle_sql() -> dict[str, str]:
         "ivf_invariants": _SQL_IVF_INVARIANTS,
         "ivf_pq_invariants": _SQL_IVF_PQ_INVARIANTS,
         "bm25_topk": _SQL_BM25,
+        "skew_salted_agg": _SQL_SKEW_SALTED_AGG,
+        "skew_salted_join": _SQL_SKEW_SALTED_JOIN,
+        "interval_semijoin_binned": _SQL_INTERVAL_SEMIJOIN_BINNED,
+        "transition_matrix": _SQL_TRANSITION_MATRIX,
+        "bpe_merges": _SQL_BPE_MERGES,
+        "bpe_token_stats": _SQL_BPE_TOKEN_STATS,
         "agg_suite": _SQL_AGG_SUITE,
         "quantiles": _SQL_QUANTILES,
         "profile_table": _SQL_PROFILE,

@@ -48,6 +48,7 @@ def _clear_module_memos() -> None:
 
         em._CLIQUE_PAIR_MEMO.clear()
         em._CORPUS_MEMO.clear()
+        em._BPE_MEMO.clear()
     except Exception:
         pass
     try:

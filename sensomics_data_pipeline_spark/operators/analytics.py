@@ -259,3 +259,45 @@ def trend_slope(
             6,
         ).alias("corr_xy"),
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    entity_col: str,
+    state_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: for each ordered pair of consecutive states within an
+    entity's timeline, the transition count and the row-normalized
+    probability P(to | from).
+
+    Plan: one ``lead`` window pass partitioned by the entity (the
+    natural shuffle key — sequences never cross entities, so this
+    distributes evenly at any scale), a (from, to) group-count, and a
+    window-normalize over the from-state marginals. ``order_cols``
+    must make the per-entity ordering total (include a tie-break id).
+
+    Output: ``from_state, to_state, n_transitions, p`` (p rounded 6).
+    """
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    pairs = (
+        df.withColumn("_next", F.lead(state_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .select(
+            F.col(state_col).alias("from_state"),
+            F.col("_next").alias("to_state"),
+        )
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    marginal = Window.partitionBy("from_state")
+    return counts.withColumn(
+        "p",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(marginal),
+            6,
+        ),
+    )

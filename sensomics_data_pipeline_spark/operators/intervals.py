@@ -263,3 +263,62 @@ def interval_semijoin(
         cond = (df[c] == intervals[c]) & cond
     how = "left_anti" if anti else "left_semi"
     return df.join(F.broadcast(intervals), on=cond, how=how)
+
+
+def interval_semijoin_binned(
+    df: DataFrame,
+    intervals: DataFrame,
+    partition_cols: list[str],
+    ts_col: str = "date_time",
+    start_col: str = "start_time",
+    end_col: str = "end_time",
+    bin_width_s: int = 3600,
+    anti: bool = False,
+) -> DataFrame:
+    """J2/J3 at big-big scale: the shuffle-partitioned twin of
+    ``interval_semijoin`` for when the interval side is too large to
+    broadcast (the scale path that function's docstring promises).
+
+    Plan: the interval side explodes into epoch bins of ``bin_width_s``
+    via ``sequence()`` (one row per covered bin); the point side
+    computes its single bin with ``floor(unix(ts)/W)``. A LEFT SEMI
+    (or LEFT ANTI) hash join on ``(partition_cols..., bin)`` with the
+    containment residual replaces the broadcast range join — both
+    sides shuffle once on a bounded equi-key, no build-side size
+    limit, no BroadcastNestedLoop. Semi/anti semantics absorb the
+    one-interval-many-bins replication for free (no dedup pass: a
+    probe row matches at most once per semantics, and its bin is
+    unique). Cost scales with Σ interval_length / W on the build
+    side; pick ``bin_width_s`` near the typical interval length.
+
+    Because the join is a plain equi-join, Catalyst still broadcasts
+    the exploded side when it happens to fit (optimal) and falls back
+    to a sort-merge/shuffled-hash join when it doesn't — unlike the
+    broadcast range join, which hard-fails once the build side
+    outgrows memory (degradation plan-asserted in
+    ``tests/test_skew_rangejoin.py``).
+
+    Same inclusive-bounds convention as ``interval_semijoin``
+    (touching timestamps match — ``check_overlap``,
+    ``/root/reference/activity_categorize.py:145-149``).
+    """
+    w = int(bin_width_s)
+    binned_iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / w),
+                F.floor(F.unix_timestamp(F.col(end_col)) / w),
+            )
+        ),
+    )
+    probe = df.withColumn("_bin", F.floor(F.unix_timestamp(F.col(ts_col)) / w))
+    cond = (
+        (probe["_bin"] == binned_iv["_bin"])
+        & (probe[ts_col] >= binned_iv[start_col])
+        & (probe[ts_col] <= binned_iv[end_col])
+    )
+    for c in partition_cols:
+        cond = (probe[c] == binned_iv[c]) & cond
+    how = "left_anti" if anti else "left_semi"
+    return probe.join(binned_iv, on=cond, how=how).drop("_bin")

@@ -46,20 +46,30 @@ def salted_agg(
     )
 
 
+def _salted_struct(key_col: str, salt: Column) -> Column:
+    # the salted join key is a STRUCT (key, salt), not a string concat:
+    # no separator exists for a hostile key value to collide with
+    # ("a" + sep + "1" vs a literal key "a<sep>1"), and the original
+    # key type survives (no lossy string cast in the join condition)
+    return F.struct(
+        F.col(key_col).alias("k"), salt.cast("int").alias("s")
+    )
+
+
 def with_salted_key(
     df: DataFrame, key_col: str, hot_keys: list, n_salts: int = 8,
     salted_col: str = "_salted_key",
 ) -> DataFrame:
-    """Explicit join-salting: hot keys get ``key#salt`` variants (the
-    dimension side must be exploded with ``explode_salts`` to match).
-    For when AQE skew-join can't help (e.g. broadcast ineligible)."""
+    """Explicit join-salting: hot keys get ``(key, salt)`` struct
+    variants with salt in [0, n_salts); cold keys carry ``(key, -1)``
+    (the dimension side must be exploded with ``explode_salts`` to
+    match). For when AQE skew-join can't help (e.g. broadcast
+    ineligible)."""
     is_hot = F.col(key_col).isin(hot_keys)
-    salt = (F.rand(seed=42) * n_salts).cast("int")
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     return df.withColumn(
         salted_col,
-        F.when(
-            is_hot, F.concat_ws("#", F.col(key_col).cast("string"), salt.cast("string"))
-        ).otherwise(F.col(key_col).cast("string")),
+        _salted_struct(key_col, F.when(is_hot, salt).otherwise(F.lit(-1))),
     )
 
 
@@ -75,9 +85,56 @@ def explode_salts(
     ).otherwise(F.array(F.lit(-1)))
     exploded = dim.withColumn("_s", F.explode(salts))
     return exploded.withColumn(
-        salted_col,
-        F.when(
-            F.col("_s") >= 0,
-            F.concat_ws("#", F.col(key_col).cast("string"), F.col("_s").cast("string")),
-        ).otherwise(F.col(key_col).cast("string")),
+        salted_col, _salted_struct(key_col, F.col("_s"))
     ).drop("_s")
+
+
+def top_hot_keys(df: DataFrame, key_col: str, n: int = 8) -> list:
+    """Find the ``n`` heaviest keys — the inputs ``with_salted_key``
+    needs. One distributed count + a bounded n-row collect (the same
+    bounded-scalar pattern as the threshold derivations); at 100 TB
+    this is a partial-agg count whose result is n values on the
+    driver. Ties break on the key itself so the list is deterministic.
+    """
+    rows = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), F.col(key_col))
+        .limit(int(n))
+        .collect()
+    )
+    return [r[key_col] for r in rows]
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    hot_keys: list,
+    n_salts: int = 8,
+    how: str = "inner",
+    force_shuffle: bool = True,
+) -> DataFrame:
+    """Composed hot-key-salted equi-join: rows of ``fact`` whose key is
+    in ``hot_keys`` scatter across ``n_salts`` shuffle partitions while
+    ``dim`` replicates ONLY its hot rows ``n_salts`` times (cold rows
+    ship once — replication cost is |hot ∩ dim| × n_salts, not
+    |dim| × n_salts). The join result is bit-identical to the plain
+    equi-join for every ``hot_keys`` / ``n_salts`` choice — salting
+    only re-routes rows — which is the law the driver oracle pins.
+
+    ``force_shuffle`` pins a SHUFFLE_HASH hint on the dim side so the
+    certified plan is the plan salting exists for (a too-big-to-
+    broadcast dim); without it Catalyst would broadcast any small test
+    dim and the salt would route nothing. At 100 TB the hint is also
+    the right default: the exploded dim is smaller than the fact but
+    above the broadcast threshold.
+
+    Output: fact columns + dim columns minus the (duplicate) key.
+    ``how`` supports inner / left outer semantics of the plain join.
+    """
+    f = with_salted_key(fact, key_col, hot_keys, n_salts)
+    d = explode_salts(dim, key_col, hot_keys, n_salts).drop(key_col)
+    if force_shuffle:
+        d = d.hint("shuffle_hash")
+    return f.join(d, on="_salted_key", how=how).drop("_salted_key")

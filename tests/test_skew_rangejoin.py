@@ -1,0 +1,294 @@
+"""Laws for the scale-path helpers: hot-key salting (operators/skew.py)
+and the binned big-big containment semijoin (interval_semijoin_binned).
+
+Every law here is 'the scale plan re-routes rows, never changes
+results': salted aggregation ≡ plain aggregation, salted join ≡ plain
+join, binned semijoin ≡ broadcast semijoin — asserted on adversarial
+inputs (keys containing the separator character, hot keys missing from
+one side, intervals spanning many bins, touching bounds).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensomics_data_pipeline_spark.operators import intervals as iv_ops
+from sensomics_data_pipeline_spark.operators import skew as skew_ops
+
+
+def _sorted_rows(df, cols=None):
+    cols = cols or df.columns
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# salted_agg
+# ---------------------------------------------------------------------------
+
+def test_salted_agg_matches_plain(spark):
+    # one hot key (80% of rows) + a long tail, ints so sums are exact
+    rows = [("hot", i % 7, float(i % 100)) for i in range(800)]
+    rows += [(f"k{i % 40}", i % 5, float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, sub int, v double")
+    got = skew_ops.salted_agg(
+        df,
+        ["k"],
+        {
+            "n": ("v", "count"),
+            "total": ("v", "sum"),
+            "lo": ("v", "min"),
+            "hi": ("v", "max"),
+        },
+        n_salts=16,
+    )
+    want = df.groupBy("k").agg(
+        F.count("v").alias("n"),
+        F.sum("v").alias("total"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    assert _sorted_rows(got, ["k", "n", "total", "lo", "hi"]) == _sorted_rows(
+        want, ["k", "n", "total", "lo", "hi"]
+    )
+
+
+def test_salted_agg_two_stage_plan(spark):
+    """Stage 1 must actually group on the salt (two aggregate layers)."""
+    df = spark.range(100).select(
+        F.lit("k").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    plan = skew_ops.salted_agg(
+        df, ["k"], {"total": ("v", "sum")}, n_salts=4
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan
+
+
+# ---------------------------------------------------------------------------
+# salted_join
+# ---------------------------------------------------------------------------
+
+def _join_fixture(spark):
+    # fact: skewed key 1 dominates; include a key with the '#' char and
+    # a key missing from the dim
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(500)]
+        + [(k, k * 10) for k in range(2, 30)]
+        + [(999, 0)],
+        "key int, x int",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"name{k}") for k in range(1, 30)], "key int, name string"
+    )
+    return fact, dim
+
+
+def test_salted_join_inner_matches_plain(spark):
+    fact, dim = _join_fixture(spark)
+    got = skew_ops.salted_join(fact, dim, "key", hot_keys=[1, 2], n_salts=8)
+    want = fact.join(dim, on="key", how="inner")
+    cols = ["key", "x", "name"]
+    assert _sorted_rows(got.select(*cols)) == _sorted_rows(want.select(*cols))
+
+
+def test_salted_join_left_matches_plain(spark):
+    fact, dim = _join_fixture(spark)
+    got = skew_ops.salted_join(
+        fact, dim, "key", hot_keys=[1, 999], n_salts=4, how="left"
+    )
+    want = fact.join(dim, on="key", how="left")
+    cols = ["key", "x", "name"]
+    assert _sorted_rows(got.select(*cols)) == _sorted_rows(want.select(*cols))
+
+
+def test_salted_join_separator_cannot_collide(spark):
+    # a plain key that LOOKS like a salted variant ("a#1") must not
+    # match hot key "a"'s salt-1 replica
+    fact = spark.createDataFrame(
+        [("a", 1), ("a#1", 2), ("a\x1f1", 3)], "key string, x int"
+    )
+    dim = spark.createDataFrame(
+        [("a", "A"), ("a#1", "HASH"), ("a\x1f1", "US")], "key string, name string"
+    )
+    got = skew_ops.salted_join(fact, dim, "key", hot_keys=["a"], n_salts=4)
+    want = fact.join(dim, on="key", how="inner")
+    cols = ["key", "x", "name"]
+    # the struct (key, salt) join key makes collision impossible; the
+    # original string-concat design failed exactly this case ('a\x1f1'
+    # matched hot key 'a' salt 1)
+    assert _sorted_rows(got.select(*cols)) == _sorted_rows(want.select(*cols))
+
+
+def test_salted_join_is_not_broadcast(spark):
+    fact, dim = _join_fixture(spark)
+    plan = (
+        skew_ops.salted_join(fact, dim, "key", hot_keys=[1], n_salts=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_explode_salts_replicates_only_hot_rows(spark):
+    _, dim = _join_fixture(spark)
+    out = skew_ops.explode_salts(dim, "key", hot_keys=[1, 2, 12345], n_salts=5)
+    # 29 dim rows, 2 hot rows present → 27 + 2*5
+    assert out.count() == 27 + 2 * 5
+
+
+def test_top_hot_keys_deterministic(spark):
+    df = spark.createDataFrame(
+        [("b",)] * 5 + [("a",)] * 5 + [("c",)] * 2, "k string"
+    )
+    assert skew_ops.top_hot_keys(df, "k", n=2) == ["a", "b"]
+
+
+# ---------------------------------------------------------------------------
+# interval_semijoin_binned
+# ---------------------------------------------------------------------------
+
+def _interval_fixture(spark):
+    t0 = datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [
+            ("u1", t0 + timedelta(seconds=s), s)
+            for s in range(0, 50_000, 137)
+        ]
+        + [("u2", t0 + timedelta(seconds=s), s) for s in range(0, 9_000, 911)],
+        "user_id string, ts timestamp, x int",
+    )
+    ivs = spark.createDataFrame(
+        [
+            # short interval inside one bin
+            ("u1", t0 + timedelta(seconds=100), t0 + timedelta(seconds=300)),
+            # interval spanning MANY 600-s bins
+            ("u1", t0 + timedelta(seconds=10_000), t0 + timedelta(seconds=20_000)),
+            # touching bounds: point at exactly start / end must match
+            ("u2", t0 + timedelta(seconds=911), t0 + timedelta(seconds=1822)),
+            # interval for a user with no points
+            ("u3", t0, t0 + timedelta(seconds=50_000)),
+        ],
+        "user_id string, start_time timestamp, end_time timestamp",
+    )
+    return pts, ivs
+
+
+@pytest.mark.parametrize("anti", [False, True])
+def test_binned_semijoin_matches_broadcast(spark, anti):
+    pts, ivs = _interval_fixture(spark)
+    got = iv_ops.interval_semijoin_binned(
+        pts, ivs, ["user_id"], ts_col="ts", bin_width_s=600, anti=anti
+    )
+    want = iv_ops.interval_semijoin(
+        pts, ivs, ["user_id"], ts_col="ts", anti=anti
+    )
+    cols = ["user_id", "ts", "x"]
+    assert _sorted_rows(got.select(*cols)) == _sorted_rows(want.select(*cols))
+    # schema law: the helper bin column must not leak
+    assert got.columns == pts.columns
+
+
+def test_binned_semijoin_inclusive_bounds(spark):
+    t0 = datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [("u", t0, 0), ("u", t0 + timedelta(seconds=60), 1),
+         ("u", t0 + timedelta(seconds=61), 2)],
+        "user_id string, ts timestamp, x int",
+    )
+    ivs = spark.createDataFrame(
+        [("u", t0, t0 + timedelta(seconds=60))],
+        "user_id string, start_time timestamp, end_time timestamp",
+    )
+    got = iv_ops.interval_semijoin_binned(
+        pts, ivs, ["user_id"], ts_col="ts", bin_width_s=7
+    )
+    assert sorted(r["x"] for r in got.collect()) == [0, 1]
+
+
+def test_binned_semijoin_no_broadcast_range_join(spark):
+    pts, ivs = _interval_fixture(spark)
+    plan = (
+        iv_ops.interval_semijoin_binned(
+            pts, ivs, ["user_id"], ts_col="ts", bin_width_s=600
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_binned_semijoin_degrades_to_shuffle_join(spark):
+    """The whole point of the binned twin: when the interval side is
+    too big to broadcast, the plan is a shuffled EQUI join on
+    (user, bin) — never a nested-loop. Simulate 'too big' by turning
+    the broadcast threshold off."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pts, ivs = _interval_fixture(spark)
+        plan = (
+            iv_ops.interval_semijoin_binned(
+                pts, ivs, ["user_id"], ts_col="ts", bin_width_s=600
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ---------------------------------------------------------------------------
+# transition_matrix
+# ---------------------------------------------------------------------------
+
+def test_transition_matrix_hand_case(spark):
+    from sensomics_data_pipeline_spark.operators.analytics import (
+        transition_matrix,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # u1: a -> b -> a -> c ; u2: b -> b
+        ("u1", t0 + timedelta(seconds=1), 1, "a"),
+        ("u1", t0 + timedelta(seconds=2), 2, "b"),
+        ("u1", t0 + timedelta(seconds=3), 3, "a"),
+        ("u1", t0 + timedelta(seconds=4), 4, "c"),
+        ("u2", t0 + timedelta(seconds=1), 5, "b"),
+        ("u2", t0 + timedelta(seconds=2), 6, "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id int, event_type string")
+    out = transition_matrix(df, "user_id", "event_type", ["ts", "event_id"])
+    got = {
+        (r["from_state"], r["to_state"]): (r["n_transitions"], r["p"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 0.5),
+        ("a", "c"): (1, 0.5),
+        ("b", "a"): (1, 0.5),
+        ("b", "b"): (1, 0.5),
+    }
+
+
+def test_transition_matrix_rows_sum_to_one(spark, sf_dir):
+    from sensomics_data_pipeline_spark.operators.analytics import (
+        transition_matrix,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = transition_matrix(ev, "user_id", "event_type", ["ts", "event_id"])
+    sums = (
+        out.groupBy("from_state")
+        .agg(F.round(F.sum("p"), 4).alias("s"))
+        .collect()
+    )
+    for r in sums:
+        assert abs(r["s"] - 1.0) < 2e-3  # rounding of p to 6 dp per cell

@@ -605,9 +605,87 @@ def tri_kcore_rehearsal(spark) -> list[tuple]:
     return rows
 
 
+def rangejoin_rehearsal(spark, entrymod, replicas: int = 10) -> list[tuple]:
+    """Binned vs broadcast containment semijoin at ``replicas``× events
+    (late-r10 operator ``interval_semijoin_binned``): the law (both
+    plans agree row-for-row on the aggregate) re-asserted at volume,
+    plus walls for (a) the broadcast plan, (b) the binned plan with
+    Catalyst free to choose, and (c) the binned plan with broadcast
+    DISABLED — the true big-big path a 100-TB interval side forces."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from sensomics_data_pipeline_spark.operators import intervals as iv_ops
+
+    big_dir = build_events_replica(spark, replicas)
+    ev = spark.read.parquet(f"{big_dir}/events.parquet")
+    intervals = entrymod.q_interval_merge(spark, big_dir)
+    n_iv = intervals.count()
+
+    def agg(kept):
+        return kept.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+
+    def run(fn):
+        t0 = _time.time()
+        out = sorted(map(tuple, agg(fn()).collect()))
+        return out, _time.time() - t0
+
+    bc, t_bc = run(
+        lambda: iv_ops.interval_semijoin(ev, intervals, ["user_id"], ts_col="ts")
+    )
+    binned, t_binned = run(
+        lambda: iv_ops.interval_semijoin_binned(
+            ev, intervals, ["user_id"], ts_col="ts", bin_width_s=600
+        )
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffled, t_shuffled = run(
+            lambda: iv_ops.interval_semijoin_binned(
+                ev, intervals, ["user_id"], ts_col="ts", bin_width_s=600
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert bc == binned == shuffled, "law violated at volume"
+    n_kept = sum(r[1] for r in bc)
+    return [(replicas, n_iv, n_kept, t_bc, t_binned, t_shuffled)]
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from sensomics_data_pipeline_spark.session import get_spark
+
+    if len(sys.argv) > 1 and sys.argv[1] == "rangejoin_10x":
+        out_md = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE_r10.md"
+        spark = get_spark("scale_rehearsal")
+        rows = rangejoin_rehearsal(spark, entrymod, replicas=10)
+        with open(out_md, "a") as f:
+            f.write(
+                "\n## interval_semijoin_binned 10x rehearsal "
+                "(binned vs broadcast containment semijoin)\n\n"
+                "10x users => 10x interval rows; the three plans "
+                "(broadcast range join; binned equi-join with Catalyst "
+                "free to broadcast the exploded side; binned equi-join "
+                "with broadcast DISABLED — the forced big-big shuffle "
+                "path) agree cell-for-cell on the aggregate "
+                "(asserted in-harness).\n\n"
+                "| replicas | interval rows | events kept | broadcast "
+                "(s) | binned/auto (s) | binned/shuffle (s) |\n"
+                "|---|---|---|---|---|---|\n"
+            )
+            for rep, n_iv, n_kept, t_bc, t_b, t_s in rows:
+                f.write(
+                    f"| {rep} | {n_iv} | {n_kept} | {t_bc:.2f} | "
+                    f"{t_b:.2f} | {t_s:.2f} |\n"
+                )
+        print(f"appended rangejoin rehearsal table to {out_md}")
+        return
 
     if len(sys.argv) > 1 and sys.argv[1] == "graphs_100x":
         out_md = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE_r10.md"
