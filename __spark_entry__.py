@@ -6235,6 +6235,114 @@ GROUP BY e.event_type
 """
 
 
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (``dq.dq_report``): five declared checks over
+    lineitem — not-null key, quantity range (INTENTIONALLY tight at
+    [1,49] so the 50-quantity rows register as real violations),
+    accepted returnflags (R registers), composite-key uniqueness, and
+    referential integrity to orders. All three row-level checks fuse
+    into ONE aggregate scan (stack to long afterwards); unique is one
+    group-count; fk is one broadcast anti-join. The oracle recomputes
+    every counter relationally — including the NONZERO ones, so the
+    check logic itself is certified, not just the happy path."""
+    from sensomics_data_pipeline_spark.operators import dq as dq_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return dq_ops.dq_report(
+        li,
+        [
+            {"type": "not_null", "column": "l_orderkey"},
+            {"type": "range", "column": "l_quantity", "lo": 1, "hi": 49},
+            {
+                "type": "accepted_values",
+                "column": "l_returnflag",
+                "values": ["A", "N"],
+            },
+            {"type": "unique", "columns": ["l_orderkey", "l_linenumber"]},
+            {"type": "fk", "column": "l_orderkey", "ref": orders,
+             "ref_column": "o_orderkey"},
+        ],
+    )
+
+
+_SQL_DQ_REPORT = """
+SELECT * FROM (
+  SELECT 'accepted_values' AS "check", 'l_returnflag' AS target,
+         (SELECT count(*) FROM lineitem)::BIGINT AS n_checked,
+         (SELECT count(*) FROM lineitem
+          WHERE l_returnflag IS NOT NULL
+            AND l_returnflag NOT IN ('A', 'N'))::BIGINT AS n_violations
+  UNION ALL
+  SELECT 'fk', 'l_orderkey->o_orderkey',
+         (SELECT count(*) FROM lineitem)::BIGINT,
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+  UNION ALL
+  SELECT 'not_null', 'l_orderkey',
+         (SELECT count(*) FROM lineitem)::BIGINT,
+         (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)::BIGINT
+  UNION ALL
+  SELECT 'range[1,49]', 'l_quantity',
+         (SELECT count(*) FROM lineitem)::BIGINT,
+         (SELECT count(*) FROM lineitem
+          WHERE l_quantity IS NOT NULL
+            AND (l_quantity < 1 OR l_quantity > 49))::BIGINT
+  UNION ALL
+  SELECT 'unique', 'l_orderkey,l_linenumber',
+         (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber
+                                FROM lineitem))::BIGINT,
+         (SELECT coalesce(sum(c), 0) FROM (
+            SELECT count(*) AS c FROM lineitem
+            GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))::BIGINT
+) ORDER BY "check", target
+"""
+
+
+def q_bloom_join_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-style semi-join shuffle reduction law
+    (``skew.bloom_prefilter_join``): lineitem is prefiltered by the
+    broadcast OCCUPIED-BUCKET table of a selective orders dim
+    (urgent + high-value) before the exact equi-join — the k=1 Bloom
+    filter expressed relationally, ≤ n_buckets rows broadcast no
+    matter how big the dim. n_buckets is set low (2^14) so bucket
+    COLLISIONS genuinely occur at sf≥0.01 and the oracle certifies
+    that false positives flow through to the exact join without
+    changing results."""
+    from sensomics_data_pipeline_spark.operators import skew as skew_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 150000.0)
+        )
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        )
+    )
+    joined = skew_ops.bloom_prefilter_join(
+        li, dim, "l_orderkey", n_buckets=1 << 14
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+_SQL_BLOOM_JOIN_REDUCE = """
+SELECT l.l_returnflag, count(*) AS n_rows,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000.0
+GROUP BY l.l_returnflag
+"""
+
+
 def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transitions between event types per user
     timeline (``analytics.transition_matrix``): one lead-window pass
@@ -6446,19 +6554,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additions — skew_salted_agg + skew_salted_join: the hot-key
     # salting laws certifying operators/skew.py, interval_semijoin_binned:
     # the big-big shuffle twin of the broadcast containment semijoin,
-    # transition_matrix: per-entity Markov transitions, and bpe_merges +
+    # transition_matrix: per-entity Markov transitions, bpe_merges +
     # bpe_token_stats: the distributed BPE trainer certified
-    # trainer-vs-trainer against an unrolled 8-stage DuckDB oracle),
-    # the entries whose implementation changed in
+    # trainer-vs-trainer against an unrolled 8-stage DuckDB oracle,
+    # bloom_join_reduce: Bloom-style semi-join shuffle reduction
+    # with collisions exercised, and dq_report: the declared data-quality
+    # gate with nonzero violation counters certified), the entries whose implementation changed in
     # round 10 (streaming_ingest + ingest_dedup_handoff now share ONE
     # memoized availableNow pass; pagerank/ppr gained the NaN-weight
     # and n_iter=0 guards; the embedding_pq / embedding_ivf /
     # embedding_ivf_pq / ann_invariants family sits on the ivf_assign
     # refactor and the memoized shuffle-free auto_rerank sampler),
-    # and the 3 stalest r8-checked entries. The 36 r8-checked entries
-    # left outside (cube_agg, distribution_drift, domain_mix,
-    # embedding_near_dup, entity_resolution, feature_scaling —
-    # displaced by the 6 late-r10 never-checked
+    # and the stalest r8-checked entry. The 38 r8-checked entries
+    # left outside (char_diversity, chunk_documents, cube_agg,
+    # distribution_drift, domain_mix, embedding_near_dup,
+    # entity_resolution, feature_scaling — displaced by the 8 late-r10
+    # never-checked
     # queries — plus holdout_split, interval_merge, join_revenue_by_nation, kmeans_invariants,
     # lag_dedup, map_functions, merge_idempotency, merge_upsert,
     # ngram_jaccard, pack_invariants, paragraph_dedup, profile_table,
@@ -6521,6 +6632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_matrix": q_transition_matrix,
         "bpe_merges": q_bpe_merges,
         "bpe_token_stats": q_bpe_token_stats,
+        "bloom_join_reduce": q_bloom_join_reduce,
+        "dq_report": q_dq_report,
         # ---- implementation CHANGED in round 10 (see header) ----
         "streaming_ingest": q_streaming_ingest,
         "ingest_dedup_handoff": q_ingest_dedup_handoff,
@@ -6532,14 +6645,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_invariants": q_ann_invariants,
         # ---- last driver-checked r8 (the 11 stalest picks) ----
         "above_cust_avg": q_above_cust_avg,
-        "char_diversity": q_char_diversity,
-        "chunk_documents": q_chunk_documents,
-        # ---- positions 51+: first the 6 r8-checked fills displaced by
-        # the 6 late-r10 queries (never-checked takes precedence over
+        # ---- positions 51+: first the 8 r8-checked fills displaced by
+        # the 8 late-r10 queries (never-checked takes precedence over
         # staleness fills, per the policy above), then the remaining
         # r8-checked entries (next in line for r11), then the
         # r9-checked entries — every tail entry holds a green driver
         # row at most 2 rounds old ----
+        "char_diversity": q_char_diversity,
+        "chunk_documents": q_chunk_documents,
         "cube_agg": q_cube_agg,
         "distribution_drift": q_distribution_drift,
         "domain_mix": q_domain_mix,
@@ -6633,6 +6746,8 @@ def oracle_sql() -> dict[str, str]:
         "transition_matrix": _SQL_TRANSITION_MATRIX,
         "bpe_merges": _SQL_BPE_MERGES,
         "bpe_token_stats": _SQL_BPE_TOKEN_STATS,
+        "bloom_join_reduce": _SQL_BLOOM_JOIN_REDUCE,
+        "dq_report": _SQL_DQ_REPORT,
         "agg_suite": _SQL_AGG_SUITE,
         "quantiles": _SQL_QUANTILES,
         "profile_table": _SQL_PROFILE,

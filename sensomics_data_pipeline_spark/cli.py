@@ -326,6 +326,33 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_bpe(args) -> int:
+    from sensomics_data_pipeline_spark.operators.tokenizer import (
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    merges, words = bpe_train(
+        spark, df, args.text_col, n_merges=args.n_merges
+    )
+    merges_df = spark.createDataFrame(
+        merges,
+        "merge_rank int, left_tok string, right_tok string, "
+        "merged string, pair_count long",
+    )
+    merges_df.coalesce(1).write.mode("overwrite").parquet(
+        f"{args.out}/merges.parquet"
+    )
+    if args.counts:
+        bpe_token_counts(df, words, args.text_col).write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/token_counts.parquet")
+    print(f"wrote {args.out} ({len(merges)} merges)")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="sensomics-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -507,6 +534,21 @@ def main(argv=None) -> int:
     pr.add_argument("--exact", action="store_true",
                     help="table: exact distinct counts instead of HLL")
     pr.set_defaults(fn=cmd_profile)
+
+    bp = sub.add_parser(
+        "bpe",
+        help="train BPE merges on a document corpus (writes "
+        "merges.parquet, optionally per-doc token counts)",
+    )
+    bp.add_argument("input", help="parquet with a text column")
+    bp.add_argument("out", help="output directory")
+    bp.add_argument("--text-col", default="text")
+    bp.add_argument("--n-merges", type=int, default=8)
+    bp.add_argument(
+        "--counts", action="store_true",
+        help="also tokenize the corpus and write per-doc BPE token counts",
+    )
+    bp.set_defaults(fn=cmd_bpe)
 
     args = p.parse_args(argv)
     # argparse-level validation with clear messages (instead of an

@@ -1,8 +1,11 @@
-"""Skew-mitigation utilities for hot keys (100-TB design, SURVEY.md §4.2).
+"""Shuffle-economy utilities (100-TB design, SURVEY.md §4.2): hot-key
+salting and semi-join shuffle reduction.
 
 AQE's skew-join handles join-side skew at runtime; these helpers cover
 the cases AQE doesn't: aggregation skew (one device/user producing a
-large fraction of rows) and deliberate two-stage combines.
+large fraction of rows), deliberate two-stage combines, explicit
+join salting when broadcast is ineligible, and Bloom-style fact
+prefiltering ahead of a big-big join.
 """
 
 from __future__ import annotations
@@ -138,3 +141,50 @@ def salted_join(
     if force_shuffle:
         d = d.hint("shuffle_hash")
     return f.join(d, on="_salted_key", how=how).drop("_salted_key")
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    n_buckets: int = 1 << 20,
+    how: str = "inner",
+) -> DataFrame:
+    """Big-big join with a Bloom-style semi-join reduction: before the
+    fact table shuffles for the real equi-join, it is prefiltered by a
+    broadcast table of the dim side's OCCUPIED HASH BUCKETS —
+    ``distinct(pmod(xxhash64(key), n_buckets))``, at most ``n_buckets``
+    rows no matter how large the dim is (a k=1 Bloom filter expressed
+    relationally; false-positive rate ≈ the bucket load factor).
+
+    Why: when the dim is join-selective (most fact keys have no
+    match), the dominant cost of the shuffle join is shipping fact
+    rows that will be dropped anyway. The bucket table removes them
+    BEFORE the exchange for the price of one broadcast ≤ n_buckets
+    longs; bucket collisions only let extra rows through to the exact
+    join, never change its result — the law the driver oracle pins.
+    (Spark's own runtime row-level filtering does this adaptively
+    when enabled; this operator is the explicit, engine-portable
+    form.) The dim is scanned twice (bucket build + join) — the right
+    trade whenever fact ≫ dim, the usual reason the join shuffles.
+
+    Keys are canonicalized to string before hashing so fact/dim key
+    type mismatches (int vs bigint) cannot silently hash differently.
+    ``how`` must be inner/left_semi — semantics that only ever DROP
+    unmatched fact rows (outer joins would need the filtered rows
+    back).
+    """
+    if how not in ("inner", "left_semi", "semi"):
+        raise ValueError(
+            f"bloom_prefilter_join supports inner/left_semi, got {how!r}"
+        )
+    bucket = lambda c: F.pmod(  # noqa: E731
+        F.xxhash64(F.col(c).cast("string")), F.lit(n_buckets)
+    )
+    buckets = dim.select(bucket(key_col).alias("_bkt")).distinct()
+    pre = fact.join(
+        F.broadcast(buckets),
+        bucket(key_col) == F.col("_bkt"),
+        "left_semi",
+    )
+    return pre.join(dim, on=key_col, how=how)

@@ -1682,3 +1682,71 @@ def char_diversity(
             )
         ).alias("collision_prob"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    form: str = "NFC",
+    lowercase: bool = False,
+    strip_accents: bool = False,
+    collapse_whitespace: bool = False,
+) -> DataFrame:
+    """Unicode text normalization — the canonicalization pass that runs
+    BEFORE hashing/dedup/tokenization so that visually-identical texts
+    ('é' precomposed vs 'e'+combining-acute) hash identically: NFC/NFKC
+    (``form``), optional full-Unicode lowercase, accent stripping
+    (NFD → drop combining marks → recompose, utf8proc-compatible) and
+    whitespace collapsing (runs → single space, trimmed).
+
+    Arrow ``mapInPandas`` kernel (``unicodedata`` is C): a per-row
+    string rewrite with no relational structure is exactly the
+    sanctioned escape-hatch shape (SURVEY.md §2.11) — no shuffle, scans
+    stream through. Cross-engine agreement with DuckDB's
+    ``nfc_normalize``/``strip_accents``/``lower`` is pinned by tests on
+    adversarial unicode (combining marks, ligatures, full-width forms).
+    """
+    import re as _re
+    import unicodedata
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    out = out_col or text_col
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != out]
+        + [StructField(out, StringType(), True)]
+    )
+    ws = _re.compile(r"\s+")
+
+    def _one(t, _form=form, _lower=lowercase, _strip=strip_accents,
+             _collapse=collapse_whitespace):
+        if t is None:
+            return None
+        s = unicodedata.normalize(_form, t)
+        if _strip:
+            s = unicodedata.normalize(
+                "NFC",
+                "".join(
+                    c
+                    for c in unicodedata.normalize("NFD", s)
+                    if not unicodedata.combining(c)
+                ),
+            )
+        if _lower:
+            s = s.lower()
+        if _collapse:
+            s = ws.sub(" ", s).strip()
+        return s
+
+    def run(batches):
+        for pdf in batches:
+            vals = [_one(t) for t in pdf[text_col].tolist()]
+            if out in pdf.columns:
+                pdf = pdf.drop(columns=[out])
+            pdf[out] = vals
+            yield pdf[[f.name for f in out_schema.fields]]
+
+    return df.mapInPandas(run, out_schema)

@@ -1,0 +1,91 @@
+"""Data-quality gate laws (operators/dq.py): every check type counted
+against hand-built fixtures, null conventions pinned, the fused
+row-level pass verified single-scan, and the gate's raise/pass
+behavior tested.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sensomics_data_pipeline_spark.operators import dq
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, 200.0, "A"),     # range violation
+            (3, None, "B"),      # accepted_values violation; null range SKIPPED
+            (None, 30.0, "A"),   # not_null violation; fk orphan (null key)
+            (5, 40.0, None),     # null accepted SKIPPED
+            (5, 50.0, "A"),      # duplicate key with previous row
+            (99, 60.0, "A"),     # fk orphan (key not in ref)
+        ],
+        "k int, v double, flag string",
+    )
+
+
+def _ref(spark):
+    return spark.createDataFrame(
+        [(1,), (2,), (3,), (5,)], "rk int"
+    )
+
+
+def _report(spark):
+    out = dq.dq_report(
+        _df(spark),
+        [
+            {"type": "not_null", "column": "k"},
+            {"type": "range", "column": "v", "lo": 0.0, "hi": 100.0},
+            {"type": "accepted_values", "column": "flag", "values": ["A"]},
+            {"type": "unique", "columns": ["k"]},
+            {"type": "fk", "column": "k", "ref": _ref(spark),
+             "ref_column": "rk"},
+        ],
+    )
+    return {
+        (r["check"], r["target"]): (r["n_checked"], r["n_violations"])
+        for r in out.collect()
+    }
+
+
+def test_dq_all_check_types_counted(spark):
+    got = _report(spark)
+    assert got[("not_null", "k")] == (7, 1)
+    assert got[("range[0.0,100.0]", "v")] == (7, 1)  # null v skipped
+    assert got[("accepted_values", "flag")] == (7, 1)  # null flag skipped
+    # distinct keys: 1,2,3,None,5,99 -> 6; dup group k=5 has 2 rows
+    assert got[("unique", "k")] == (6, 2)
+    # orphans: the null key + 99
+    assert got[("fk", "k->rk")] == (7, 2)
+
+
+def test_dq_row_level_checks_fuse_into_one_scan(spark):
+    out = dq.dq_report(
+        _df(spark),
+        [
+            {"type": "not_null", "column": "k"},
+            {"type": "range", "column": "v", "lo": 0.0, "hi": 100.0},
+            {"type": "accepted_values", "column": "flag", "values": ["A"]},
+        ],
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # one LocalRelation/scan reference, not three unioned scans
+    assert plan.count("LocalRelation") <= 1
+
+
+def test_dq_gate_raises_with_named_checks(spark):
+    with pytest.raises(ValueError, match="not_null"):
+        dq.dq_gate(_df(spark), [{"type": "not_null", "column": "k"}])
+
+
+def test_dq_gate_passes_clean_table(spark):
+    df = _df(spark).filter("k IS NOT NULL")
+    got = dq.dq_gate(df, [{"type": "not_null", "column": "k"}])
+    assert got.count() == 6
+
+
+def test_dq_unknown_check_rejected(spark):
+    with pytest.raises(ValueError):
+        dq.dq_report(_df(spark), [{"type": "regexp", "column": "k"}])

@@ -108,6 +108,9 @@ SCALAR_BROADCAST_OK = {
     "quantiles",
     "merge_windows",
     "histogram",
+    # the fk check's 1-row total-count aggregate crossed onto the
+    # 1-row orphan-count aggregate (attach-computed-scalars shape)
+    "dq_report",
     # 1-row global scale m = min(count/weight) crossed onto the
     # |weights|-row quota table — both sides tiny by construction
     "domain_mix",

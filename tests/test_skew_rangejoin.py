@@ -292,3 +292,66 @@ def test_transition_matrix_rows_sum_to_one(spark, sf_dir):
     )
     for r in sums:
         assert abs(r["s"] - 1.0) < 2e-3  # rounding of p to 6 dp per cell
+
+
+# ---------------------------------------------------------------------------
+# bloom_prefilter_join
+# ---------------------------------------------------------------------------
+
+def _bloom_fixture(spark):
+    fact = spark.createDataFrame(
+        [(k, k * 2) for k in range(200)], "key int, x int"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 200, 17)], "key int, name string"
+    )
+    return fact, dim
+
+
+def test_bloom_prefilter_join_matches_plain_with_collisions(spark):
+    fact, dim = _bloom_fixture(spark)
+    # n_buckets=4 forces heavy collisions: false positives MUST flow
+    # through to the exact join without changing the result
+    got = skew_ops.bloom_prefilter_join(fact, dim, "key", n_buckets=4)
+    want = fact.join(dim, on="key", how="inner")
+    cols = ["key", "x", "name"]
+    assert _sorted_rows(got.select(*cols)) == _sorted_rows(want.select(*cols))
+
+
+def test_bloom_prefilter_semi_matches_plain(spark):
+    fact, dim = _bloom_fixture(spark)
+    got = skew_ops.bloom_prefilter_join(
+        fact, dim, "key", n_buckets=8, how="left_semi"
+    )
+    want = fact.join(dim.select("key"), on="key", how="left_semi")
+    cols = ["key", "x"]
+    assert _sorted_rows(got.select(*cols)) == _sorted_rows(want.select(*cols))
+
+
+def test_bloom_prefilter_actually_prunes_and_passes_fps(spark):
+    fact, dim = _bloom_fixture(spark)
+    # with a roomy bucket table the prefilter passes few non-matching
+    # rows; with a tiny one it passes many — both end exact
+    buckets_tight = skew_ops.bloom_prefilter_join(
+        fact, dim.limit(3), "key", n_buckets=1 << 20, how="left_semi"
+    ).count()
+    n_match = fact.join(dim.limit(3), on="key", how="left_semi").count()
+    # k=1 bloom with 2^20 buckets over 3 keys: fp prob ~ 3/2^20
+    assert buckets_tight == n_match
+
+
+def test_bloom_prefilter_key_type_mismatch_is_safe(spark):
+    # fact key int, dim key bigint: string canonicalization must make
+    # the hashes agree (raw xxhash64(int) != xxhash64(bigint))
+    fact = spark.createDataFrame([(7, 1), (8, 2)], "key int, x int")
+    dim = spark.createDataFrame([(7, "d7")], "key long, name string")
+    got = skew_ops.bloom_prefilter_join(fact, dim, "key", n_buckets=1 << 20)
+    assert [(r["key"], r["name"]) for r in got.collect()] == [(7, "d7")]
+
+
+def test_bloom_prefilter_rejects_outer(spark):
+    fact, dim = _bloom_fixture(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        skew_ops.bloom_prefilter_join(fact, dim, "key", how="left")

@@ -168,3 +168,132 @@ def test_bpe_train_no_python_udf(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cli_bpe(spark, tmp_path, sf_dir):
+    from sensomics_data_pipeline_spark.cli import main
+
+    out = str(tmp_path / "bpe_out")
+    rc = main(
+        [
+            "bpe",
+            f"{sf_dir}/documents.parquet",
+            out,
+            "--n-merges",
+            "3",
+            "--counts",
+        ]
+    )
+    assert rc == 0
+    merges = spark.read.parquet(f"{out}/merges.parquet")
+    assert merges.count() == 3
+    assert merges.columns == [
+        "merge_rank", "left_tok", "right_tok", "merged", "pair_count",
+    ]
+    counts = spark.read.parquet(f"{out}/token_counts.parquet")
+    assert counts.filter("n_bpe_tokens <= 0").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# normalize_text (operators/text.py) — cross-engine unicode agreement
+# ---------------------------------------------------------------------------
+
+ADVERSARIAL_TEXTS = [
+    "hello world",
+    "café",                 # precomposed é
+    "café",                # e + combining acute
+    "ÅNGSTRÖM",       # A + ring, precomposed Ö
+    "ẛ̣",              # long s with dot above + dot below
+    "straße",               # sharp s (lowercase invariant)
+    "  spaced\tout\n\ntext  ",
+    "İstanbul",             # dotted capital I (locale-sensitive edge)
+    "naïve résumé",
+    "",
+]
+
+
+def _spark_norm(spark, texts, **kw):
+    from sensomics_data_pipeline_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    out = normalize_text(df, "text", out_col="norm", **kw)
+    return {r["i"]: r["norm"] for r in out.collect()}
+
+
+def test_normalize_nfc_matches_duckdb(spark):
+    import duckdb
+
+    got = _spark_norm(spark, ADVERSARIAL_TEXTS, form="NFC")
+    for i, t in enumerate(ADVERSARIAL_TEXTS):
+        want = duckdb.sql(
+            "SELECT nfc_normalize(?)", params=[t]
+        ).fetchone()[0]
+        assert got[i] == want, f"NFC mismatch on {t!r}"
+
+
+def test_normalize_strip_accents_matches_duckdb(spark):
+    import duckdb
+
+    got = _spark_norm(spark, ADVERSARIAL_TEXTS, strip_accents=True)
+    for i, t in enumerate(ADVERSARIAL_TEXTS):
+        want = duckdb.sql(
+            "SELECT strip_accents(nfc_normalize(?))", params=[t]
+        ).fetchone()[0]
+        assert got[i] == want, f"strip_accents mismatch on {t!r}"
+
+
+def test_normalize_lower_matches_duckdb(spark):
+    import duckdb
+
+    got = _spark_norm(spark, ADVERSARIAL_TEXTS, lowercase=True)
+    for i, t in enumerate(ADVERSARIAL_TEXTS):
+        if "İ" in t:
+            continue  # dotted capital I: see the dedicated test below
+        want = duckdb.sql(
+            "SELECT lower(nfc_normalize(?))", params=[t]
+        ).fetchone()[0]
+        assert got[i] == want, f"lower mismatch on {t!r}"
+
+
+def test_normalize_lower_dotted_capital_i_pins_spark_side(spark):
+    """KNOWN engine divergence, pinned both ways: U+0130 (İ) full-
+    lowercases to 'i' + U+0307 combining dot per Unicode
+    SpecialCasing.txt — Python str.lower() and Spark's JVM lower()
+    both do this, and the kernel must match SPARK (the engine it
+    ships in). DuckDB/utf8proc does the SIMPLE mapping to bare 'i';
+    any future oracle over text lowercased by this op must
+    canonicalize İ first (or exclude it), exactly like the
+    libm-vs-DuckDB ln divergence documented for bm25."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    got = _spark_norm(spark, ["İstanbul"], lowercase=True)[0]
+    spark_lower = (
+        spark.createDataFrame([("İstanbul",)], "t string")
+        .select(F.lower(F.col("t")).alias("l"))
+        .collect()[0]["l"]
+    )
+    duck_lower = duckdb.sql("SELECT lower('İstanbul')").fetchone()[0]
+    assert got == spark_lower == "i̇stanbul"
+    assert duck_lower == "istanbul" and duck_lower != got
+
+
+def test_normalize_collapse_whitespace(spark):
+    got = _spark_norm(spark, ["  a \t b\n\nc  "], collapse_whitespace=True)
+    assert got[0] == "a b c"
+
+
+def test_normalize_nfc_unifies_equivalent_forms(spark):
+    got = _spark_norm(spark, ["café", "café"], form="NFC")
+    assert got[0] == got[1] == "café"
+
+
+def test_normalize_null_passthrough(spark):
+    from sensomics_data_pipeline_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame([(1, None)], "i int, text string")
+    out = normalize_text(df, "text", out_col="norm").collect()
+    assert out[0]["norm"] is None

@@ -657,9 +657,56 @@ def rangejoin_rehearsal(spark, entrymod, replicas: int = 10) -> list[tuple]:
     return [(replicas, n_iv, n_kept, t_bc, t_binned, t_shuffled)]
 
 
+def bpe_rehearsal(spark, replicas: int = 10) -> list[tuple]:
+    """BPE trainer at 1x vs ``replicas``x documents with LINEARLY
+    GROWING vocabulary (the grow-vocab replica suffixes every word per
+    replica — the regime that stresses the trainer, since its state is
+    the word table, not the corpus). Reports vocabulary size, total
+    words, and wall for 8 merges; the scaling claim is that cost
+    follows VOCABULARY (the word table), not raw corpus bytes."""
+    import time as _time
+
+    from sensomics_data_pipeline_spark.operators import tokenizer as tok_ops
+
+    rows = []
+    for label, sf_dir in (
+        ("1x", BASE),
+        (f"{replicas}x", build_replica(spark, replicas)),
+    ):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t0 = _time.time()
+        merges, words = tok_ops.bpe_train(spark, docs, "text", n_merges=8)
+        vocab = words.count()
+        wall = _time.time() - t0
+        assert len(merges) == 8
+        rows.append((label, vocab, wall, merges[0][3], merges[0][4]))
+    return rows
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from sensomics_data_pipeline_spark.session import get_spark
+
+    if len(sys.argv) > 1 and sys.argv[1] == "bpe_10x":
+        out_md = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE_r10.md"
+        spark = get_spark("scale_rehearsal")
+        rows = bpe_rehearsal(spark, replicas=10)
+        with open(out_md, "a") as f:
+            f.write(
+                "\n## bpe_train 10x grow-vocab rehearsal\n\n"
+                "10x documents with per-replica word suffixing => ~10x "
+                "vocabulary (the trainer's actual state). 8 merges each; "
+                "wall should track the word-table size, not corpus "
+                "bytes.\n\n"
+                "| corpus | vocabulary | wall 8 merges (s) | top merge | "
+                "count |\n|---|---|---|---|---|\n"
+            )
+            for label, vocab, wall, top, cnt in rows:
+                f.write(
+                    f"| {label} | {vocab} | {wall:.2f} | {top} | {cnt} |\n"
+                )
+        print(f"appended bpe rehearsal table to {out_md}")
+        return
 
     if len(sys.argv) > 1 and sys.argv[1] == "rangejoin_10x":
         out_md = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE_r10.md"
