@@ -353,6 +353,51 @@ def cmd_bpe(args) -> int:
     return 0
 
 
+def cmd_dq(args) -> int:
+    from sensomics_data_pipeline_spark.operators.dq import dq_report
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    checks: list[dict] = []
+    for c in args.not_null or []:
+        checks.append({"type": "not_null", "column": c})
+    for spec in args.range or []:
+        col, lo, hi = spec.rsplit(":", 2)
+        checks.append(
+            {"type": "range", "column": col,
+             "lo": float(lo), "hi": float(hi)}
+        )
+    for spec in args.accepted or []:
+        col, vals = spec.split(":", 1)
+        checks.append(
+            {"type": "accepted_values", "column": col,
+             "values": vals.split("|")}
+        )
+    for spec in args.unique or []:
+        checks.append({"type": "unique", "columns": spec.split("+")})
+    for spec in args.fk or []:
+        col, ref_path, ref_col = spec.rsplit(":", 2)
+        checks.append(
+            {"type": "fk", "column": col,
+             "ref": spark.read.parquet(ref_path), "ref_column": ref_col}
+        )
+    if not checks:
+        print("dq: no checks given", file=sys.stderr)
+        return 2
+    rows = dq_report(df, checks).collect()
+    n_bad = 0
+    for r in rows:
+        status = "FAIL" if r["n_violations"] > 0 else "ok"
+        n_bad += r["n_violations"] > 0
+        print(
+            f"{status} {r['check']}({r['target']}): "
+            f"{r['n_violations']}/{r['n_checked']} violations"
+        )
+    if args.gate and n_bad:
+        return 1
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="sensomics-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -549,6 +594,20 @@ def main(argv=None) -> int:
         help="also tokenize the corpus and write per-doc BPE token counts",
     )
     bp.set_defaults(fn=cmd_bpe)
+
+    dqp = sub.add_parser(
+        "dq",
+        help="data-quality checks over a parquet table "
+        "(prints per-check violations; --gate exits 1 on any)",
+    )
+    dqp.add_argument("input", help="parquet table to check")
+    dqp.add_argument("--not-null", action="append", metavar="COL")
+    dqp.add_argument("--range", action="append", metavar="COL:LO:HI")
+    dqp.add_argument("--accepted", action="append", metavar="COL:V1|V2")
+    dqp.add_argument("--unique", action="append", metavar="COL[+COL2]")
+    dqp.add_argument("--fk", action="append", metavar="COL:REF_PARQUET:REFCOL")
+    dqp.add_argument("--gate", action="store_true")
+    dqp.set_defaults(fn=cmd_dq)
 
     args = p.parse_args(argv)
     # argparse-level validation with clear messages (instead of an

@@ -89,3 +89,36 @@ def test_dq_gate_passes_clean_table(spark):
 def test_dq_unknown_check_rejected(spark):
     with pytest.raises(ValueError):
         dq.dq_report(_df(spark), [{"type": "regexp", "column": "k"}])
+
+
+def test_cli_dq(spark, sf_dir, capsys):
+    from sensomics_data_pipeline_spark.cli import main
+
+    rc = main(
+        [
+            "dq",
+            f"{sf_dir}/lineitem.parquet",
+            "--not-null", "l_orderkey",
+            "--range", "l_quantity:1:49",
+            "--unique", "l_orderkey+l_linenumber",
+            "--fk", f"l_orderkey:{sf_dir}/orders.parquet:o_orderkey",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0  # no --gate: report-only always exits 0
+    assert "ok not_null(l_orderkey)" in out
+    assert "FAIL range[1.0,49.0](l_quantity)" in out  # 50s exist
+
+
+def test_cli_dq_gate_exits_nonzero(spark, sf_dir):
+    from sensomics_data_pipeline_spark.cli import main
+
+    rc = main(
+        [
+            "dq",
+            f"{sf_dir}/lineitem.parquet",
+            "--range", "l_quantity:1:49",
+            "--gate",
+        ]
+    )
+    assert rc == 1
