@@ -6235,6 +6235,77 @@ GROUP BY e.event_type
 """
 
 
+def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve arithmetic law (``layout.zorder_value``):
+    every order's 16-bit Morton code over (totalprice, orderdate-day)
+    — 8-bit value-range ranks per dimension, bits interleaved JVM-side
+    — bucketed into 16 curve segments with per-segment min/max codes.
+    The oracle recomputes ranks AND the full bit interleave with
+    DuckDB integer ops, so the arithmetic that ``zorder_write`` sorts
+    100-TB files by is value-certified on real data (the file-skip
+    EFFECT is measured separately in tests/test_layout.py — writes
+    don't belong in the oracle gate)."""
+    from sensomics_data_pipeline_spark.sources import layout
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("double").alias("day"),
+    )
+    z, zc = layout.zorder_value(o, ["price", "day"], bits=8)
+    return (
+        z.groupBy(
+            F.floor(F.col(zc) / 4096).cast("long").alias("z_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(zc).alias("z_min"),
+            F.max(zc).alias("z_max"),
+        )
+    )
+
+
+def _sql_zorder_curve() -> str:
+    # replicate zorder_value exactly: rank = clamp(floor(((v-mn)/span)
+    # * 255)), zvalue = Σ_b ((rp>>b)&1)<<(2b) | ((rd>>b)&1)<<(2b+1)
+    terms = []
+    for b in range(8):
+        terms.append(f"(((rp >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((rd >> {b}) & 1) << {2 * b + 1})")
+    zexpr = " | ".join(terms)
+    return f"""
+WITH src AS (
+  SELECT o_totalprice AS price,
+         (o_orderdate::DATE - DATE '1970-01-01')::DOUBLE AS day
+  FROM orders
+), ext AS (
+  SELECT min(price) AS mnp, max(price) AS mxp,
+         min(day) AS mnd, max(day) AS mxd
+  FROM src
+), ranked AS (
+  SELECT least(255, greatest(0,
+           floor(((price - ext.mnp) / (CASE WHEN ext.mxp = ext.mnp
+                  THEN 1.0 ELSE ext.mxp - ext.mnp END)) * 255.0)))::BIGINT
+           AS rp,
+         least(255, greatest(0,
+           floor(((day - ext.mnd) / (CASE WHEN ext.mxd = ext.mnd
+                  THEN 1.0 ELSE ext.mxd - ext.mnd END)) * 255.0)))::BIGINT
+           AS rd
+  FROM src CROSS JOIN ext
+), coded AS (
+  SELECT ({zexpr})::BIGINT AS z FROM ranked
+)
+SELECT floor(z / 4096)::BIGINT AS z_bucket,
+       count(*) AS n,
+       min(z) AS z_min,
+       max(z) AS z_max
+FROM coded GROUP BY 1
+"""
+
+
+_SQL_ZORDER_CURVE = _sql_zorder_curve()
+
+
 def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate (``dq.dq_report``): five declared checks over
     lineitem — not-null key, quantity range (INTENTIONALLY tight at
@@ -6558,17 +6629,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bpe_token_stats: the distributed BPE trainer certified
     # trainer-vs-trainer against an unrolled 8-stage DuckDB oracle,
     # bloom_join_reduce: Bloom-style semi-join shuffle reduction
-    # with collisions exercised, and dq_report: the declared data-quality
-    # gate with nonzero violation counters certified), the entries whose implementation changed in
+    # with collisions exercised, dq_report: the declared data-quality
+    # gate with nonzero violation counters certified, and zorder_curve:
+    # the Morton-code arithmetic behind zorder_write value-certified
+    # via DuckDB bit ops), the entries whose implementation changed in
     # round 10 (streaming_ingest + ingest_dedup_handoff now share ONE
     # memoized availableNow pass; pagerank/ppr gained the NaN-weight
     # and n_iter=0 guards; the embedding_pq / embedding_ivf /
     # embedding_ivf_pq / ann_invariants family sits on the ivf_assign
     # refactor and the memoized shuffle-free auto_rerank sampler),
-    # and the stalest r8-checked entry. The 38 r8-checked entries
-    # left outside (char_diversity, chunk_documents, cube_agg,
+    # and ZERO staleness fills (the 9 late-r10 never-checked queries
+    # consumed every fill slot). The 39 r8-checked entries
+    # left outside (above_cust_avg, char_diversity, chunk_documents, cube_agg,
     # distribution_drift, domain_mix, embedding_near_dup,
-    # entity_resolution, feature_scaling — displaced by the 8 late-r10
+    # entity_resolution, feature_scaling — displaced by the 9 late-r10
     # never-checked
     # queries — plus holdout_split, interval_merge, join_revenue_by_nation, kmeans_invariants,
     # lag_dedup, map_functions, merge_idempotency, merge_upsert,
@@ -6634,6 +6708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "bloom_join_reduce": q_bloom_join_reduce,
         "dq_report": q_dq_report,
+        "zorder_curve": q_zorder_curve,
         # ---- implementation CHANGED in round 10 (see header) ----
         "streaming_ingest": q_streaming_ingest,
         "ingest_dedup_handoff": q_ingest_dedup_handoff,
@@ -6644,13 +6719,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_pq": q_embedding_ivf_pq,
         "ann_invariants": q_ann_invariants,
         # ---- last driver-checked r8 (the 11 stalest picks) ----
-        "above_cust_avg": q_above_cust_avg,
-        # ---- positions 51+: first the 8 r8-checked fills displaced by
-        # the 8 late-r10 queries (never-checked takes precedence over
+        # ---- positions 51+: first the 9 r8-checked fills displaced by
+        # the 9 late-r10 queries (never-checked takes precedence over
         # staleness fills, per the policy above), then the remaining
         # r8-checked entries (next in line for r11), then the
         # r9-checked entries — every tail entry holds a green driver
         # row at most 2 rounds old ----
+        "above_cust_avg": q_above_cust_avg,
         "char_diversity": q_char_diversity,
         "chunk_documents": q_chunk_documents,
         "cube_agg": q_cube_agg,
@@ -6748,6 +6823,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": _SQL_BPE_TOKEN_STATS,
         "bloom_join_reduce": _SQL_BLOOM_JOIN_REDUCE,
         "dq_report": _SQL_DQ_REPORT,
+        "zorder_curve": _SQL_ZORDER_CURVE,
         "agg_suite": _SQL_AGG_SUITE,
         "quantiles": _SQL_QUANTILES,
         "profile_table": _SQL_PROFILE,
