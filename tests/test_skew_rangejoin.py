@@ -355,3 +355,80 @@ def test_bloom_prefilter_rejects_outer(spark):
 
     with _pytest.raises(ValueError):
         skew_ops.bloom_prefilter_join(fact, dim, "key", how="left")
+
+
+# ---------------------------------------------------------------------------
+# randomized property tests (seeded): the laws must hold on arbitrary
+# interval/point layouts and arbitrary hot-key choices, not just the
+# hand-built fixtures
+# ---------------------------------------------------------------------------
+
+def test_binned_semijoin_random_property(spark):
+    import random
+
+    rng = random.Random(20260816)
+    t0 = datetime(2024, 3, 1)
+    for trial in range(3):
+        pts = spark.createDataFrame(
+            [
+                (f"u{rng.randint(0, 5)}",
+                 t0 + timedelta(seconds=rng.randint(0, 100_000)), i)
+                for i in range(400)
+            ],
+            "user_id string, ts timestamp, x int",
+        )
+        ivs = spark.createDataFrame(
+            [
+                (
+                    f"u{rng.randint(0, 6)}",  # u6 has no points
+                    t0 + timedelta(seconds=(s := rng.randint(0, 100_000))),
+                    t0 + timedelta(seconds=s + rng.randint(0, 20_000)),
+                )
+                for _ in range(30)
+            ],
+            "user_id string, start_time timestamp, end_time timestamp",
+        )
+        width = rng.choice([60, 600, 7200])
+        for anti in (False, True):
+            got = iv_ops.interval_semijoin_binned(
+                pts, ivs, ["user_id"], ts_col="ts",
+                bin_width_s=width, anti=anti,
+            )
+            want = iv_ops.interval_semijoin(
+                pts, ivs, ["user_id"], ts_col="ts", anti=anti
+            )
+            cols = ["user_id", "ts", "x"]
+            assert _sorted_rows(got.select(*cols)) == _sorted_rows(
+                want.select(*cols)
+            ), f"trial {trial} width {width} anti {anti}"
+
+
+def test_salted_and_bloom_join_random_property(spark):
+    import random
+
+    rng = random.Random(99)
+    for trial in range(3):
+        fact = spark.createDataFrame(
+            [(rng.randint(0, 30), i) for i in range(500)],
+            "key int, x int",
+        )
+        dim = spark.createDataFrame(
+            [(k, f"d{k}") for k in rng.sample(range(0, 40), 25)],
+            "key int, name string",
+        )
+        hot = rng.sample(range(0, 40), rng.randint(0, 5))
+        n_salts = rng.choice([1, 3, 8])
+        cols = ["key", "x", "name"]
+        want = _sorted_rows(fact.join(dim, on="key").select(*cols))
+        got_salt = _sorted_rows(
+            skew_ops.salted_join(
+                fact, dim, "key", hot, n_salts=n_salts
+            ).select(*cols)
+        )
+        got_bloom = _sorted_rows(
+            skew_ops.bloom_prefilter_join(
+                fact, dim, "key", n_buckets=rng.choice([2, 16, 1 << 20])
+            ).select(*cols)
+        )
+        assert got_salt == want, f"salted trial {trial}"
+        assert got_bloom == want, f"bloom trial {trial}"
