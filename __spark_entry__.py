@@ -6533,13 +6533,13 @@ best{i} AS MATERIALIZED (
 ),
 w{i} AS MATERIALIZED (
   SELECT word, n,
-         CASE WHEN len(toks) < 2 THEN toks ELSE
+         CASE WHEN best{i}.a IS NULL OR len(toks) < 2 THEN toks ELSE
            list_reduce(list_transform(toks, t -> [t]),
              (acc, t) -> CASE WHEN acc[-1] = best{i}.a AND t[1] = best{i}.b
                           THEN acc[:len(acc)-1] || [best{i}.m]
                           ELSE acc || t END)
          END AS toks
-  FROM {prev} CROSS JOIN best{i}
+  FROM {prev} LEFT JOIN best{i} ON TRUE
 )"""
         )
     return ",".join(parts)

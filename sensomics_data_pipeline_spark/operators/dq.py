@@ -65,8 +65,11 @@ def dq_report(df: DataFrame, checks: list[dict]) -> DataFrame:
                     ~F.col(c).isin(spec["values"])
                 )
                 label = ("accepted_values", c)
+            # coalesce: F.sum over ZERO rows is NULL, and an empty
+            # upstream table must read as 0 violations, not crash the
+            # gate's `> 0` comparison
             aggs.append(
-                F.sum(bad.cast("long")).alias(f"_v{i}")
+                F.coalesce(F.sum(bad.cast("long")), F.lit(0)).alias(f"_v{i}")
             )
             labels.append((f"_v{i}", *label))
         wide = df.agg(*aggs)
@@ -90,8 +93,11 @@ def dq_report(df: DataFrame, checks: list[dict]) -> DataFrame:
             parts.append(
                 grouped.agg(
                     F.count(F.lit(1)).alias("n_checked"),
-                    F.sum(
-                        F.when(F.col("_c") > 1, F.col("_c")).otherwise(0)
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("_c") > 1, F.col("_c")).otherwise(0)
+                        ),
+                        F.lit(0),
                     ).cast("long").alias("n_violations"),
                 ).select(
                     F.lit("unique").alias("check"),

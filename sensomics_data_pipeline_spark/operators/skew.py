@@ -53,9 +53,13 @@ def _salted_struct(key_col: str, salt: Column) -> Column:
     # the salted join key is a STRUCT (key, salt), not a string concat:
     # no separator exists for a hostile key value to collide with
     # ("a" + sep + "1" vs a literal key "a<sep>1"), and the original
-    # key type survives (no lossy string cast in the join condition)
-    return F.struct(
-        F.col(key_col).alias("k"), salt.cast("int").alias("s")
+    # key type survives (no lossy string cast in the join condition).
+    # A NULL key must produce a NULL struct, not struct(NULL, s):
+    # Spark's struct equality compares fields null-safely, so
+    # struct(NULL, -1) == struct(NULL, -1) is TRUE and a plain
+    # equi-join's NULL-never-matches semantics would be violated.
+    return F.when(F.col(key_col).isNull(), F.lit(None)).otherwise(
+        F.struct(F.col(key_col).alias("k"), salt.cast("int").alias("s"))
     )
 
 

@@ -55,8 +55,12 @@ def zorder_value(
     top = (1 << bits) - 1
     ranks: list[Column] = []
     for i, n in enumerate(num):
-        mn = float(stats_row[f"_mn_{i}"])
-        mx = float(stats_row[f"_mx_{i}"])
+        # an all-NULL (or zero-row) column has None min/max stats —
+        # treat it as constant (every row ranks 0 via the NULL
+        # coalesce below) rather than crash on float(None)
+        mn_raw, mx_raw = stats_row[f"_mn_{i}"], stats_row[f"_mx_{i}"]
+        mn = float(mn_raw) if mn_raw is not None else 0.0
+        mx = float(mx_raw) if mx_raw is not None else 0.0
         span = (mx - mn) or 1.0
         r = F.floor((n - F.lit(mn)) / F.lit(span) * F.lit(float(top)))
         r = F.least(F.lit(top).cast("long"), F.greatest(F.lit(0).cast("long"), r.cast("long")))

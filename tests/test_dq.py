@@ -86,6 +86,27 @@ def test_dq_gate_passes_clean_table(spark):
     assert got.count() == 6
 
 
+def test_dq_empty_table_zero_violations(spark):
+    # F.sum over zero rows is NULL; an empty upstream table must read
+    # as (0 checked, 0 violations) — and the gate must PASS, not crash
+    # comparing None > 0
+    empty = _df(spark).filter("1 = 0")
+    out = dq.dq_report(
+        empty,
+        [
+            {"type": "not_null", "column": "k"},
+            {"type": "range", "column": "v", "lo": 0.0, "hi": 100.0},
+            {"type": "unique", "columns": ["k"]},
+        ],
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["n_checked"] == 0
+        assert r["n_violations"] == 0
+    gated = dq.dq_gate(empty, [{"type": "not_null", "column": "k"}])
+    assert gated.count() == 0
+
+
 def test_dq_unknown_check_rejected(spark):
     with pytest.raises(ValueError):
         dq.dq_report(_df(spark), [{"type": "regexp", "column": "k"}])

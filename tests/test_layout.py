@@ -98,6 +98,20 @@ def test_zorder_null_and_constant_columns_safe(spark, tmp_path):
     assert all(v is not None and v >= 0 for v in vals)
 
 
+def test_zorder_all_null_column_safe(spark, tmp_path):
+    # an entirely-NULL clustered column yields None min/max stats;
+    # it must degrade to a constant dimension, not crash on float(None)
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (None, 3)], "x int, y int"
+    )
+    z, zc = layout.zorder_value(df, ["x", "y"], bits=4)
+    vals = [r[zc] for r in z.collect()]
+    assert all(v is not None and v >= 0 for v in vals)
+    out = str(tmp_path / "all_null")
+    layout.zorder_write(df, out, ["x", "y"], bits=4, n_files=2)
+    assert spark.read.parquet(out).count() == 3
+
+
 def test_zorder_validates_args(spark):
     df = _grid_df(spark, n=10)
     with pytest.raises(ValueError):

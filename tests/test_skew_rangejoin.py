@@ -103,6 +103,35 @@ def test_salted_join_left_matches_plain(spark):
     assert _sorted_rows(got.select(*cols)) == _sorted_rows(want.select(*cols))
 
 
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_null_keys_never_match(spark, how):
+    # SQL equi-join law: NULL never matches NULL. Struct keys compare
+    # null-safely field-wise, so a naive struct(NULL, -1) key would
+    # join fact-NULL to dim-NULL; the salted key must be NULL when the
+    # key is NULL to preserve plain-join semantics.
+    fact = spark.createDataFrame(
+        [(1, 10), (None, 20), (None, 21), (2, 30)], "key int, x int"
+    )
+    dim = spark.createDataFrame(
+        [(1, "a"), (None, "null_dim"), (2, "b")], "key int, name string"
+    )
+    got = skew_ops.salted_join(
+        fact, dim, "key", hot_keys=[1], n_salts=4, how=how
+    )
+    want = fact.join(dim, on="key", how=how)
+    cols = ["key", "x", "name"]
+
+    def rows(df):  # None-safe sort (left join emits NULL name rows)
+        return sorted(
+            (tuple(r[c] for c in cols) for r in df.collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    assert rows(got) == rows(want)
+    if how == "inner":
+        assert got.filter(F.col("key").isNull()).count() == 0
+
+
 def test_salted_join_separator_cannot_collide(spark):
     # a plain key that LOOKS like a salted variant ("a#1") must not
     # match hot key "a"'s salt-1 replica
