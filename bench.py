@@ -89,6 +89,42 @@ def _calibration_run(spark, n_runs: int) -> float:
     return round(min(one() for _ in range(n_runs)), 3)
 
 
+def _calibration_shuffle_run(spark, n_runs: int) -> float:
+    """Second drift gauge, OTHER workload class: fixed 2M-row job with
+    one hash-partitioned SHUFFLE plus one Arrow-batched pandas-UDF
+    aggregate — i.e. exchange + python-worker + Arrow serialization,
+    the path the codegen calibration row never touches. The r10 driver
+    window moved 1.7-3.0x on exactly this class of query (pandas-UDF /
+    shuffle-heavy rows, three of them on untouched plans) while the
+    codegen calibration stayed flat; with both rows pinned in every
+    artifact, window drift can be CLASSIFIED inside the artifact
+    instead of reconciled in prose. Same min-of-N + warm discipline."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _psum(v):  # pandas Series -> scalar per Arrow batch group
+        return (v * 1.0000001).sum()
+
+    def one() -> float:
+        t0 = time.time()
+        (
+            spark.range(0, 2_000_000, 1, 32)
+            .withColumn("k", F.pmod(F.col("id"), F.lit(64)))
+            .repartition(32, "k")
+            .groupBy("k")
+            .agg(_psum(F.col("id").cast("double")).alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.time() - t0
+
+    one()  # unmeasured: python-worker spawn + Arrow codepath warm
+    return round(min(one() for _ in range(n_runs)), 3)
+
+
 def _scrub_session(spark) -> None:
     """Per-query JVM-state hygiene — the context-debris countermeasure
     (r7 measured the full-bench common rows drifting ~1.15x as the
@@ -162,6 +198,7 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     clear_memos = os.environ.get("SPARK_GRAFT_CLEAR_MEMOS", "") == "1"
     calibration_first = _calibration_run(spark, n_runs)
+    calibration_shuffle_first = _calibration_shuffle_run(spark, n_runs)
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name, fn in qs.items():
@@ -195,25 +232,43 @@ def main() -> None:
             medians[name] = round(statistics.median(runs), 3)
 
     calibration_last = _calibration_run(spark, n_runs)
+    calibration_shuffle_last = _calibration_shuffle_run(spark, n_runs)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # stdout line: COMPACT (no spaces, sorted query keys, medians moved
+    # to stderr) — the driver's capture truncated the r10 artifact at
+    # ~74 of 129 rows; the one line it records must parse whole.
     print(
         json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
+                "queries": dict(sorted(timings.items())),
                 "n_runs": n_runs,
                 "sf": sf,
-                # fixed synthetic job timed before and after the query
-                # loop: cross-round drift gauge (compare across BENCH_r*
-                # artifacts) and within-run drift gauge (first vs last)
+                # two fixed synthetic jobs timed before and after the
+                # query loop: cross-round drift gauges (compare across
+                # BENCH_r* artifacts) and within-run gauges (first vs
+                # last) — one per workload class. "calibration_*" is
+                # pure whole-stage-codegen (no shuffle, no Python);
+                # "calibration_shuffle_*" is exchange + pandas-UDF/Arrow.
                 "calibration_first": calibration_first,
                 "calibration_last": calibration_last,
+                "calibration_shuffle_first": calibration_shuffle_first,
+                "calibration_shuffle_last": calibration_shuffle_last,
                 "memos_cleared": clear_memos,
-            }
+            },
+            separators=(",", ":"),
         )
+    )
+    # medians ride along on stderr (full fidelity for local artifacts
+    # without doubling the driver-captured line)
+    print(
+        json.dumps(
+            {"queries_median": dict(sorted(medians.items()))},
+            separators=(",", ":"),
+        ),
+        file=sys.stderr,
     )
 
 

@@ -59,6 +59,7 @@ def filter_measurements(
     flatline_kind: str = "hr",
     max_run: int = 20,
     rules: dict[str, tuple[float, float]] | None = None,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Entry point 2 (``filtering_data.py main``, ``:126-221``):
     flatline-scan the hr stream → keep rows inside include intervals →
@@ -66,11 +67,15 @@ def filter_measurements(
 
     One plan: islands-RLE window (A5) → broadcast interval semijoin (J2)
     → single fused predicate (P5×5 via broadcast rules join).
+    ``tiebreak_cols`` pins the flatline window order when the hr stream
+    can carry duplicate (partition, date_time) pairs — required for a
+    deterministic run segmentation on real (tied) data.
     """
     pc = partition_cols or []
     hr = measurements.filter(F.col("kind") == flatline_kind)
     runs = filter_ops.flatline_runs(
-        hr, pc, order_col="date_time", value_col="data", max_run=max_run
+        hr, pc, order_col="date_time", value_col="data", max_run=max_run,
+        tiebreak_cols=tiebreak_cols,
     )
     # reference parity: consecutive short runs coalesce into one include
     # interval (t_incl, filtering_data.py:100-106) — without this, each
