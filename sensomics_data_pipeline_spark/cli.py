@@ -52,9 +52,55 @@ def cmd_reformat(args) -> int:
             "time", "adj_time"
         )
     )
+    if _apply_dq_gate(timed, getattr(args, "dq_gate", None), spark):
+        return 1
     paths = write_three_way_split(timed, args.out, fmt=args.format)
     write_scalar_sidecar(spark, float(d_time), f"{args.out}/timestamp_diff")
     print({"d_time_ms": d_time, **paths})
+    return 0
+
+
+def _parse_check_spec(spec: str, spark) -> dict:
+    """One declared-check spec string → a dq check dict. Shared by the
+    ``dq`` subcommand's flags and every write path's ``--dq-gate``:
+      not_null:COL | range:COL:LO:HI | accepted:COL:v1|v2 |
+      unique:C1+C2 | fk:COL:ref_parquet_path:ref_col
+    """
+    kind, _, rest = spec.partition(":")
+    if kind == "not_null":
+        return {"type": "not_null", "column": rest}
+    if kind == "range":
+        col, lo, hi = rest.rsplit(":", 2)
+        return {"type": "range", "column": col, "lo": float(lo), "hi": float(hi)}
+    if kind == "accepted":
+        col, vals = rest.split(":", 1)
+        return {"type": "accepted_values", "column": col,
+                "values": vals.split("|")}
+    if kind == "unique":
+        return {"type": "unique", "columns": rest.split("+")}
+    if kind == "fk":
+        col, ref_path, ref_col = rest.rsplit(":", 2)
+        return {"type": "fk", "column": col,
+                "ref": spark.read.parquet(ref_path), "ref_column": ref_col}
+    raise ValueError(f"unknown dq check spec {spec!r}")
+
+
+def _apply_dq_gate(df, specs, spark) -> int:
+    """Run the declared checks against ``df`` BEFORE any write; returns
+    0 to proceed, 1 (after printing the violation report) to refuse.
+    The gate is the write-blocking pattern the reference's pipeline
+    stages imply but never enforce — a corrupted upstream stage stops
+    here instead of poisoning every downstream table."""
+    from sensomics_data_pipeline_spark.operators.dq import dq_gate
+
+    if not specs:
+        return 0
+    checks = [_parse_check_spec(s, spark) for s in specs]
+    try:
+        dq_gate(df, checks)
+    except ValueError as exc:
+        print(f"dq gate refused write: {exc}", file=sys.stderr)
+        return 1
     return 0
 
 
@@ -64,6 +110,8 @@ def cmd_filter(args) -> int:
     spark = _spark()
     meas = spark.read.parquet(args.input)
     out = filter_measurements(meas)
+    if _apply_dq_gate(out, getattr(args, "dq_gate", None), spark):
+        return 1
     out.write.mode("overwrite").parquet(args.out)
     print(f"wrote {args.out}")
     return 0
@@ -75,6 +123,8 @@ def cmd_acc(args) -> int:
     spark = _spark()
     ac = spark.read.parquet(args.input)
     out = reformat_acc(ac, greedy_parity=args.greedy, bin_seconds=args.binsize)
+    if _apply_dq_gate(out, getattr(args, "dq_gate", None), spark):
+        return 1
     out.write.mode("overwrite").parquet(args.out)
     print(f"wrote {args.out}")
     return 0
@@ -87,6 +137,8 @@ def cmd_activity(args) -> int:
     meas = spark.read.parquet(args.input)
     acc = spark.read.parquet(args.acc)
     final, cat_acc, thresholds = categorize_activity(meas, acc)
+    if _apply_dq_gate(final, getattr(args, "dq_gate", None), spark):
+        return 1
     final.write.mode("overwrite").parquet(f"{args.out}/activity_categorized")
     cat_acc.write.mode("overwrite").parquet(f"{args.out}/acc_category")
     thresholds.write.mode("overwrite").parquet(f"{args.out}/sleep_acc_thresholds")
@@ -411,11 +463,23 @@ def main(argv=None) -> int:
     r.add_argument("-r", "--recursive", action="store_true")
     r.add_argument("--format", default="parquet", choices=["parquet", "csv"])
     r.add_argument("--skip-existing", action="store_true")
+    r.add_argument("--dq-gate", action="append", default=None,
+                   metavar="CHECK",
+                   help="declared check (not_null:COL | range:COL:LO:HI | "
+                        "accepted:COL:v1|v2 | unique:C1+C2 | "
+                        "fk:COL:ref_path:ref_col); repeatable - refuses "
+                        "the write on any violation")
     r.set_defaults(fn=cmd_reformat)
 
     f = sub.add_parser("filter", help="flatline + range filtering (stage 4)")
     f.add_argument("-i", "--input", required=True)
     f.add_argument("-o", "--out", required=True)
+    f.add_argument("--dq-gate", action="append", default=None,
+                   metavar="CHECK",
+                   help="declared check (not_null:COL | range:COL:LO:HI | "
+                        "accepted:COL:v1|v2 | unique:C1+C2 | "
+                        "fk:COL:ref_path:ref_col); repeatable - refuses "
+                        "the write on any violation")
     f.set_defaults(fn=cmd_filter)
 
     a = sub.add_parser("acc", help="3-axis alignment + resample (stage 3)")
@@ -423,12 +487,24 @@ def main(argv=None) -> int:
     a.add_argument("-o", "--out", required=True)
     a.add_argument("-b", "--binsize", type=int, default=300)
     a.add_argument("--greedy", action="store_true", help="exact greedy parity plan")
+    a.add_argument("--dq-gate", action="append", default=None,
+                   metavar="CHECK",
+                   help="declared check (not_null:COL | range:COL:LO:HI | "
+                        "accepted:COL:v1|v2 | unique:C1+C2 | "
+                        "fk:COL:ref_path:ref_col); repeatable - refuses "
+                        "the write on any violation")
     a.set_defaults(fn=cmd_acc)
 
     c = sub.add_parser("activity", help="sleep/activity categorization (stage 5)")
     c.add_argument("-i", "--input", required=True)
     c.add_argument("-a", "--acc", required=True)
     c.add_argument("-o", "--out", required=True)
+    c.add_argument("--dq-gate", action="append", default=None,
+                   metavar="CHECK",
+                   help="declared check (not_null:COL | range:COL:LO:HI | "
+                        "accepted:COL:v1|v2 | unique:C1+C2 | "
+                        "fk:COL:ref_path:ref_col); repeatable - refuses "
+                        "the write on any violation")
     c.set_defaults(fn=cmd_activity)
 
     k = sub.add_parser(

@@ -66,6 +66,35 @@ def test_cli_full_chain(spark, raw_json_dir, tmp_path):
     assert cli.main(["reformat", "-d", raw_json_dir, "-o", out1, "--skip-existing"]) == 0
 
 
+def test_cli_dq_gate_blocks_corrupt_write(spark, raw_json_dir, tmp_path):
+    import pathlib
+
+    out1 = str(tmp_path / "stage2")
+    assert cli.main(["reformat", "-d", raw_json_dir, "-o", out1]) == 0
+
+    # clean input + satisfiable checks -> write proceeds
+    out_ok = str(tmp_path / "gated_ok")
+    assert cli.main([
+        "filter", "-i", f"{out1}/measurements", "-o", out_ok,
+        "--dq-gate", "not_null:kind",
+        "--dq-gate", "range:data:-1000000:1000000",
+    ]) == 0
+    assert spark.read.parquet(out_ok).count() > 0
+
+    # corrupted fixture (every hr value far beyond physiology) -> the
+    # declared range check refuses the write and NOTHING is created
+    corrupt = str(tmp_path / "corrupt_meas")
+    spark.read.parquet(f"{out1}/measurements").withColumn(
+        "data", F.col("data") + F.lit(10_000_000.0)
+    ).write.parquet(corrupt)
+    out_bad = str(tmp_path / "gated_bad")
+    assert cli.main([
+        "filter", "-i", corrupt, "-o", out_bad,
+        "--dq-gate", "range:data:-1000000:1000000",
+    ]) == 1
+    assert not pathlib.Path(out_bad).exists()
+
+
 def test_cli_reformat_with_skew(spark, raw_json_dir, tmp_path):
     out = str(tmp_path / "skewed")
     assert cli.main(["reformat", "-d", raw_json_dir, "-o", out, "-t", "900000"]) == 0
