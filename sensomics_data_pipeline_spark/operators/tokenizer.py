@@ -51,14 +51,14 @@ def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _merge_fold(a: str, b: str, m: str):
+def _merge_fold_on(col, a: str, b: str, m: str):
     """JVM-side left-to-right greedy merge of adjacent (a, b) → m in a
-    token array: the standard BPE application order (overlapping
+    token-array COLUMN: the standard BPE application order (overlapping
     occurrences resolve leftmost-first, so 'aaa' under (a,a) → [aa, a]).
     Nested CASE keeps ``element_at(acc, -1)`` guarded for empty acc
     (ANSI-safe)."""
     return F.aggregate(
-        F.col("toks"),
+        col,
         F.expr("cast(array() as array<string>)"),
         lambda acc, t: F.when(
             F.size(acc) == 0, F.array(t)
@@ -71,6 +71,10 @@ def _merge_fold(a: str, b: str, m: str):
             ).otherwise(F.concat(acc, F.array(t)))
         ),
     )
+
+
+def _merge_fold(a: str, b: str, m: str):
+    return _merge_fold_on(F.col("toks"), a, b, m)
 
 
 def bpe_train(
@@ -120,6 +124,84 @@ def bpe_train(
                 _merge_fold(a, b, m)
             ),
         ).localCheckpoint(eager=True)
+    return merges, words
+
+
+def bpe_train_batched(
+    spark: SparkSession,
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 32,
+    batch_k: int = 8,
+) -> tuple[list[tuple], DataFrame]:
+    """Batched BPE trainer: per driver-synced round, take the top
+    ``batch_k`` MUTUALLY NON-CONFLICTING pairs (no shared left/right/
+    merged symbol — disjoint merges commute, so applying them in one
+    fold chain is order-independent) instead of one. Driver syncs drop
+    from ``n_merges`` to ``~n_merges / batch_k`` rounds — the standard
+    trick for making a 32k-vocab train tractable (32k Spark jobs →
+    ~4k at batch_k=8).
+
+    Divergence from canonical BPE, by construction: pair counts are
+    recomputed once per ROUND, so merges 2..k of a round are chosen on
+    counts that ignore merges 1..k-1 of the same round — the learned
+    table can differ from the sequential trainer's. ``batch_k=1``
+    reproduces :func:`bpe_train` exactly (law pinned in tests); the
+    certified driver oracle stays on the sequential mode. Recorded
+    ``pair_count`` values are as-of the round start.
+
+    Returns the same ``(merges, words)`` contract as ``bpe_train``.
+    """
+    words = word_freq_table(df, text_col).localCheckpoint(eager=True)
+    merges: list[tuple] = []
+    while len(merges) < n_merges:
+        room = n_merges - len(merges)
+        k = min(batch_k, room)
+        pairs = words.select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks)-1),"
+                    " (t, i) -> struct(t AS a, element_at(toks, i+2) AS b))"
+                )
+            ).alias("p"),
+        ).select("n", "p.a", "p.b")
+        # over-fetch 4x: conflicting candidates are skipped, and the
+        # collect stays a bounded (4*batch_k)-row scalar either way
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(4 * k)
+            .collect()
+        )
+        if not top:
+            break
+        used: set = set()
+        batch: list[tuple] = []
+        for r in top:
+            if len(batch) >= k:
+                break
+            a, b, cnt = r["a"], r["b"], r["cnt"]
+            m = a + b
+            # conflict = any shared symbol with an already-picked merge
+            # (incl. its output); the FIRST candidate never conflicts,
+            # so every round makes progress
+            if a in used or b in used or m in used:
+                continue
+            batch.append((a, b, m, int(cnt)))
+            used.update((a, b, m))
+        col = F.col("toks")
+        for a, b, m, _cnt in batch:
+            col = F.when(F.size(col) < 2, col).otherwise(
+                _merge_fold_on(col, a, b, m)
+            )
+        rank0 = len(merges)
+        merges.extend(
+            (rank0 + i + 1, a, b, m, cnt)
+            for i, (a, b, m, cnt) in enumerate(batch)
+        )
+        words = words.withColumn("toks", col).localCheckpoint(eager=True)
     return merges, words
 
 

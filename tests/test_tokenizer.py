@@ -118,6 +118,53 @@ def test_bpe_random_corpora_property(spark):
         _assert_match(spark, texts, n_merges=5)
 
 
+def test_bpe_batched_k1_equals_sequential(spark):
+    # batch_k=1 must reproduce bpe_train merge-for-merge (the law that
+    # keeps the batched mode anchored to the certified trainer)
+    texts = ["low lower lowest", "new newer newest", "low low newer"]
+    corpus = _spark_corpus(spark, texts)
+    want_m, want_w = tok_ops.bpe_train(spark, corpus, "text", n_merges=6)
+    got_m, got_w = tok_ops.bpe_train_batched(
+        spark, corpus, "text", n_merges=6, batch_k=1
+    )
+    assert got_m == want_m
+    assert sorted(map(tuple, got_w.select("word", "toks").collect())) == \
+        sorted(map(tuple, want_w.select("word", "toks").collect()))
+
+
+def test_bpe_batched_skips_conflicting_candidates(spark):
+    # all top pairs share the symbol 'b': each round can apply only ONE
+    # of them, so conflict-skipping must serialize them across rounds
+    # in count order - (a,b):3 then (b,c):2 then (b,d):1 - exactly the
+    # sequential trainer's choices for this corpus
+    texts = ["ab ab ab bc bc bd"]
+    corpus = _spark_corpus(spark, texts)
+    merges, words = tok_ops.bpe_train_batched(
+        spark, corpus, "text", n_merges=3, batch_k=3
+    )
+    assert merges == [
+        (1, "a", "b", "ab", 3),
+        (2, "b", "c", "bc", 2),
+        (3, "b", "d", "bd", 1),
+    ]
+    for row in words.collect():
+        assert "".join(row["toks"]) == row["word"]
+
+
+def test_bpe_batched_fewer_driver_rounds(spark):
+    # the whole point: merges/round > 1 -> the 32k-vocab cost model
+    # scales as n_merges / batch_k driver syncs
+    texts = ["abcd efgh ijkl mnop qrst"] * 3
+    corpus = _spark_corpus(spark, texts)
+    merges, _ = tok_ops.bpe_train_batched(
+        spark, corpus, "text", n_merges=4, batch_k=4
+    )
+    # all four merges were selected in ONE round: counts are all
+    # as-of round start (each pair occurs exactly 3 times)
+    assert len(merges) == 4
+    assert [c for (_r, _a, _b, _m, c) in merges] == [3, 3, 3, 3]
+
+
 def test_bpe_token_counts_matches_reference(spark):
     texts = ["low lower lowest low", "newer newest new", "low newer"]
     _, words = tok_ops.bpe_train(
