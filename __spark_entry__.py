@@ -4560,6 +4560,97 @@ FROM b GROUP BY user_id
 """
 
 
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential smoothing (``analytics.ewma_smooth``,
+    alpha=0.25): the linear recurrence y_i = 0.25 x_i + 0.75 y_{i-1}
+    over each user's view-event value series. alpha and 1-alpha are
+    exact binary fractions and both engines fold in the same
+    (ts, event_id) order, so the smoothed doubles are BIT-IDENTICAL —
+    compared raw, no display round: a 0.25/0.75 fold lands on decimal
+    midpoints often enough that round-6 itself diverges between
+    Spark's BigDecimal HALF_UP and DuckDB's multiply-round (observed:
+    31.8653125 → .865312 vs .865313), while the unrounded doubles
+    agree exactly. The oracle replays the fold with a DuckDB
+    list_reduce over the same sorted series."""
+    from sensomics_data_pipeline_spark.operators.analytics import ewma_smooth
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    ).select("user_id", "ts", "event_id", "value")
+    return ewma_smooth(
+        ev, ["user_id"], ts_col="ts", value_col="value",
+        alpha=0.25, tiebreak_cols=["event_id"], round_decimals=None,
+    )
+
+
+_SQL_EWMA = """
+WITH g AS (
+  SELECT user_id,
+         list_sort(list(struct_pack(t := ts, tb := event_id,
+                                    x := value::DOUBLE))) AS s
+  FROM events WHERE event_type = 'view' AND value IS NOT NULL
+  GROUP BY user_id
+), folded AS (
+  SELECT user_id, s,
+         list_reduce(list_transform(s, e -> [e.x]),
+                     (acc, v) -> acc || [0.25 * v[1] + 0.75 * acc[-1]]) AS y
+  FROM g
+)
+SELECT user_id,
+       s[u.i].t  AS ts,
+       s[u.i].x  AS x,
+       y[u.i]    AS ewma
+FROM folded, unnest(range(1, len(s) + 1)) AS u(i)
+"""
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (``text.pmi_collocations``): top-50
+    adjacent-bigram collocations of the documents corpus by pointwise
+    mutual information (min bigram count 3; ties on (a, b)). One
+    materialized tokenize pass feeds both count tables; ln + round-6
+    is the same libm-parity convention BM25's idf certified."""
+    from sensomics_data_pipeline_spark.operators.text import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        pmi_collocations(docs, "text", min_count=3)
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(50)
+    )
+
+
+_SQL_PMI = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), uni AS (
+  SELECT unnest(t) AS w FROM toks
+), uc AS (
+  SELECT w, count(*)::BIGINT AS c_w FROM uni GROUP BY w
+), bi AS (
+  SELECT t[i] AS a, t[i+1] AS b
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), bc AS (
+  SELECT a, b, count(*)::BIGINT AS n_ab FROM bi GROUP BY a, b
+), stats AS (
+  SELECT (SELECT sum(c_w) FROM uc)::BIGINT AS n_uni,
+         (SELECT sum(n_ab) FROM bc)::BIGINT AS n_bi
+)
+SELECT a, b, n_ab,
+       round(ln((n_ab::DOUBLE * n_uni * n_uni)
+                / (n_bi::DOUBLE * ca.c_w * cb.c_w)), 6) AS pmi
+FROM bc
+JOIN uc ca ON bc.a = ca.w
+JOIN uc cb ON bc.b = cb.w
+CROSS JOIN stats
+WHERE n_ab >= 3
+ORDER BY pmi DESC, a, b
+LIMIT 50
+"""
+
+
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user CUSUM changepoint score: max |running sum of deviations
     from the user's median|, with the timestamp localizing the drift.
@@ -6884,20 +6975,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference entry-point compositions as single driver hashes ----
         "reformat_pipeline": q_reformat_pipeline,
         "filtering_pipeline": q_filtering_pipeline,
+        "ewma_smooth": q_ewma_smooth,
+        "pmi_collocations": q_pmi_collocations,
         # ---- implementation CHANGED in round 11 (see header) ----
         "skew_salted_join": q_skew_salted_join,
         "dq_report": q_dq_report,
         "zorder_curve": q_zorder_curve,
         "bpe_merges": q_bpe_merges,
         "bpe_token_stats": q_bpe_token_stats,
-        # ---- stalest r9-checked fills (window slots 47-50) ----
+        # ---- stalest r9-checked fills (window slots 49-50) ----
         "duplicate_spans": q_duplicate_spans,
         "pack_sequences": q_pack_sequences,
-        "embedding_centroids": q_embedding_centroids,
-        "embedding_topk": q_embedding_topk,
         # ---- positions 51+: the remaining r9-checked entries (next in
         # line for r12), then the r10-checked entries - every tail
         # entry holds a green driver row at most 2 rounds old ----
+        "embedding_centroids": q_embedding_centroids,
+        "embedding_topk": q_embedding_topk,
         "embedding_lsh": q_embedding_lsh,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "semantic_dedup": q_semantic_dedup,
@@ -6989,6 +7082,8 @@ def oracle_sql() -> dict[str, str]:
         "activity_pipeline": _SQL_ACTIVITY_PIPELINE,
         "reformat_pipeline": _SQL_REFORMAT_PIPELINE,
         "filtering_pipeline": _SQL_FILTERING_PIPELINE,
+        "ewma_smooth": _SQL_EWMA,
+        "pmi_collocations": _SQL_PMI,
         "ivf_invariants": _SQL_IVF_INVARIANTS,
         "ivf_pq_invariants": _SQL_IVF_PQ_INVARIANTS,
         "bm25_topk": _SQL_BM25,

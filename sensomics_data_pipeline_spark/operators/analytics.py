@@ -301,3 +301,79 @@ def transition_matrix(
             6,
         ),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.25,
+    tiebreak_cols: list[str] | None = None,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Per-entity exponentially weighted moving average:
+    ``y_i = alpha*x_i + (1-alpha)*y_{i-1}`` with ``y_1 = x_1`` — the
+    standard smoothing/denoising pass for sensor and metric streams.
+
+    An EWMA is a linear RECURRENCE, not a window aggregate — no
+    unbounded-preceding frame expresses it exactly without a
+    numerically explosive ``(1-alpha)^-i`` rescale. Plan: per entity,
+    ``sort_array(collect_list(struct(ts, tiebreaks..., x)))`` gives a
+    deterministic ordered series, one JVM ``aggregate`` fold builds
+    the smoothed array left-to-right, and ``posexplode`` of the zipped
+    arrays restores one row per input point. One shuffle on the entity
+    key; the fold is codegen-free but JVM-side (no Python).
+
+    Scale contract: an entity's FULL series must fit one executor's
+    row budget (same bounded-per-entity assumption as the reference's
+    per-subject flow and the ``asof`` greedy plan) — entities
+    distribute, series length does not. Prefer alpha with an exact
+    binary representation (0.25, 0.5, 0.125) so the fold arithmetic is
+    bit-reproducible across engines; with that and both engines
+    folding in the same (ts, tiebreaks) order the smoothed values are
+    IDENTICAL, not merely close.
+
+    Output: ``group_cols..., ts, x, ewma`` (rounded to
+    ``round_decimals`` for display unless None).
+    """
+    tb = tiebreak_cols or []
+    struct_fields = [F.col(ts_col).alias("_t")] + [
+        F.col(c).alias(f"_tb{i}") for i, c in enumerate(tb)
+    ] + [F.col(value_col).cast("double").alias("_x")]
+    grouped = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list(F.struct(*struct_fields))).alias("_s"))
+    )
+    a, b = float(alpha), 1.0 - float(alpha)
+    smoothed = F.aggregate(
+        F.col("_s"),
+        F.expr("cast(array() as array<double>)"),
+        lambda acc, s: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, s["_x"]).otherwise(
+                    F.lit(a) * s["_x"] + F.lit(b) * F.element_at(acc, -1)
+                )
+            ),
+        ),
+    )
+    out = (
+        grouped.withColumn("_y", smoothed)
+        .select(
+            *group_cols,
+            F.posexplode(F.arrays_zip(F.col("_s"), F.col("_y"))).alias(
+                "_i", "_z"
+            ),
+        )
+        .select(
+            *group_cols,
+            F.col("_z._s._t").alias(ts_col),
+            F.col("_z._s._x").alias("x"),
+            F.col("_z._y").alias("ewma"),
+        )
+    )
+    if round_decimals is not None:
+        out = out.withColumn("ewma", F.round("ewma", round_decimals))
+    return out

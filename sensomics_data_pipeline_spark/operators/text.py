@@ -1750,3 +1750,74 @@ def normalize_text(
             yield pdf[[f.name for f in out_schema.fields]]
 
     return df.mapInPandas(run, out_schema)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Pointwise-mutual-information collocation extraction over
+    adjacent token bigrams (Church & Hanks 1990, the classic
+    collocation statistic): ``pmi(a,b) = ln(p(a,b) / (p(a)p(b)))``
+    with bigram probability from the corpus bigram total and unigram
+    probabilities from the corpus token total. The staple phrase-miner
+    a training-data pipeline runs before vocabulary decisions
+    (multi-word entities, boilerplate phrases, domain jargon).
+
+    Plan: ONE tokenize pass materialized (lazy checkpoint), from which
+    both count tables derive — unigrams via token explode, bigrams via
+    the adjacent-pair transform (the BPE pair-explode shape). Counts
+    shuffle on the token/bigram key (vocabulary-bounded, not
+    corpus-bounded); the two corpus totals ride along as 1-row
+    aggregates cross-joined back (no driver collect). Adjacency-only
+    pairs keep the explosion at exactly ``tokens-1`` rows per document
+    — no window-k blowup. The unigram join is a plain equi-join:
+    Catalyst broadcasts while the vocabulary fits and falls back to
+    shuffle when it doesn't.
+
+    Output: ``(a, b, n_ab, pmi)`` for bigrams with ``n_ab >=
+    min_count``; pmi rounded for engine-exact comparison (ln is the
+    one libm call — same precedent as BM25's idf).
+    """
+    toks = df.select(tokens(text_col).alias("_toks")).localCheckpoint(
+        eager=False
+    )
+    uni = (
+        toks.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(_toks, 1, greatest(size(_toks)-1, 0)),"
+                    " (t, i) -> struct(t AS a, element_at(_toks, i+2) AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    stats = (
+        uni.agg(F.sum("c_w").alias("_n_uni"))
+        .withColumn("_k", F.lit(0))
+        .join(bi.agg(F.sum("n_ab").alias("_n_bi")).withColumn("_k", F.lit(0)), "_k")
+    )
+    scored = (
+        bi.filter(F.col("n_ab") >= min_count)
+        .join(uni.select(F.col("w").alias("a"), F.col("c_w").alias("_ca")), "a")
+        .join(uni.select(F.col("w").alias("b"), F.col("c_w").alias("_cb")), "b")
+        .withColumn("_k", F.lit(0))
+        .join(F.broadcast(stats), "_k")
+    )
+    pmi = F.log(
+        (F.col("n_ab").cast("double") * F.col("_n_uni") * F.col("_n_uni"))
+        / (F.col("_n_bi").cast("double") * F.col("_ca") * F.col("_cb"))
+    )
+    return scored.select(
+        "a", "b", "n_ab", F.round(pmi, round_decimals).alias("pmi")
+    )

@@ -4261,3 +4261,68 @@ def test_bm25_scores_matches_reference_formula(spark):
     for doc in (1, 2, 3):
         assert abs(got[doc][0] - score(doc)) < 1e-9, (doc, got[doc])
         assert got[doc][1] == len(tfs[doc])
+
+
+def test_ewma_smooth_hand_computed(spark):
+    from sensomics_data_pipeline_spark.operators.analytics import ewma_smooth
+
+    df = spark.createDataFrame(
+        [(1, 1, 10, 10.0), (1, 2, 20, 20.0), (1, 3, 30, 30.0),
+         (2, 1, 40, 5.0), (1, 4, 35, None)],
+        "u int, t int, eid int, v double",
+    )
+    got = {
+        (r["u"], r["t"]): r["ewma"]
+        for r in ewma_smooth(
+            df, ["u"], ts_col="t", value_col="v",
+            alpha=0.25, tiebreak_cols=["eid"],
+        ).collect()
+    }
+    # y1=x1; y2=.25*20+.75*10=12.5; y3=.25*30+.75*12.5=16.875;
+    # NULL value rows are excluded entirely
+    assert got == {(1, 1): 10.0, (1, 2): 12.5, (1, 3): 16.875, (2, 1): 5.0}
+
+
+def test_ewma_smooth_tiebreak_deterministic(spark):
+    from sensomics_data_pipeline_spark.operators.analytics import ewma_smooth
+
+    # two rows share (u, t): the eid tiebreak pins the fold order
+    df = spark.createDataFrame(
+        [(1, 1, 2, 100.0), (1, 1, 1, 0.0)], "u int, t int, eid int, v double"
+    )
+    rows = sorted(
+        (r["x"], r["ewma"])
+        for r in ewma_smooth(
+            df, ["u"], ts_col="t", value_col="v",
+            alpha=0.25, tiebreak_cols=["eid"],
+        ).collect()
+    )
+    # eid=1 (x=0) folds first: y = [0, .25*100 + .75*0] = [0, 25]
+    assert rows == [(0.0, 0.0), (100.0, 25.0)]
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+
+    from sensomics_data_pipeline_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame(
+        [("new york is big",), ("new york new york",), ("big is big",)],
+        "text string",
+    )
+    got = {
+        (r["a"], r["b"]): (r["n_ab"], r["pmi"])
+        for r in pmi_collocations(df, min_count=2).collect()
+    }
+    # unigrams: new=3 york=3 is=2 big=3, N_uni=11; bigrams N_bi=8,
+    # (new,york)=3, (is,big)=2
+    want_ny = round(math.log(3 * 121 / (8 * 3 * 3)), 6)
+    want_ib = round(math.log(2 * 121 / (8 * 2 * 3)), 6)
+    assert got == {("new", "york"): (3, want_ny), ("is", "big"): (2, want_ib)}
+
+
+def test_pmi_collocations_single_token_docs_safe(spark):
+    from sensomics_data_pipeline_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame([("one",), ("",), ("  ",)], "text string")
+    assert pmi_collocations(df, min_count=1).count() == 0
