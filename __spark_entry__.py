@@ -4560,6 +4560,102 @@ FROM b GROUP BY user_id
 """
 
 
+def q_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch algebra (``profile.theta_sketch_table`` family,
+    k=64): per-event-type distinct-user estimates PLUS the set
+    operations HLL cannot answer — the click|view sketch UNION and the
+    click&view INTERSECTION estimate. Deterministic end-to-end (md5
+    portable hash, exact top-k, no RNG), so the DuckDB oracle rebuilds
+    every sketch state and estimator value bit-for-bit."""
+    from sensomics_data_pipeline_spark.operators import profile as prof_ops
+
+    ev = _t(spark, sf_dir, "events")
+    sk = prof_ops.theta_sketch_table(ev, ["event_type"], "user_id", k=64)
+    est = prof_ops.theta_estimate(sk, k=64).select(
+        F.lit("estimate").alias("op"),
+        F.col("event_type").alias("label"),
+        F.col("n_kept").alias("n"),
+        "estimate",
+    )
+    ska = sk.filter(F.col("event_type") == "click").drop(
+        "event_type"
+    ).withColumn("_k", F.lit(0))
+    skb = sk.filter(F.col("event_type") == "view").drop(
+        "event_type"
+    ).withColumn("_k", F.lit(0))
+    u = prof_ops.theta_estimate(
+        prof_ops.theta_union(ska, skb, ["_k"], k=64), k=64
+    ).select(
+        F.lit("union").alias("op"),
+        F.lit("click|view").alias("label"),
+        F.col("n_kept").alias("n"),
+        "estimate",
+    )
+    i = prof_ops.theta_intersect_estimate(ska, skb, ["_k"], k=64).select(
+        F.lit("intersect").alias("op"),
+        F.lit("click&view").alias("label"),
+        F.col("n_sample").alias("n"),
+        "estimate",
+    )
+    return est.unionByName(u).unionByName(i)
+
+
+_SQL_THETA = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+), sk AS (
+  SELECT event_type, list_sort(list(h)) AS hashes, count(*)::INT AS n_kept
+  FROM ranked WHERE rn <= 64 GROUP BY event_type
+), sk2 AS (
+  SELECT *, CASE WHEN n_kept < 64 THEN 1152921504606846976
+                 ELSE hashes[64] END AS theta
+  FROM sk
+), est AS (
+  SELECT 'estimate' AS op, event_type AS label, n_kept AS n,
+         CASE WHEN theta = 1152921504606846976 THEN n_kept::DOUBLE
+              ELSE round(63.0 * 1152921504606846976.0 / theta, 6)
+         END AS estimate
+  FROM sk2
+), uni AS (
+  SELECT list_sort(list_distinct(a.hashes || b.hashes)) AS m
+  FROM sk2 a, sk2 b
+  WHERE a.event_type = 'click' AND b.event_type = 'view'
+), usk AS (
+  SELECT m[1:64] AS hashes, least(len(m), 64)::INT AS n_kept FROM uni
+), usk2 AS (
+  SELECT *, CASE WHEN n_kept < 64 THEN 1152921504606846976
+                 ELSE hashes[64] END AS theta
+  FROM usk
+), uest AS (
+  SELECT 'union' AS op, 'click|view' AS label, n_kept AS n,
+         CASE WHEN theta = 1152921504606846976 THEN n_kept::DOUBLE
+              ELSE round(63.0 * 1152921504606846976.0 / theta, 6)
+         END AS estimate
+  FROM usk2
+), isamp AS (
+  SELECT least(a.theta, b.theta) AS theta,
+         len(list_filter(list_intersect(a.hashes, b.hashes),
+                         x -> x < least(a.theta, b.theta)))::INT AS n
+  FROM sk2 a, sk2 b
+  WHERE a.event_type = 'click' AND b.event_type = 'view'
+), iest AS (
+  SELECT 'intersect' AS op, 'click&view' AS label, n,
+         CASE WHEN theta = 1152921504606846976 THEN n::DOUBLE
+              ELSE round(n * 1152921504606846976.0 / theta, 6)
+         END AS estimate
+  FROM isamp
+)
+SELECT * FROM est
+UNION ALL SELECT * FROM uest
+UNION ALL SELECT * FROM iest
+"""
+
+
 def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponential smoothing (``analytics.ewma_smooth``,
     alpha=0.25): the linear recurrence y_i = 0.25 x_i + 0.75 y_{i-1}
@@ -6977,18 +7073,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtering_pipeline": q_filtering_pipeline,
         "ewma_smooth": q_ewma_smooth,
         "pmi_collocations": q_pmi_collocations,
+        "theta_sketch_ops": q_theta_sketch_ops,
         # ---- implementation CHANGED in round 11 (see header) ----
         "skew_salted_join": q_skew_salted_join,
         "dq_report": q_dq_report,
         "zorder_curve": q_zorder_curve,
         "bpe_merges": q_bpe_merges,
         "bpe_token_stats": q_bpe_token_stats,
-        # ---- stalest r9-checked fills (window slots 49-50) ----
+        # ---- stalest r9-checked fill (window slot 50) ----
         "duplicate_spans": q_duplicate_spans,
-        "pack_sequences": q_pack_sequences,
         # ---- positions 51+: the remaining r9-checked entries (next in
         # line for r12), then the r10-checked entries - every tail
         # entry holds a green driver row at most 2 rounds old ----
+        "pack_sequences": q_pack_sequences,
         "embedding_centroids": q_embedding_centroids,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh": q_embedding_lsh,
@@ -7084,6 +7181,7 @@ def oracle_sql() -> dict[str, str]:
         "filtering_pipeline": _SQL_FILTERING_PIPELINE,
         "ewma_smooth": _SQL_EWMA,
         "pmi_collocations": _SQL_PMI,
+        "theta_sketch_ops": _SQL_THETA,
         "ivf_invariants": _SQL_IVF_INVARIANTS,
         "ivf_pq_invariants": _SQL_IVF_PQ_INVARIANTS,
         "bm25_topk": _SQL_BM25,

@@ -722,3 +722,145 @@ def count_min_estimate(
         )
         .mapInPandas(probe, f"{keep_schema}value {vt}, est long")
     )
+
+
+#: theta/KMV sentinel: one past the largest possible 60-bit portable
+#: hash — a sketch holding FEWER than k hashes has seen its whole
+#: domain, so its threshold is the full hash range (exact mode).
+_THETA_FULL = 1 << 60
+
+
+def theta_sketch_table(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV/theta distinct-count sketch per group (Bar-Yossef et al.
+    2002; the Apache DataSketches theta family): the ``k`` SMALLEST
+    engine-portable 60-bit hash values of the group's distinct items.
+    Unlike HLL registers, theta sketches support set INTERSECTION and
+    difference — "users who did A and B" — which no union-only sketch
+    can answer.
+
+    State: ``group_cols..., hashes (sorted array<bigint>), n_kept,
+    theta`` where theta = the k-th smallest hash (or 2^60 when the
+    group has fewer than k distinct values — exact mode). Fully
+    deterministic (md5-based hash, exact top-k with no RNG), so an
+    independent engine rebuilds the state bit-for-bit.
+
+    Plan: hash projection → (group, hash) distinct (one shuffle,
+    dedup absorbs duplicates) → per-group k-smallest via a
+    row_number window on the same key → sorted-array pack. State per
+    group is k longs at ANY input size; sketches for fine partitions
+    (per-day, per-source) union to any coarser rollup without
+    rescanning raw data."""
+    from pyspark.sql import Window
+
+    from sensomics_data_pipeline_spark.functions.scalars import (
+        portable_hash64,
+    )
+
+    h = portable_hash64(F.col(value_col).cast("string"))
+    distinct = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("_h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    top = distinct.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    packed = top.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("_h")).alias("hashes"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    )
+    theta = F.when(
+        F.col("n_kept") < k, F.lit(_THETA_FULL).cast("bigint")
+    ).otherwise(F.element_at("hashes", k))
+    return packed.withColumn("theta", theta)
+
+
+def theta_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimate from a theta sketch row: exact
+    ``n_kept`` below capacity, else the KMV estimator
+    ``(k-1) * 2^60 / theta`` (rounded 6). Adds ``estimate``."""
+    est = F.when(
+        F.col("theta") == _THETA_FULL, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(float(_THETA_FULL)) / F.col("theta"),
+            6,
+        )
+    )
+    return sketch.withColumn("estimate", est)
+
+
+def theta_union(
+    sk_a: DataFrame,
+    sk_b: DataFrame,
+    on: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Union of two theta sketch tables on ``on`` (inner-matched
+    groups): merged distinct hashes re-trimmed to the k smallest —
+    exactly the sketch the union stream would have produced, so
+    unions are lossless w.r.t. sketch semantics and associative."""
+    a = sk_a.select(*on, F.col("hashes").alias("_ha"))
+    b = sk_b.select(*on, F.col("hashes").alias("_hb"))
+    merged = a.join(b, on=on, how="inner").select(
+        *on,
+        F.array_sort(
+            F.array_distinct(F.concat(F.col("_ha"), F.col("_hb")))
+        ).alias("_m"),
+    )
+    packed = merged.select(
+        *on,
+        F.slice("_m", 1, k).alias("hashes"),
+        F.least(F.size("_m"), F.lit(k)).cast("int").alias("n_kept"),
+    )
+    theta = F.when(
+        F.col("n_kept") < k, F.lit(_THETA_FULL).cast("bigint")
+    ).otherwise(F.element_at("hashes", k))
+    return packed.withColumn("theta", theta)
+
+
+def theta_intersect_estimate(
+    sk_a: DataFrame,
+    sk_b: DataFrame,
+    on: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Intersection cardinality estimate (the theta-family capability
+    HLL lacks): with threshold ``θ = min(θ_a, θ_b)``, the hashes below
+    θ present in BOTH sketches form a uniform sample of the
+    intersection at sampling rate θ/2^60, so
+    ``estimate = |sample| * 2^60 / θ`` (exact when both sketches are
+    below capacity). Output: ``on..., n_sample, estimate``."""
+    a = sk_a.select(
+        *on, F.col("hashes").alias("_ha"), F.col("theta").alias("_ta")
+    )
+    b = sk_b.select(
+        *on, F.col("hashes").alias("_hb"), F.col("theta").alias("_tb")
+    )
+    j = a.join(b, on=on, how="inner").withColumn(
+        "_theta", F.least("_ta", "_tb")
+    )
+    sample = F.size(
+        F.filter(
+            F.array_intersect("_ha", "_hb"),
+            lambda x: x < F.col("_theta"),
+        )
+    )
+    est = F.when(
+        F.col("_theta") == _THETA_FULL, F.col("_n").cast("double")
+    ).otherwise(
+        F.round(
+            F.col("_n") * F.lit(float(_THETA_FULL)) / F.col("_theta"), 6
+        )
+    )
+    return (
+        j.withColumn("_n", sample)
+        .withColumn("estimate", est)
+        .select(*on, F.col("_n").alias("n_sample"), "estimate")
+    )

@@ -4326,3 +4326,80 @@ def test_pmi_collocations_single_token_docs_safe(spark):
 
     df = spark.createDataFrame([("one",), ("",), ("  ",)], "text string")
     assert pmi_collocations(df, min_count=1).count() == 0
+
+
+def test_theta_sketch_exact_mode_below_capacity(spark):
+    from sensomics_data_pipeline_spark.operators import profile as prof_ops
+
+    df = spark.createDataFrame(
+        [("a", v) for v in range(10)] + [("a", 3), ("a", 7)],
+        "g string, v int",
+    )
+    sk = prof_ops.theta_sketch_table(df, ["g"], "v", k=64)
+    row = prof_ops.theta_estimate(sk, k=64).first()
+    # 10 distinct, duplicates absorbed; below capacity -> exact
+    assert row["n_kept"] == 10
+    assert row["estimate"] == 10.0
+    assert row["theta"] == 1 << 60
+    assert list(row["hashes"]) == sorted(row["hashes"])
+
+
+def test_theta_union_and_intersect_exact_small_sets(spark):
+    from sensomics_data_pipeline_spark.operators import profile as prof_ops
+
+    df = spark.createDataFrame(
+        [("a", v) for v in range(20)] + [("b", v) for v in range(10, 25)],
+        "g string, v int",
+    )
+    sk = prof_ops.theta_sketch_table(df, ["g"], "v", k=64)
+    ska = sk.filter("g='a'").drop("g").withColumn("_k", F.lit(0))
+    skb = sk.filter("g='b'").drop("g").withColumn("_k", F.lit(0))
+    u = prof_ops.theta_estimate(
+        prof_ops.theta_union(ska, skb, ["_k"], k=64), k=64
+    ).first()
+    assert u["estimate"] == 25.0  # |0..19 u 10..24| exactly
+    i = prof_ops.theta_intersect_estimate(ska, skb, ["_k"], k=64).first()
+    assert i["n_sample"] == 10 and i["estimate"] == 10.0  # |10..19|
+
+
+def test_theta_estimator_accuracy_above_capacity(spark):
+    from sensomics_data_pipeline_spark.operators import profile as prof_ops
+
+    df = spark.createDataFrame(
+        [("a", v) for v in range(2000)], "g string, v int"
+    )
+    sk = prof_ops.theta_sketch_table(df, ["g"], "v", k=256)
+    row = prof_ops.theta_estimate(sk, k=256).first()
+    assert row["n_kept"] == 256
+    # KMV relative error ~ 1/sqrt(k-1) ~ 6%; allow 4 sigma
+    assert abs(row["estimate"] - 2000) / 2000 < 0.25
+
+
+def test_theta_union_associative_with_trim(spark):
+    from sensomics_data_pipeline_spark.operators import profile as prof_ops
+
+    # (a u b) u c == a u (b u c) at sketch-state level even when trim
+    # engages (k smaller than the union cardinality)
+    df = spark.createDataFrame(
+        [("a", v) for v in range(60)]
+        + [("b", v) for v in range(40, 100)]
+        + [("c", v) for v in range(80, 140)],
+        "g string, v int",
+    )
+    k = 32
+    sk = prof_ops.theta_sketch_table(df, ["g"], "v", k=k)
+    one = {
+        g: sk.filter(F.col("g") == g).drop("g").withColumn("_k", F.lit(0))
+        for g in ("a", "b", "c")
+    }
+    left = prof_ops.theta_union(
+        prof_ops.theta_union(one["a"], one["b"], ["_k"], k=k),
+        one["c"], ["_k"], k=k,
+    ).first()
+    right = prof_ops.theta_union(
+        one["a"],
+        prof_ops.theta_union(one["b"], one["c"], ["_k"], k=k),
+        ["_k"], k=k,
+    ).first()
+    assert list(left["hashes"]) == list(right["hashes"])
+    assert left["theta"] == right["theta"]
