@@ -4570,7 +4570,12 @@ def q_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensomics_data_pipeline_spark.operators import profile as prof_ops
 
     ev = _t(spark, sf_dir, "events")
-    sk = prof_ops.theta_sketch_table(ev, ["event_type"], "user_id", k=64)
+    # one sketch build feeds all five estimate rows AND both set-op
+    # branches: the state is 5 rows x 64 longs, so a lazy checkpoint
+    # collapses four would-be full scans of events into one
+    sk = prof_ops.theta_sketch_table(
+        ev, ["event_type"], "user_id", k=64
+    ).localCheckpoint(eager=False)
     est = prof_ops.theta_estimate(sk, k=64).select(
         F.lit("estimate").alias("op"),
         F.col("event_type").alias("label"),

@@ -657,6 +657,123 @@ def rangejoin_rehearsal(spark, entrymod, replicas: int = 10) -> list[tuple]:
     return [(replicas, n_iv, n_kept, t_bc, t_binned, t_shuffled)]
 
 
+def rangejoin_crossover(spark, replicas: int = 10) -> list[tuple]:
+    """Find the broadcast→binned CROSSOVER for the containment
+    semijoin (r10 verdict ask #6): the r10 rehearsal scaled DATA 10×
+    (more users, constant intervals per user) and broadcast kept
+    winning — correctly, because broadcast's probe cost is
+    events × intervals_per_user and that axis never moved. This
+    rehearsal scales INTERVALS PER USER (the axis that actually kills
+    the broadcast plan: every probe row scans its user's whole
+    interval list, while the binned plan only meets intervals sharing
+    its time bin).
+
+    Per K in a geometric ladder: build K synthetic half-covering
+    intervals per user over the events time span (width = span/2K, so
+    ~half the events stay kept at every K — constant output
+    selectivity isolates the probe-cost axis), assert the law
+    (broadcast ≡ binned ≡ binned-no-broadcast aggregates), and time
+    all three plans. Returns (K, n_intervals, t_bc, t_binned,
+    t_shuffle) rows."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from sensomics_data_pipeline_spark.operators import intervals as iv_ops
+
+    big_dir = build_events_replica(spark, replicas)
+    ev = spark.read.parquet(f"{big_dir}/events.parquet")
+    tmin, tmax = ev.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    span = max(int(tmax) - int(tmin), 1)
+    # FRESH scan for the interval side: deriving it from `ev` makes the
+    # semijoin a self-join lineage-wise and Spark rejects the build-side
+    # column refs as ambiguous
+    users = (
+        spark.read.parquet(f"{big_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+    )
+
+    def agg(kept):
+        return sorted(
+            map(
+                tuple,
+                kept.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect(),
+            )
+        )
+
+    rows = []
+    bc_dnf = False  # once broadcast blows a soft budget, stop re-timing it
+    for k in (256, 2048, 16384):
+        gap = max(span // k, 2)
+        width = max(gap // 2, 1)
+        iv = (
+            users.withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+            .select(
+                "user_id",
+                F.timestamp_seconds(
+                    F.lit(int(tmin)) + F.col("_i") * gap
+                ).alias("start_time"),
+                F.timestamp_seconds(
+                    F.lit(int(tmin)) + F.col("_i") * gap + width
+                ).alias("end_time"),
+            )
+            .localCheckpoint(eager=True)  # build once; time only the joins
+        )
+        n_iv = iv.count()
+
+        def run(fn):
+            t0 = _time.time()
+            out = agg(fn())
+            return out, _time.time() - t0
+
+        if bc_dnf:
+            # broadcast already blew the soft budget at a smaller K; at
+            # this K the build side also exceeds driver.maxResultSize,
+            # so BOTH broadcast-shaped plans (the range join and the
+            # Catalyst-free binned run, which would auto-broadcast or
+            # die the same way) are recorded as DNF — which is itself
+            # the result: only the shuffle plan exists in this regime.
+            bc, t_bc = None, float("nan")
+            binned, t_binned = None, float("nan")
+        else:
+            bc, t_bc = run(
+                lambda: iv_ops.interval_semijoin(
+                    ev, iv, ["user_id"], ts_col="ts"
+                )
+            )
+            if t_bc > 150:
+                bc_dnf = True  # budget blown: crossover already proven
+            binned, t_binned = run(
+                lambda: iv_ops.interval_semijoin_binned(
+                    ev, iv, ["user_id"], ts_col="ts", bin_width_s=gap
+                )
+            )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            shuffled, t_shuffled = run(
+                lambda: iv_ops.interval_semijoin_binned(
+                    ev, iv, ["user_id"], ts_col="ts", bin_width_s=gap
+                )
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if bc is not None:
+            assert bc == binned == shuffled, f"law violated at K={k}"
+        rows.append((k, n_iv, t_bc, t_binned, t_shuffled))
+        print(
+            f"crossover K={k}: iv={n_iv} bc={t_bc:.2f}s "
+            f"binned={t_binned:.2f}s shuffle={t_shuffled:.2f}s",
+            flush=True,
+        )
+    return rows
+
+
 def bpe_rehearsal(spark, replicas: int = 10) -> list[tuple]:
     """BPE trainer at 1x vs ``replicas``x documents with LINEARLY
     GROWING vocabulary (the grow-vocab replica suffixes every word per
@@ -794,6 +911,42 @@ def main() -> None:
                 f"{1 - pre / n_fact:.1%} | {t_plain:.2f} | {t_bloom:.2f} |\n"
             )
         print(f"appended bloomjoin rehearsal to {out_md}")
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "rangejoin_crossover":
+        out_md = sys.argv[2] if len(sys.argv) > 2 else "docs/SCALE_r11.md"
+        spark = get_spark("scale_rehearsal")
+        rows = rangejoin_crossover(spark, replicas=10)
+        with open(out_md, "a") as f:
+            f.write(
+                "\n## interval containment semijoin: broadcast vs binned "
+                "crossover (intervals-per-user axis)\n\n"
+                "10x events (150 users); K synthetic half-covering "
+                "intervals PER USER. Broadcast probe cost is events x K "
+                "(each probe row scans its user's whole broadcast "
+                "interval list); the binned plan only meets intervals "
+                "sharing a time bin, so its cost is flat in K. All "
+                "three plans assert cell-identical aggregates "
+                "in-harness at every K.\n\n"
+                "| K per user | interval rows | broadcast (s) | binned, "
+                "Catalyst free (s) | binned, broadcast off (s) |\n"
+                "|---|---|---|---|---|\n"
+            )
+            for k, n_iv, t_bc, t_binned, t_shuffled in rows:
+                f.write(
+                    f"| {k} | {n_iv} | {t_bc:.2f} | {t_binned:.2f} | "
+                    f"{t_shuffled:.2f} |\n"
+                )
+            f.write(
+                "\nPlan-choice rule derived from the table: prefer the "
+                "binned/shuffle plan once expected intervals-per-"
+                "partition-key exceeds the crossover K above (or "
+                "whenever the interval side exceeds the broadcast "
+                "threshold at all, where the broadcast plan is simply "
+                "unavailable); below that, broadcast wins on shuffle "
+                "avoidance.\n"
+            )
+        print(f"appended rangejoin crossover table to {out_md}")
         return
 
     if len(sys.argv) > 1 and sys.argv[1] == "rangejoin_10x":
