@@ -56,6 +56,7 @@ def _clear_module_memos() -> None:
         from sensomics_data_pipeline_spark.streaming import ingest
 
         similarity._AUTO_RERANK_MEMO.clear()
+        similarity._N_VECTORS_MEMO.clear()
         text._EVAL_GRAM_MEMO.clear()
         ingest._STATIC_SIDE_MEMO.clear()
         ingest._SURVIVOR_MEMO.clear()
@@ -99,13 +100,15 @@ def _calibration_shuffle_run(spark, n_runs: int) -> float:
     codegen calibration stayed flat; with both rows pinned in every
     artifact, window drift can be CLASSIFIED inside the artifact
     instead of reconciled in prose. Same min-of-N + warm discipline."""
-    import pandas as pd  # noqa: F401
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-    @pandas_udf("double")
-    def _psum(v):  # pandas Series -> scalar per Arrow batch group
-        return (v * 1.0000001).sum()
+    # explicit GROUPED_AGG: the module's `from __future__ import
+    # annotations` stringifies type hints, which defeats signature-based
+    # eval-type inference
+    @pandas_udf("double", functionType=PandasUDFType.GROUPED_AGG)
+    def _psum(v):  # grouped-agg: Series -> scalar per group
+        return float((v * 1.0000001).sum())
 
     def one() -> float:
         t0 = time.time()

@@ -308,6 +308,35 @@ def auto_rerank(
 _AUTO_RERANK_MEMO: dict = {}
 _AUTO_RERANK_MEMO_MAX = 8
 
+#: Same pattern for the LSH auto-sizer's vector COUNT (one scalar per
+#: corpus definition): repeated near-dup/semantic-dedup calls against
+#: the same plan pay the count job once per session.
+_N_VECTORS_MEMO: dict = {}
+_N_VECTORS_MEMO_MAX = 8
+
+
+def _n_vectors_cached(v: DataFrame) -> int:
+    """``v.count()`` memoized per (application, semanticHash(plan)) —
+    the bounded-scalar the auto-sizing knobs need, without re-running
+    a count job on every operator call in the same session."""
+    try:
+        plan_key = v.semanticHash()
+    except Exception:
+        plan_key = None
+    if plan_key is None:
+        return v.count()
+    key = (v.sparkSession.sparkContext.applicationId, plan_key)
+    hit = _N_VECTORS_MEMO.get(key)
+    if hit is None:
+        hit = v.count()
+        while len(_N_VECTORS_MEMO) >= _N_VECTORS_MEMO_MAX:
+            _N_VECTORS_MEMO.pop(next(iter(_N_VECTORS_MEMO)))
+        _N_VECTORS_MEMO[key] = hit
+    else:
+        _N_VECTORS_MEMO.pop(key)
+        _N_VECTORS_MEMO[key] = hit
+    return hit
+
 
 def _estimate_near_tie_multiplicity(
     v: DataFrame, key_col: str, vec_col: str, sample_size: int
@@ -535,7 +564,7 @@ def cosine_near_dup_pairs(
     from sensomics_data_pipeline_spark.util import fan_out
 
     if n_planes is None:
-        n_planes = auto_n_planes(valid_vectors(df, vec_col).count())
+        n_planes = auto_n_planes(_n_vectors_cached(valid_vectors(df, vec_col)))
     if n_tables is None:
         n_tables = auto_n_tables(n_planes)
 
@@ -689,7 +718,7 @@ def lsh_topk(
     from sensomics_data_pipeline_spark.util import fan_out, materialize
 
     if n_planes is None:
-        n_planes = auto_n_planes(valid_vectors(df, vec_col).count())
+        n_planes = auto_n_planes(_n_vectors_cached(valid_vectors(df, vec_col)))
 
     base = materialize(
         fan_out(valid_vectors(df, vec_col)).select(

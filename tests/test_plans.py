@@ -138,6 +138,12 @@ SCALAR_BROADCAST_OK = {
     # 1-row corpus stats (N, avgdl) attached to the filtered posting
     # rows — the standard attach-computed-scalars shape
     "bm25_topk",
+    # 1-row corpus totals (N_uni, N_bi) attached to the bigram rows —
+    # same attach-computed-scalars shape
+    "pmi_collocations",
+    # 1-row sketch states joined for the union/intersect set ops —
+    # every BNLJ side here is a single 64-long sketch row
+    "theta_sketch_ops",
 }
 
 
