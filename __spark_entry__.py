@@ -1670,6 +1670,44 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
+def q_streaming_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming theta/KMV sketch (``streaming.stateful.
+    theta_sketch_stream``): per-event-type distinct-user sketches
+    maintained ACROSS micro-batches via ``applyInPandasWithState``
+    (state = the k smallest portable hashes, k longs per group), final
+    state emitted long-form. Trimmed KMV merges are associative, so
+    the final state is bit-identical to the batch
+    ``profile.theta_sketch_table`` no matter how the stream was
+    micro-batched — the stream-vs-batch law the oracle certifies
+    FULL-HASH (the batch sketch build replayed in DuckDB)."""
+    from sensomics_data_pipeline_spark.streaming.stateful import (
+        theta_sketch_stream,
+    )
+
+    return theta_sketch_stream(spark, sf_dir)
+
+
+_SQL_STREAMING_THETA = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+), sk AS (
+  SELECT event_type, list_sort(list(h)) AS hashes, count(*)::INT AS n_kept
+  FROM ranked WHERE rn <= 64 GROUP BY event_type
+), sk2 AS (
+  SELECT *, CASE WHEN n_kept < 64 THEN 1152921504606846976
+                 ELSE hashes[64] END AS theta
+  FROM sk
+)
+SELECT event_type AS label, u.i AS pos, hashes[u.i] AS h, theta, n_kept
+FROM sk2, unnest(range(1, len(hashes) + 1)) AS u(i)
+"""
+
+
 def q_streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10/§2.11 custom stateful streaming operator
     (``applyInPandasWithState``): change-point dedup with per-group
@@ -7079,17 +7117,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_smooth": q_ewma_smooth,
         "pmi_collocations": q_pmi_collocations,
         "theta_sketch_ops": q_theta_sketch_ops,
+        "streaming_theta": q_streaming_theta,
         # ---- implementation CHANGED in round 11 (see header) ----
         "skew_salted_join": q_skew_salted_join,
         "dq_report": q_dq_report,
         "zorder_curve": q_zorder_curve,
         "bpe_merges": q_bpe_merges,
         "bpe_token_stats": q_bpe_token_stats,
-        # ---- stalest r9-checked fill (window slot 50) ----
-        "duplicate_spans": q_duplicate_spans,
         # ---- positions 51+: the remaining r9-checked entries (next in
         # line for r12), then the r10-checked entries - every tail
         # entry holds a green driver row at most 2 rounds old ----
+        "duplicate_spans": q_duplicate_spans,
         "pack_sequences": q_pack_sequences,
         "embedding_centroids": q_embedding_centroids,
         "embedding_topk": q_embedding_topk,
@@ -7187,6 +7225,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma_smooth": _SQL_EWMA,
         "pmi_collocations": _SQL_PMI,
         "theta_sketch_ops": _SQL_THETA,
+        "streaming_theta": _SQL_STREAMING_THETA,
         "ivf_invariants": _SQL_IVF_INVARIANTS,
         "ivf_pq_invariants": _SQL_IVF_PQ_INVARIANTS,
         "bm25_topk": _SQL_BM25,

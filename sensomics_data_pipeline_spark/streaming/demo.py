@@ -22,7 +22,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    glob: str = "events.parquet",
+) -> DataFrame:
     """Bounded events stream with the same ts normalization as the batch
     loader (``sources.readers.load_table``).
 
@@ -38,15 +43,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_confs(spark)
     batch_schema = (
-        spark.read.option("pathGlobFilter", "events.parquet")
+        spark.read.option("pathGlobFilter", glob)
         .parquet(sf_dir)
         .schema
     )
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(batch_schema).option(
+        "pathGlobFilter", glob
     )
+    if max_files_per_trigger is not None:
+        # test/rehearsal knob: force the bounded backlog to split into
+        # several micro-batches so cross-batch state paths execute
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(sf_dir)
     ts_kind = dict((f.name, f.dataType.simpleString()) for f in batch_schema.fields)
     if ts_kind.get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))

@@ -181,3 +181,114 @@ def high_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(out, "append").select(
         "event_id", "user_id", "event_type", "ts", "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming theta/KMV sketch (distinct-count state across micro-batches)
+# ---------------------------------------------------------------------------
+
+THETA_K = 64
+
+THETA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("hashes", T.ArrayType(T.LongType())),
+        T.StructField("n_kept", T.IntegerType()),
+        T.StructField("theta", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+THETA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("hashes", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+_THETA_FULL = 1 << 60
+
+
+def _theta_group(key, batches: Iterator, state) -> Iterator:
+    """Per-group KMV maintenance across micro-batches: state is the k
+    smallest distinct portable hashes seen so far (k longs — O(groups)
+    memory). Trimmed merge is exact: the k smallest of A ∪ B equal the
+    k smallest of (k-smallest-of-A) ∪ B, so the final state is
+    BIT-IDENTICAL to the batch sketch regardless of how the stream was
+    micro-batched — the associativity law `theta_union` pins in batch
+    tests, exercised here as stream-vs-batch equality. Emits the
+    current sketch after the batch (update semantics); `n_seen` is a
+    monotone row counter so a bounded run can select each group's
+    final emission."""
+    import pandas as pd
+
+    if state.exists:
+        kept = list(state.get[0])
+        n_seen = int(state.get[1])
+    else:
+        kept, n_seen = [], 0
+    merged = set(kept)
+    for pdf in batches:
+        n_seen += len(pdf)
+        merged.update(int(h) for h in pdf["_h"])
+    kept = sorted(merged)[:THETA_K]
+    state.update((kept, n_seen))
+    theta = _THETA_FULL if len(kept) < THETA_K else kept[-1]
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "hashes": [kept],
+            "n_kept": [len(kept)],
+            "theta": [theta],
+            "n_seen": [n_seen],
+        }
+    )
+
+
+def theta_sketch_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    glob: str = "events.parquet",
+) -> DataFrame:
+    """Continuously maintained per-event-type distinct-user theta
+    sketch over the bounded events stream; returns each group's FINAL
+    sketch state in long form (label, pos, h, theta, n_kept) — the
+    exact rows the batch ``profile.theta_sketch_table`` produces, which
+    is what the driver oracle certifies."""
+    from pyspark.sql import Window
+
+    from sensomics_data_pipeline_spark.functions.scalars import (
+        portable_hash64,
+    )
+    from sensomics_data_pipeline_spark.streaming.demo import (
+        read_events_stream,
+        run_bounded,
+    )
+
+    events = read_events_stream(
+        spark, sf_dir, max_files_per_trigger=max_files_per_trigger, glob=glob
+    ).filter(F.col("user_id").isNotNull())
+    hashed = events.select(
+        "event_type",
+        portable_hash64(F.col("user_id").cast("string")).alias("_h"),
+    )
+    sketches = hashed.groupBy("event_type").applyInPandasWithState(
+        _theta_group,
+        THETA_OUT_SCHEMA,
+        THETA_STATE_SCHEMA,
+        "update",
+        "NoTimeout",
+    )
+    emitted = run_bounded(sketches, "update")
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_seen"))
+    final = (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return final.select(
+        F.col("event_type").alias("label"),
+        F.posexplode("hashes").alias("pos", "h"),
+        "theta",
+        "n_kept",
+    ).withColumn("pos", F.col("pos") + 1)

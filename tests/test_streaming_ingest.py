@@ -136,3 +136,37 @@ def test_stream_ingest_matches_batch_on_degenerate_corpus(
     pd.testing.assert_frame_equal(
         streamed[sorted(streamed.columns)], batch[sorted(batch.columns)]
     )
+
+
+def test_streaming_theta_multi_batch_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """The KMV trimmed-merge law under REAL micro-batching: split the
+    events table into 4 files, force maxFilesPerTrigger=1 (>= 4
+    micro-batches carrying sketch state across batches), and the final
+    emitted state must equal the batch sketch bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from sensomics_data_pipeline_spark.operators import profile as prof_ops
+    from sensomics_data_pipeline_spark.sources.readers import load_table
+    from sensomics_data_pipeline_spark.streaming.stateful import (
+        theta_sketch_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    split_dir = str(tmp_path / "split")
+    ev.repartition(4).write.parquet(f"{split_dir}/events.parquet")
+
+    got = {
+        (r["label"], r["pos"]): (r["h"], r["theta"], r["n_kept"])
+        for r in theta_sketch_stream(
+            spark,
+            f"{split_dir}/events.parquet",
+            max_files_per_trigger=1,
+            glob="*.parquet",
+        ).collect()
+    }
+    batch = prof_ops.theta_sketch_table(ev, ["event_type"], "user_id", k=64)
+    want = {}
+    for r in batch.collect():
+        for i, h in enumerate(r["hashes"], start=1):
+            want[(r["event_type"], i)] = (h, r["theta"], r["n_kept"])
+    assert got == want
