@@ -948,11 +948,13 @@ WITH meas AS (
 ), flagged AS (
   SELECT *,
          CASE WHEN include != coalesce(lag(include) OVER (
-                PARTITION BY user_id ORDER BY start_time), -1)
+                PARTITION BY user_id
+                ORDER BY start_time, end_time, include), -1)
               THEN 1 ELSE 0 END AS _new
   FROM runs
 ), grp AS (
-  SELECT *, sum(_new) OVER (PARTITION BY user_id ORDER BY start_time
+  SELECT *, sum(_new) OVER (PARTITION BY user_id
+                            ORDER BY start_time, end_time, include
                             ROWS UNBOUNDED PRECEDING) AS _g
   FROM flagged
 ), keepiv AS (
@@ -4661,7 +4663,7 @@ WITH h AS (
 ), est AS (
   SELECT 'estimate' AS op, event_type AS label, n_kept AS n,
          CASE WHEN theta = 1152921504606846976 THEN n_kept::DOUBLE
-              ELSE round(63.0 * 1152921504606846976.0 / theta, 6)
+              ELSE round(63.0 * 1152921504606846976.0 / greatest(theta, 1), 6)
          END AS estimate
   FROM sk2
 ), uni AS (
@@ -4677,7 +4679,7 @@ WITH h AS (
 ), uest AS (
   SELECT 'union' AS op, 'click|view' AS label, n_kept AS n,
          CASE WHEN theta = 1152921504606846976 THEN n_kept::DOUBLE
-              ELSE round(63.0 * 1152921504606846976.0 / theta, 6)
+              ELSE round(63.0 * 1152921504606846976.0 / greatest(theta, 1), 6)
          END AS estimate
   FROM usk2
 ), isamp AS (
@@ -4689,7 +4691,7 @@ WITH h AS (
 ), iest AS (
   SELECT 'intersect' AS op, 'click&view' AS label, n,
          CASE WHEN theta = 1152921504606846976 THEN n::DOUBLE
-              ELSE round(n * 1152921504606846976.0 / theta, 6)
+              ELSE round(n * 1152921504606846976.0 / greatest(theta, 1), 6)
          END AS estimate
   FROM isamp
 )

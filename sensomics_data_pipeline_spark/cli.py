@@ -79,7 +79,14 @@ def _parse_check_spec(spec: str, spark) -> dict:
     if kind == "unique":
         return {"type": "unique", "columns": rest.split("+")}
     if kind == "fk":
-        col, ref_path, ref_col = rest.rsplit(":", 2)
+        # scheme-aware: the ref PATH may itself contain ':' (s3://,
+        # hdfs://, abfss://…), so split the column off from the LEFT
+        # and only the ref column off from the RIGHT — everything in
+        # between is the path, colons and all
+        col, _, path_and_ref = rest.partition(":")
+        ref_path, _, ref_col = path_and_ref.rpartition(":")
+        if not col or not ref_path or not ref_col:
+            raise ValueError(f"malformed fk spec {spec!r}")
         return {"type": "fk", "column": col,
                 "ref": spark.read.parquet(ref_path), "ref_column": ref_col}
     raise ValueError(f"unknown dq check spec {spec!r}")

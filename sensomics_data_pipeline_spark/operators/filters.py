@@ -131,8 +131,18 @@ def include_intervals(
     adjacent runs with the same include flag merge into one interval.
 
     Another islands pass on the (tiny relative to input) runs table.
+
+    The window orders by (start_time, end_time, include): tied
+    timestamps in the source stream can yield two same-partition runs
+    sharing a boundary start_time (even start AND end, for point runs
+    at one tied instant), and start_time alone would leave the lag/sum
+    island assignment nondeterministic. With all three keys tied the
+    remaining permutation is between identical-flag rows, which cannot
+    change the merged intervals — so the OUTPUT is fully pinned.
     """
-    w = Window.partitionBy(*partition_cols).orderBy("start_time")
+    w = Window.partitionBy(*partition_cols).orderBy(
+        "start_time", "end_time", "include"
+    )
     flagged = runs.withColumn(
         "_new", (F.col("include") != F.coalesce(F.lag("include").over(w), F.lit(-1))).cast("int")
     ).withColumn("_grp", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))

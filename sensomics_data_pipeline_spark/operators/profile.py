@@ -784,12 +784,18 @@ def theta_sketch_table(
 def theta_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
     """Distinct-count estimate from a theta sketch row: exact
     ``n_kept`` below capacity, else the KMV estimator
-    ``(k-1) * 2^60 / theta`` (rounded 6). Adds ``estimate``."""
+    ``(k-1) * 2^60 / theta`` (rounded 6). Adds ``estimate``.
+
+    theta is clamped to ≥1: a theta of 0 (the k-th smallest 60-bit
+    hash being 0 — the md5 15-hex prefix of some value being all
+    zeros, probability k/2^60 per group) would otherwise divide to
+    NULL/Infinity instead of a number."""
     est = F.when(
         F.col("theta") == _THETA_FULL, F.col("n_kept").cast("double")
     ).otherwise(
         F.round(
-            F.lit(float(k - 1)) * F.lit(float(_THETA_FULL)) / F.col("theta"),
+            F.lit(float(k - 1)) * F.lit(float(_THETA_FULL))
+            / F.greatest(F.col("theta"), F.lit(1).cast("bigint")),
             6,
         )
     )
@@ -852,11 +858,16 @@ def theta_intersect_estimate(
             lambda x: x < F.col("_theta"),
         )
     )
+    # same theta≥1 clamp as theta_estimate: a 0 threshold (all-zero
+    # 15-hex md5 prefix reaching the k-th slot) must not divide to
+    # NULL/Infinity
     est = F.when(
         F.col("_theta") == _THETA_FULL, F.col("_n").cast("double")
     ).otherwise(
         F.round(
-            F.col("_n") * F.lit(float(_THETA_FULL)) / F.col("_theta"), 6
+            F.col("_n") * F.lit(float(_THETA_FULL))
+            / F.greatest(F.col("_theta"), F.lit(1).cast("bigint")),
+            6,
         )
     )
     return (

@@ -316,16 +316,31 @@ _N_VECTORS_MEMO_MAX = 8
 
 
 def _n_vectors_cached(v: DataFrame) -> int:
-    """``v.count()`` memoized per (application, semanticHash(plan)) —
-    the bounded-scalar the auto-sizing knobs need, without re-running
-    a count job on every operator call in the same session."""
+    """``v.count()`` memoized per (application, semanticHash(plan),
+    input-file fingerprint) — the bounded-scalar the auto-sizing knobs
+    need, without re-running a count job on every operator call in the
+    same session.
+
+    The fingerprint (hash of the sorted ``inputFiles()`` listing — a
+    driver-side metadata call, no job) invalidates the memo when files
+    are ADDED, REMOVED or RENAMED under the same path between calls,
+    so an appended corpus re-counts instead of silently serving a
+    stale n to the LSH auto-sizer. Residual assumption, documented on
+    the public operators: a file REWRITTEN in place under the same
+    name within one session is not detected — treat inputs as
+    session-static or use fresh paths per snapshot (the normal layout
+    for immutable parquet datasets)."""
     try:
         plan_key = v.semanticHash()
     except Exception:
         plan_key = None
     if plan_key is None:
         return v.count()
-    key = (v.sparkSession.sparkContext.applicationId, plan_key)
+    try:
+        files_key = hash(tuple(sorted(v.inputFiles())))
+    except Exception:
+        files_key = None
+    key = (v.sparkSession.sparkContext.applicationId, plan_key, files_key)
     hit = _N_VECTORS_MEMO.get(key)
     if hit is None:
         hit = v.count()
@@ -550,6 +565,10 @@ def cosine_near_dup_pairs(
     pinned plane count measured quadratic at 10×), tables via
     :func:`auto_n_tables` (recall@0.99 ≥ 0.9 at that plane count).
     Pass explicit values to skip the count job or pin buckets.
+    The count is memoized per (session, plan, input-file listing);
+    files rewritten IN PLACE under unchanged names within one session
+    are not detected — treat inputs as session-static snapshots (see
+    ``_n_vectors_cached``).
 
     ``method="exact"``: chunked block scoring (same distributed shape
     as ``brute_force_topk``, no driver collect) emitting every

@@ -77,6 +77,37 @@ def _merge_fold(a: str, b: str, m: str):
     return _merge_fold_on(F.col("toks"), a, b, m)
 
 
+def _rotate_local_checkpoint(
+    df: DataFrame, prior_ids: set[int]
+) -> tuple[DataFrame, set[int]]:
+    """Eager-``localCheckpoint`` ``df`` and unpersist the executor
+    blocks the PRIOR rotation pinned, returning ``(checkpointed_df,
+    ids_pinned_now)``.
+
+    Without this, a long training run accumulates one checkpointed
+    block set per round in executor storage memory (at a 32k-merge
+    vocabulary that is thousands of dead copies of the word table) —
+    the ContextCleaner only frees them after a driver GC happens to
+    collect the Python refs. The unpersist runs strictly AFTER the new
+    eager checkpoint materializes, so no live lineage still reads the
+    old blocks. Only ids this rotation chain created are touched —
+    caches owned by other operators are invisible to it."""
+    sc = df.sparkSession.sparkContext
+    before = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    out = df.localCheckpoint(eager=True)
+    jmap = sc._jsc.getPersistentRDDs()
+    after = {int(k) for k in jmap.keySet().toArray()}
+    mine = after - before
+    stale = prior_ids & after
+    if stale:
+        it = jmap.entrySet().iterator()
+        while it.hasNext():
+            e = it.next()
+            if int(e.getKey()) in stale:
+                e.getValue().unpersist(False)
+    return out, mine
+
+
 def bpe_train(
     spark: SparkSession,
     df: DataFrame,
@@ -94,7 +125,9 @@ def bpe_train(
     Ties break on (count DESC, left, right) so the learned table is
     deterministic and engine-portable.
     """
-    words = word_freq_table(df, text_col).localCheckpoint(eager=True)
+    words, ckpt_ids = _rotate_local_checkpoint(
+        word_freq_table(df, text_col), set()
+    )
     merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
         pairs = words.select(
@@ -118,12 +151,15 @@ def bpe_train(
         a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
         m = a + b
         merges.append((rank, a, b, m, int(cnt)))
-        words = words.withColumn(
-            "toks",
-            F.when(F.size("toks") < 2, F.col("toks")).otherwise(
-                _merge_fold(a, b, m)
+        words, ckpt_ids = _rotate_local_checkpoint(
+            words.withColumn(
+                "toks",
+                F.when(F.size("toks") < 2, F.col("toks")).otherwise(
+                    _merge_fold(a, b, m)
+                ),
             ),
-        ).localCheckpoint(eager=True)
+            ckpt_ids,
+        )
     return merges, words
 
 
@@ -152,7 +188,9 @@ def bpe_train_batched(
 
     Returns the same ``(merges, words)`` contract as ``bpe_train``.
     """
-    words = word_freq_table(df, text_col).localCheckpoint(eager=True)
+    words, ckpt_ids = _rotate_local_checkpoint(
+        word_freq_table(df, text_col), set()
+    )
     merges: list[tuple] = []
     while len(merges) < n_merges:
         room = n_merges - len(merges)
@@ -201,7 +239,9 @@ def bpe_train_batched(
             (rank0 + i + 1, a, b, m, cnt)
             for i, (a, b, m, cnt) in enumerate(batch)
         )
-        words = words.withColumn("toks", col).localCheckpoint(eager=True)
+        words, ckpt_ids = _rotate_local_checkpoint(
+            words.withColumn("toks", col), ckpt_ids
+        )
     return merges, words
 
 

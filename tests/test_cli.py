@@ -384,3 +384,20 @@ def test_cli_validation_errors(tmp_path):
             cli.main(["profile", op, "-i", "x", "-o", "y"])
     with pytest.raises(SystemExit):
         cli.main(["cluster", "-i", "x", "-o", "y", "--n-iter", "0"])
+
+
+def test_parse_fk_spec_scheme_aware(spark, tmp_path):
+    """fk:COL:ref_path:ref_col must survive a ':' inside the path
+    (s3://, hdfs://, file: …): the column splits off from the LEFT and
+    only the ref column from the RIGHT — everything between is the
+    path verbatim."""
+    ref = tmp_path / "dim.parquet"
+    spark.createDataFrame([(1,), (2,)], "c_custkey int").write.parquet(str(ref))
+    spec = f"fk:cust_id:file:{ref}:c_custkey"
+    check = cli._parse_check_spec(spec, spark)
+    assert check["type"] == "fk"
+    assert check["column"] == "cust_id"
+    assert check["ref_column"] == "c_custkey"
+    assert sorted(r["c_custkey"] for r in check["ref"].collect()) == [1, 2]
+    with pytest.raises(ValueError, match="malformed fk spec"):
+        cli._parse_check_spec("fk:only_col", spark)

@@ -344,3 +344,35 @@ def test_normalize_null_passthrough(spark):
     df = spark.createDataFrame([(1, None)], "i int, text string")
     out = normalize_text(df, "text", out_col="norm").collect()
     assert out[0]["norm"] is None
+
+
+def test_bpe_checkpoint_rotation_releases_blocks(spark):
+    """Each training round eager-checkpoints the word table; the prior
+    round's blocks must be unpersisted once the new checkpoint
+    materializes — otherwise a 32k-merge train accumulates thousands
+    of dead word-table copies in executor storage. Net persistent-RDD
+    growth after training = at most the FINAL checkpoint (plus none
+    for the consumed intermediates)."""
+    from sensomics_data_pipeline_spark.operators.tokenizer import (
+        bpe_train,
+        bpe_train_batched,
+    )
+
+    sc = spark.sparkContext
+
+    def n_persistent() -> int:
+        return sc._jsc.getPersistentRDDs().size()
+
+    df = spark.createDataFrame(
+        [("low lower lowest newer newest low low",)], "text string"
+    )
+    before = n_persistent()
+    merges, words = bpe_train(spark, df, n_merges=5)
+    assert len(merges) == 5
+    words.count()
+    assert n_persistent() - before <= 1
+    before = n_persistent()
+    merges_b, words_b = bpe_train_batched(spark, df, n_merges=5, batch_k=2)
+    assert len(merges_b) == 5
+    words_b.count()
+    assert n_persistent() - before <= 1
