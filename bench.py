@@ -273,6 +273,92 @@ def main() -> None:
         ),
         file=sys.stderr,
     )
+    # FINAL stdout line: a <=1.5 KB self-adjudicating summary. The
+    # driver's artifact keeps only the last ~2000 chars of stdout, and
+    # the r10/r11 full lines (~5 KB at 135 queries) lost their head —
+    # calibration fields and half the rows — to that truncation, so
+    # movers had to be adjudicated from local files. This line repeats
+    # everything adjudication needs (row count, total wall, both
+    # calibration classes first+last, and the top-3 movers vs the
+    # committed canonical artifact as name:ratio) compactly enough to
+    # always survive the tail capture. Printed LAST so truncation can
+    # only eat the big line above it.
+    print(
+        json.dumps(
+            _summary_line(
+                timings,
+                total,
+                {
+                    "cal_first": calibration_first,
+                    "cal_last": calibration_last,
+                    "cal_shuffle_first": calibration_shuffle_first,
+                    "cal_shuffle_last": calibration_shuffle_last,
+                },
+                sf,
+            ),
+            separators=(",", ":"),
+        )
+    )
+
+
+def _summary_line(
+    timings: dict[str, float],
+    total: float,
+    cal: dict[str, float],
+    sf,
+) -> dict:
+    """Build the final compact summary: counts + calibrations + the
+    top-3 |log-ratio| movers vs the newest committed canonical
+    docs/BENCH_LOCAL_r*.json (ratio = this_min / canonical_min over
+    queries present in both; absent/unreadable canonical → movers []).
+    A canonical recorded at a DIFFERENT scale factor is refused
+    (vs suffixed "(sf-mismatch)", movers []) — cross-SF ratios would
+    read as giant fake movers."""
+    import glob
+    import math
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    canonical = sorted(
+        glob.glob(os.path.join(here, "docs", "BENCH_LOCAL_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    movers: list = []
+    vs = None
+    if canonical:
+        vs = os.path.basename(canonical[-1])
+        try:
+            with open(canonical[-1]) as fh:
+                base_doc = json.load(fh)
+            base = base_doc.get("queries", {})
+            if base_doc.get("sf") != sf:
+                return {
+                    "bench_summary": 1,
+                    "n": len(timings),
+                    "n_failed": sum(1 for t in timings.values() if t < 0),
+                    "total": total,
+                    **{k: round(v, 3) for k, v in cal.items()},
+                    "vs": f"{vs}(sf-mismatch)",
+                    "movers": [],
+                }
+            ratios = [
+                (name, round(timings[name] / base[name], 3))
+                for name in timings
+                if name in base and base[name] > 0 and timings[name] > 0
+            ]
+            ratios.sort(key=lambda r: abs(math.log(r[1])), reverse=True)
+            movers = [[n, r] for n, r in ratios[:3]]
+        except Exception:
+            vs = f"unreadable:{vs}"
+    return {
+        "bench_summary": 1,
+        "n": len(timings),
+        "n_failed": sum(1 for t in timings.values() if t < 0),
+        "total": total,
+        **{k: round(v, 3) for k, v in cal.items()},
+        "vs": vs,
+        "movers": movers,
+    }
 
 
 if __name__ == "__main__":

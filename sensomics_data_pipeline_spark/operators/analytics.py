@@ -328,7 +328,13 @@ def ewma_smooth(
     Scale contract: an entity's FULL series must fit one executor's
     row budget (same bounded-per-entity assumption as the reference's
     per-subject flow and the ``asof`` greedy plan) — entities
-    distribute, series length does not. Prefer alpha with an exact
+    distribute, series length does not. COMPUTE is the tighter bound:
+    the fold copies the whole accumulator per element (O(n²) element
+    copies per entity — see the measured slope in ``docs/SCALE_r12``),
+    so past ~10⁴-10⁵ points per entity use
+    :func:`ewma_smooth_blocked`, the O(n) twin (same plan shape,
+    ~ulp agreement, its own bit-exact driver oracle). Prefer alpha
+    with an exact
     binary representation (0.25, 0.5, 0.125) so the fold arithmetic is
     bit-reproducible across engines; with that and both engines
     folding in the same (ts, tiebreaks) order the smoothed values are
@@ -372,6 +378,182 @@ def ewma_smooth(
             F.col("_z._s._t").alias(ts_col),
             F.col("_z._s._x").alias("x"),
             F.col("_z._y").alias("ewma"),
+        )
+    )
+    if round_decimals is not None:
+        out = out.withColumn("ewma", F.round("ewma", round_decimals))
+    return out
+
+
+def ewma_smooth_blocked(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.25,
+    tiebreak_cols: list[str] | None = None,
+    block_size: int = 256,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """O(n) per-entity EWMA — the LONG-SERIES twin of
+    :func:`ewma_smooth`.
+
+    The exact fold in :func:`ewma_smooth` builds its output array with
+    one whole-array copy per element (``concat(acc, array(y))`` inside
+    ``F.aggregate``), i.e. O(n²) element copies per entity — fine to
+    ~10⁴-10⁵ points, hopeless at millions. This variant is linear:
+
+    1. split each entity's sorted series into fixed blocks of
+       ``block_size`` (= B);
+    2. fold each block ONCE with carry-in 0, producing per-element
+       partials ``A_i`` (the fold value ignoring the carry) and decay
+       weights ``p_i = (1-α)^i`` — the recurrence is affine in the
+       carry, so a block's true values are ``A_i + p_i·c`` for its
+       carry-in ``c``. Per-block copy cost O(B²) ⇒ O(n·B) total,
+       linear in n at fixed B;
+    3. chain the carries across blocks (one tiny fold over n/B block
+       summaries: ``c_j = Aend_j + Pend_j·c_{j-1}``);
+    4. reconstruct ``y = A + p·c`` per element and re-explode.
+
+    All JVM-side higher-order functions — no Python, one entity-key
+    shuffle, same plan shape as the exact fold.
+
+    Numerics: the blocked association is a DIFFERENT (deterministic,
+    engine-reproducible) floating-point association than the
+    sequential recurrence — agreement with :func:`ewma_smooth` is to
+    ~ulp (relative ~1e-15; decays by (1-α)^i from the block boundary),
+    NOT bit-identical. For series ≤ B it degenerates to the exact fold
+    (block 0 folds the true recurrence), so results there ARE
+    bit-identical. The driver oracle for this operator replays the
+    SAME blocked association in DuckDB, certifying it raw
+    (``__spark_entry__.q_ewma_blocked``). Same bounded-series memory
+    contract as the exact fold (an entity's series is collected to one
+    row); what this lifts is the quadratic COMPUTE, not the row
+    budget.
+    """
+    tb = tiebreak_cols or []
+    struct_fields = [F.col(ts_col).alias("_t")] + [
+        F.col(c).alias(f"_tb{i}") for i, c in enumerate(tb)
+    ] + [F.col(value_col).cast("double").alias("_x")]
+    grouped = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list(F.struct(*struct_fields))).alias("_s"))
+    )
+    a, b = float(alpha), 1.0 - float(alpha)
+    B = int(block_size)
+    if B < 1:
+        raise ValueError(f"block_size must be >= 1, got {block_size}")
+
+    zero = F.struct(
+        F.expr("cast(array() as array<double>)").alias("A"),
+        F.expr("cast(array() as array<double>)").alias("p"),
+    )
+
+    def fold_block(blk, j):
+        # per-block fold with carry-in 0: A = fold values, p = decay
+        # weights (0 for block 0 — its fold IS the true recurrence,
+        # y_1 = x_1 initial condition included)
+        def merge(acc, s):
+            first = F.size(acc["A"]) == 0
+            new_a = F.when(
+                first,
+                F.when(j == 0, s["_x"]).otherwise(F.lit(a) * s["_x"]),
+            ).otherwise(
+                F.lit(a) * s["_x"] + F.lit(b) * F.element_at(acc["A"], -1)
+            )
+            new_p = F.when(j == 0, F.lit(0.0)).otherwise(
+                F.when(first, F.lit(b)).otherwise(
+                    F.lit(b) * F.element_at(acc["p"], -1)
+                )
+            )
+            return F.struct(
+                F.concat(acc["A"], F.array(new_a)).alias("A"),
+                F.concat(acc["p"], F.array(new_p)).alias("p"),
+            )
+
+        return F.aggregate(blk, zero, merge)
+
+    n_blocks = F.ceil(F.size("_s") / F.lit(B)).cast("int")
+    # block construction via per-index element_at, NOT F.slice: Catalyst
+    # Slice copies the ENTIRE parent array (toObjectArray) on every
+    # call, turning blocking into O(n²/B) — measured 70× per 4× step at
+    # 640k points. element_at is an O(1) indexed read, so this is O(n).
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda j: F.transform(
+            F.sequence(
+                j * B + 1, F.least((j + 1) * B, F.size("_s"))
+            ),
+            lambda i: F.element_at(F.col("_s"), i),
+        ),
+    )
+    carries = F.aggregate(
+        F.col("_f"),
+        F.expr("cast(array() as array<double>)"),
+        lambda acc, f: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) == 0, F.element_at(f["A"], -1)
+                ).otherwise(
+                    F.element_at(f["A"], -1)
+                    + F.element_at(f["p"], -1) * F.element_at(acc, -1)
+                )
+            ),
+        ),
+    )
+    # Plan assembly: the posexplode below is a GENERATOR boundary, and
+    # that is load-bearing — Catalyst's CollapseProject otherwise fuses
+    # everything into one Project and INLINES the carry-chain fold (and
+    # through it the block folds) into the per-element reconstruction
+    # lambda, re-evaluating O(n·B) of work per element (measured
+    # quadratic, same order as the exact fold). Projections cannot
+    # collapse through Generate, so _f and _c materialize once per
+    # entity row and every lambda above the boundary reads plain
+    # attributes: O(1) per element, O(n·B) total.
+    staged = (
+        grouped.withColumn("_blk", blocks)
+        .withColumn("_f", F.transform(F.col("_blk"), fold_block))
+        .withColumn("_c", carries)
+    )
+    per_block = (
+        staged.select(
+            *group_cols,
+            "_c",
+            F.posexplode(F.arrays_zip(F.col("_blk"), F.col("_f"))).alias(
+                "_j", "_z"
+            ),
+        )
+        .select(
+            *group_cols,
+            F.col("_z._blk").alias("_b"),
+            F.col("_z._f").alias("_fb"),
+            F.when(F.col("_j") == 0, F.lit(0.0))
+            .otherwise(F.element_at(F.col("_c"), F.col("_j")))
+            .alias("_cin"),
+        )
+        .withColumn(
+            "_yb",
+            F.zip_with(
+                F.col("_fb.A"),
+                F.col("_fb.p"),
+                lambda A, p: A + p * F.col("_cin"),
+            ),
+        )
+    )
+    out = (
+        per_block.select(
+            *group_cols,
+            F.posexplode(F.arrays_zip(F.col("_b"), F.col("_yb"))).alias(
+                "_i", "_z2"
+            ),
+        )
+        .select(
+            *group_cols,
+            F.col("_z2._b._t").alias(ts_col),
+            F.col("_z2._b._x").alias("x"),
+            F.col("_z2._yb").alias("ewma"),
         )
     )
     if round_decimals is not None:

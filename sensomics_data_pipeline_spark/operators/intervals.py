@@ -239,6 +239,24 @@ def overlap_join(
     )
 
 
+def _interval_side_stats(
+    intervals: DataFrame, partition_cols: list[str]
+) -> tuple[int, int]:
+    """Cheap stats the auto dispatcher decides on: (total interval
+    rows, max intervals per partition key). One bounded agg job over
+    the interval side only — never touches the probe table."""
+    if partition_cols:
+        row = (
+            intervals.groupBy(*partition_cols)
+            .count()
+            .agg(F.sum("count").alias("total"), F.max("count").alias("mx"))
+            .first()
+        )
+        return int(row["total"] or 0), int(row["mx"] or 0)
+    n = intervals.count()
+    return n, n
+
+
 def interval_semijoin(
     df: DataFrame,
     intervals: DataFrame,
@@ -247,17 +265,55 @@ def interval_semijoin(
     start_col: str = "start_time",
     end_col: str = "end_time",
     anti: bool = False,
+    plan: str = "broadcast",
+    bin_width_s: int = 3600,
+    broadcast_row_limit: int = 2_000_000,
+    per_key_limit: int = 100,
 ) -> DataFrame:
     """J2/J3: keep rows whose timestamp falls inside any interval
     (``df_filter``, ``/root/reference/filtering_data.py:114-124``;
     sleep-mask ``activity_categorize.py:154-158``).
 
-    Broadcast left-semi range join: the interval side is tiny (hundreds
-    of rows per subject) so the build side broadcasts and the probe side
-    streams — no shuffle of the big table. If the interval side ever
-    grows beyond broadcast size, pre-bucketize both sides on a time
-    bucket and equi-join on (bucket, partition_cols) + residual.
+    ``plan="broadcast"`` (default): broadcast left-semi range join —
+    the interval side is tiny (hundreds of rows per subject) so the
+    build side broadcasts and the probe side streams, no shuffle of
+    the big table. ``plan="binned"``: delegate to
+    :func:`interval_semijoin_binned` (the big-interval-side twin).
+
+    ``plan="auto"``: pick by the measured SCALE_r11 crossover rule —
+    broadcast wins ONLY while the interval side is both small enough
+    to broadcast AND sparse per partition key; once per-key
+    multiplicity leaves the ~10^2 regime (broadcast probe cost is
+    rows × intervals-per-key) or the build side approaches broadcast
+    limits, the binned shuffle plan wins at every measured K and the
+    broadcast plan eventually DNFs on the build-side materialization
+    (``docs/SCALE_r11.md``: 17 vs 34 s at K=256, 55 vs 320 s at
+    K=2048, broadcast DNF at K=16384). The decision reads one bounded
+    agg over the interval side (total rows + max per-key count — cheap
+    relative to the join it sizes); the binned path is taken with the
+    shuffle hint, the regime where it measured fastest.
     """
+    if plan not in ("broadcast", "binned", "auto"):
+        raise ValueError(f"unknown interval_semijoin plan {plan!r}")
+    if plan == "auto":
+        total, max_per_key = _interval_side_stats(intervals, partition_cols)
+        plan = (
+            "broadcast"
+            if total <= broadcast_row_limit and max_per_key <= per_key_limit
+            else "binned"
+        )
+        if plan == "binned":
+            return interval_semijoin_binned(
+                df, intervals, partition_cols, ts_col=ts_col,
+                start_col=start_col, end_col=end_col,
+                bin_width_s=bin_width_s, anti=anti, force_shuffle=True,
+            )
+    elif plan == "binned":
+        return interval_semijoin_binned(
+            df, intervals, partition_cols, ts_col=ts_col,
+            start_col=start_col, end_col=end_col,
+            bin_width_s=bin_width_s, anti=anti,
+        )
     cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
     for c in partition_cols:
         cond = (df[c] == intervals[c]) & cond
@@ -274,6 +330,7 @@ def interval_semijoin_binned(
     end_col: str = "end_time",
     bin_width_s: int = 3600,
     anti: bool = False,
+    force_shuffle: bool = False,
 ) -> DataFrame:
     """J2/J3 at big-big scale: the shuffle-partitioned twin of
     ``interval_semijoin`` for when the interval side is too large to
@@ -296,7 +353,11 @@ def interval_semijoin_binned(
     to a sort-merge/shuffled-hash join when it doesn't — unlike the
     broadcast range join, which hard-fails once the build side
     outgrows memory (degradation plan-asserted in
-    ``tests/test_skew_rangejoin.py``).
+    ``tests/test_skew_rangejoin.py``). ``force_shuffle=True`` pins the
+    SHUFFLE_HASH strategy on the exploded side — the regime
+    ``docs/SCALE_r11.md`` measured fastest once per-key multiplicity
+    is high (bin replication makes the exploded side big enough that
+    even a feasible broadcast loses to the hash shuffle).
 
     Same inclusive-bounds convention as ``interval_semijoin``
     (touching timestamps match — ``check_overlap``,
@@ -312,6 +373,8 @@ def interval_semijoin_binned(
             )
         ),
     )
+    if force_shuffle:
+        binned_iv = binned_iv.hint("shuffle_hash")
     probe = df.withColumn("_bin", F.floor(F.unix_timestamp(F.col(ts_col)) / w))
     cond = (
         (probe["_bin"] == binned_iv["_bin"])

@@ -4301,6 +4301,80 @@ def test_ewma_smooth_tiebreak_deterministic(spark):
     assert rows == [(0.0, 0.0), (100.0, 25.0)]
 
 
+def test_ewma_blocked_matches_exact_within_ulp(spark):
+    """The O(n) blocked plan must agree with the exact fold to ~ulp at
+    every block size, and be BIT-identical when a series fits one
+    block (block 0 folds the true recurrence) or when B=1 (the carry
+    chain IS the recurrence)."""
+    import random
+
+    from sensomics_data_pipeline_spark.operators.analytics import (
+        ewma_smooth,
+        ewma_smooth_blocked,
+    )
+
+    random.seed(11)
+    rows = [
+        (f"u{i % 4}", i, i, random.uniform(-100, 100)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "u string, t int, eid int, v double")
+    kw = dict(ts_col="t", value_col="v", alpha=0.25,
+              tiebreak_cols=["eid"], round_decimals=None)
+    exact = {
+        (r["u"], r["t"]): r["ewma"]
+        for r in ewma_smooth(df, ["u"], **kw).collect()
+    }
+    for B, must_be_identical in ((1, True), (7, False), (16, False),
+                                 (1000, True)):
+        got = {
+            (r["u"], r["t"]): r["ewma"]
+            for r in ewma_smooth_blocked(
+                df, ["u"], block_size=B, **kw
+            ).collect()
+        }
+        assert set(got) == set(exact)
+        if must_be_identical:
+            assert got == exact, f"B={B} must be bit-identical"
+        else:
+            worst = max(
+                abs(got[k] - exact[k]) / max(1e-30, abs(exact[k]))
+                for k in exact
+            )
+            assert worst < 1e-12, f"B={B} rel diff {worst}"
+
+
+def test_ewma_blocked_hand_computed_and_null_policy(spark):
+    from sensomics_data_pipeline_spark.operators.analytics import (
+        ewma_smooth_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, 10, 10.0), (1, 2, 20, 20.0), (1, 3, 30, 30.0),
+         (2, 1, 40, 5.0), (1, 4, 35, None)],
+        "u int, t int, eid int, v double",
+    )
+    got = {
+        (r["u"], r["t"]): r["ewma"]
+        for r in ewma_smooth_blocked(
+            df, ["u"], ts_col="t", value_col="v",
+            alpha=0.25, tiebreak_cols=["eid"], block_size=2,
+        ).collect()
+    }
+    assert got == {(1, 1): 10.0, (1, 2): 12.5, (1, 3): 16.875, (2, 1): 5.0}
+
+
+def test_ewma_blocked_rejects_bad_block_size(spark):
+    from sensomics_data_pipeline_spark.operators.analytics import (
+        ewma_smooth_blocked,
+    )
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "u int, t int, v double")
+    with pytest.raises(ValueError, match="block_size"):
+        ewma_smooth_blocked(df, ["u"], ts_col="t", value_col="v",
+                            block_size=0)
+
+
+
 def test_pmi_collocations_hand_computed(spark):
     import math
 

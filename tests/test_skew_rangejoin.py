@@ -461,3 +461,92 @@ def test_salted_and_bloom_join_random_property(spark):
         )
         assert got_salt == want, f"salted trial {trial}"
         assert got_bloom == want, f"bloom trial {trial}"
+
+
+# ---------------------------------------------------------------------------
+# interval_semijoin plan="auto" dispatcher
+# ---------------------------------------------------------------------------
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_auto_plan_sparse_regime_broadcasts(spark):
+    """Small, sparse-per-key interval side (the reference's regime):
+    auto must pick the broadcast range join — probe side unshuffled."""
+    pts, ivs = _interval_fixture(spark)
+    out = iv_ops.interval_semijoin(
+        pts, ivs, ["user_id"], ts_col="ts", plan="auto"
+    )
+    plan = _executed_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan
+    want = iv_ops.interval_semijoin(pts, ivs, ["user_id"], ts_col="ts")
+    assert _sorted_rows(out) == _sorted_rows(want)
+
+
+def test_auto_plan_dense_regime_goes_binned_shuffle(spark):
+    """Per-key multiplicity past the crossover: auto must pick the
+    binned twin WITH the shuffle hint (SCALE_r11's fastest regime) —
+    an equi join on (user, bin), never a broadcast range join."""
+    pts, ivs = _interval_fixture(spark)
+    out = iv_ops.interval_semijoin(
+        pts, ivs, ["user_id"], ts_col="ts", plan="auto",
+        per_key_limit=1,  # force the dense-regime branch on test data
+    )
+    plan = _executed_plan(out)
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    want = iv_ops.interval_semijoin(pts, ivs, ["user_id"], ts_col="ts")
+    assert _sorted_rows(out) == _sorted_rows(want)
+    assert out.columns == pts.columns
+
+
+def test_auto_plan_row_limit_regime_goes_binned(spark):
+    """Interval side past the broadcast row budget: auto goes binned
+    even when per-key multiplicity is low."""
+    pts, ivs = _interval_fixture(spark)
+    out = iv_ops.interval_semijoin(
+        pts, ivs, ["user_id"], ts_col="ts", plan="auto",
+        broadcast_row_limit=2,
+    )
+    assert "ShuffledHashJoin" in _executed_plan(out)
+    want = iv_ops.interval_semijoin(pts, ivs, ["user_id"], ts_col="ts")
+    assert _sorted_rows(out) == _sorted_rows(want)
+
+
+@pytest.mark.parametrize("anti", [False, True])
+def test_auto_plan_matches_broadcast_both_regimes(spark, anti):
+    pts, ivs = _interval_fixture(spark)
+    want = iv_ops.interval_semijoin(
+        pts, ivs, ["user_id"], ts_col="ts", anti=anti
+    )
+    for kwargs in ({}, {"per_key_limit": 1}):
+        got = iv_ops.interval_semijoin(
+            pts, ivs, ["user_id"], ts_col="ts", anti=anti, plan="auto",
+            **kwargs,
+        )
+        assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_interval_semijoin_rejects_unknown_plan(spark):
+    pts, ivs = _interval_fixture(spark)
+    with pytest.raises(ValueError, match="unknown interval_semijoin plan"):
+        iv_ops.interval_semijoin(pts, ivs, ["user_id"], plan="nope")
+
+
+def test_auto_plan_no_partition_cols(spark):
+    """Global intervals (no partition key): the stats fall back to a
+    plain count and the dense branch still works."""
+    t0 = datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(t0 + timedelta(seconds=s), s) for s in range(0, 1000, 37)],
+        "ts timestamp, x int",
+    )
+    ivs = spark.createDataFrame(
+        [(t0 + timedelta(seconds=100), t0 + timedelta(seconds=300))],
+        "start_time timestamp, end_time timestamp",
+    )
+    got = iv_ops.interval_semijoin(pts, ivs, [], ts_col="ts", plan="auto")
+    want = iv_ops.interval_semijoin(pts, ivs, [], ts_col="ts")
+    assert _sorted_rows(got) == _sorted_rows(want)
