@@ -4806,6 +4806,31 @@ def q_ewma_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ewma_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully DISTRIBUTED EWMA (``analytics.ewma_smooth_distributed``)
+    on the same series: segments of ``_EWMA_BLOCK`` rows assigned by a
+    per-entity row_number window (which SPILLS — no collect_list of the
+    whole series anywhere), per-segment carry-affine folds, a
+    per-entity carry chain, a carry join back. Every FP association is
+    identical to ``ewma_smooth_blocked`` at the same block size (law
+    pinned bit-exact in ``tests/test_operators.py``), so this plan is
+    certified against the SAME blocked DuckDB oracle — raw doubles,
+    full hash. This is the no-per-entity-memory-bound 100-TB path the
+    SCALE_r12 doc called out."""
+    from sensomics_data_pipeline_spark.operators.analytics import (
+        ewma_smooth_distributed,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    ).select("user_id", "ts", "event_id", "value")
+    return ewma_smooth_distributed(
+        ev, ["user_id"], ts_col="ts", value_col="value",
+        alpha=0.25, tiebreak_cols=["event_id"],
+        block_size=_EWMA_BLOCK, round_decimals=None,
+    )
+
+
 _SQL_EWMA_BLOCKED = f"""
 WITH g AS (
   SELECT user_id,
@@ -7193,7 +7218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NEVER-CHECKED and CHANGED-THIS-ROUND taking precedence. Round-12
     # window = the FULL 40-query r9-aged rotation queue from the r11
     # header / docs/ROADMAP.md:3-24 (honored verbatim, leading the
-    # window), PLUS the 3 entries NEW this round
+    # window), PLUS the 4 entries NEW this round
     # (interval_semijoin_auto: the plan="auto" dispatcher choosing
     # broadcast-range vs binned-shuffle from one bounded stats agg, by
     # the measured SCALE_r11 crossover rule; bpe_batched_law: the
@@ -7202,18 +7227,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle as bpe_merges; ewma_blocked: the O(n) blocked EWMA whose
     # DuckDB oracle replays the SAME blocked FP association —
     # raw-double bit-identity, closing the r11 verdict's O(n²) fold
-    # ask), PLUS the 7 entries whose implementation changed in round 12
-    # (filtering_pipeline: include-interval coalescing now orders by
-    # (start_time, end_time, include) in both engines so tied boundary
-    # timestamps cannot flip the island assignment; theta_sketch_ops +
-    # streaming_theta: theta clamped >= 1 in estimator and oracle so a
-    # zero k-th hash cannot divide to NULL/Inf; bpe_merges +
-    # bpe_token_stats: the trainers now unpersist the prior round's
-    # localCheckpoint blocks; embedding_near_dup: the LSH auto-sizer
-    # count memo keys on the input-file listing; interval_semijoin_
-    # binned: gained the force_shuffle hint the auto path uses).
-    # 40 + 3 + 7 = exactly 50 — no staleness fills needed this round;
-    # after this round no query's latest driver row is older than r10.
+    # ask; ewma_distributed: the segment-partitioned EWMA with NO
+    # per-entity collect_list anywhere, bit-identical to the blocked
+    # plan by construction and certified against the same blocked
+    # oracle), PLUS the 6 entries whose implementation changed in
+    # round 12 (filtering_pipeline: include-interval coalescing now
+    # orders by (start_time, end_time, include) in both engines so
+    # tied boundary timestamps cannot flip the island assignment;
+    # theta_sketch_ops + streaming_theta: theta clamped >= 1 in
+    # estimator and oracle so a zero k-th hash cannot divide to
+    # NULL/Inf; bpe_merges + bpe_token_stats: the trainers now
+    # unpersist the prior round's localCheckpoint blocks;
+    # embedding_near_dup: the LSH auto-sizer count memo keys on the
+    # input-file listing). interval_semijoin_binned also gained a
+    # parameter this round, but it is default-off and plan-preserving
+    # (see the tail comment at position 51) — it yields its slot so
+    # the window stays exactly 40 + 4 + 6 = 50 with every
+    # never-checked query inside it; after this round no query's
+    # latest driver row is older than r10.
     # The guard test (tests/test_oracle_queries.py) derives the
     # never-checked set from the committed CORRECTNESS_r*.json files
     # rather than a hard-coded list, so this rotation cannot silently
@@ -7269,6 +7300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_semijoin_auto": q_interval_semijoin_auto,
         "bpe_batched_law": q_bpe_batched_law,
         "ewma_blocked": q_ewma_blocked,
+        "ewma_distributed": q_ewma_distributed,
         # ---- implementation CHANGED in round 12 (see header) ----
         "filtering_pipeline": q_filtering_pipeline,
         "theta_sketch_ops": q_theta_sketch_ops,
@@ -7276,10 +7308,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_token_stats": q_bpe_token_stats,
         "embedding_near_dup": q_embedding_near_dup,
+        # ---- positions 51+: interval_semijoin_binned leads the tail —
+        # its r12 diff is one ADDED default-off parameter (force_shuffle,
+        # default False preserves the r10-certified plan byte-for-byte;
+        # the new regime is plan-asserted in tests/test_skew_rangejoin.py
+        # and exercised through interval_semijoin_auto's window row), so
+        # it yields its window slot to the never-checked ewma_distributed
+        # under the NEVER-CHECKED ⊆ window guard — then the r10-checked
+        # entries (next in line for r13), then the r11-checked entries ----
         "interval_semijoin_binned": q_interval_semijoin_binned,
-        # ---- positions 51+: r10-checked entries (next in line for r13),
-        # then the r11-checked entries — every tail entry holds a green
-        # driver row at most 2 rounds old ----
         "hh_invariants": q_hh_invariants,
         "qsketch_invariants": q_qsketch_invariants,
         "bloom_decon_invariants": q_bloom_decon_invariants,
@@ -7380,6 +7417,7 @@ def oracle_sql() -> dict[str, str]:
         "filtering_pipeline": _SQL_FILTERING_PIPELINE,
         "ewma_smooth": _SQL_EWMA,
         "ewma_blocked": _SQL_EWMA_BLOCKED,
+        "ewma_distributed": _SQL_EWMA_BLOCKED,
         "pmi_collocations": _SQL_PMI,
         "theta_sketch_ops": _SQL_THETA,
         "streaming_theta": _SQL_STREAMING_THETA,

@@ -559,3 +559,159 @@ def ewma_smooth_blocked(
     if round_decimals is not None:
         out = out.withColumn("ewma", F.round("ewma", round_decimals))
     return out
+
+
+def ewma_smooth_distributed(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.25,
+    tiebreak_cols: list[str] | None = None,
+    block_size: int = 4096,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Fully distributed EWMA — the UNBOUNDED-SERIES twin of
+    :func:`ewma_smooth_blocked`, for entities whose series do not fit
+    one executor row.
+
+    Both other plans collect an entity's whole series into ONE array
+    row (`collect_list`), so their memory bound is series length. This
+    plan never does: a per-entity `row_number` window (Spark's window
+    sort spills to disk, unlike collect_list) assigns each point to a
+    SEGMENT of ``block_size`` rows; segments are independent rows of
+    bounded width everywhere downstream. Shape:
+
+    1. one window pass assigns ``rn`` (order: ts, tiebreaks, value —
+       the value in the key pins segment assignment under full ties,
+       matching the struct sort the array plans use) and
+       ``seg = (rn-1) div B``;
+    2. groupBy (entity, seg): per-segment sorted array (≤ B rows per
+       group at ANY series length) folded once with carry-in 0 into
+       partials A and decay weights p — the SAME merge, in the SAME
+       order, as :func:`ewma_smooth_blocked`'s per-block fold;
+    3. groupBy entity: the per-segment (Aend, Pend) summaries (n/B
+       rows → one array of n/B doubles per entity — 2 MB at a BILLION
+       points with B=4096) chain into the carry array with the same
+       fold as the blocked plan;
+    4. join carries back on the entity key, reconstruct
+       ``y = A + p·c`` per element, re-explode.
+
+    Because every floating-point association is identical to
+    :func:`ewma_smooth_blocked` at the same ``block_size``, the two
+    plans are BIT-IDENTICAL (law pinned in tests), and the driver
+    certifies this plan against the same blocked DuckDB oracle
+    (``__spark_entry__.q_ewma_distributed``). Cost: two extra shuffles
+    (segment regroup + carry join) buy the removal of the last
+    per-entity memory bound — this is the plan to run at 100 TB when
+    single entities are huge; prefer :func:`ewma_smooth_blocked` when
+    series fit comfortably in an executor row.
+    """
+    tb = tiebreak_cols or []
+    a, b = float(alpha), 1.0 - float(alpha)
+    B = int(block_size)
+    if B < 1:
+        raise ValueError(f"block_size must be >= 1, got {block_size}")
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        ts_col, *tb, F.col(value_col).cast("double")
+    )
+    struct_fields = [F.col(ts_col).alias("_t")] + [
+        F.col(c).alias(f"_tb{i}") for i, c in enumerate(tb)
+    ] + [F.col(value_col).cast("double").alias("_x")]
+    pts = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_seg", ((F.col("_rn") - 1) / F.lit(B)).cast("int")
+        )
+        .select(*group_cols, "_seg", F.struct(*struct_fields).alias("_e"))
+    )
+    segments = pts.groupBy(*group_cols, "_seg").agg(
+        F.sort_array(F.collect_list("_e")).alias("_blk")
+    )
+
+    zero = F.struct(
+        F.expr("cast(array() as array<double>)").alias("A"),
+        F.expr("cast(array() as array<double>)").alias("p"),
+    )
+
+    def merge(acc, s):
+        # identical merge (and therefore identical FP association) to
+        # ewma_smooth_blocked's per-block fold, with the block index
+        # read from the _seg column instead of a lambda variable
+        first = F.size(acc["A"]) == 0
+        new_a = F.when(
+            first,
+            F.when(F.col("_seg") == 0, s["_x"]).otherwise(
+                F.lit(a) * s["_x"]
+            ),
+        ).otherwise(
+            F.lit(a) * s["_x"] + F.lit(b) * F.element_at(acc["A"], -1)
+        )
+        new_p = F.when(F.col("_seg") == 0, F.lit(0.0)).otherwise(
+            F.when(first, F.lit(b)).otherwise(
+                F.lit(b) * F.element_at(acc["p"], -1)
+            )
+        )
+        return F.struct(
+            F.concat(acc["A"], F.array(new_a)).alias("A"),
+            F.concat(acc["p"], F.array(new_p)).alias("p"),
+        )
+
+    folded = segments.withColumn(
+        "_f", F.aggregate(F.col("_blk"), zero, merge)
+    )
+    summaries = folded.select(
+        *group_cols,
+        F.struct(
+            F.col("_seg").alias("s"),
+            F.element_at(F.col("_f.A"), -1).alias("ae"),
+            F.element_at(F.col("_f.p"), -1).alias("pe"),
+        ).alias("_sm"),
+    )
+    carries = summaries.groupBy(*group_cols).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list("_sm")),
+            F.expr("cast(array() as array<double>)"),
+            lambda acc, s: F.concat(
+                acc,
+                F.array(
+                    F.when(F.size(acc) == 0, s["ae"]).otherwise(
+                        s["ae"] + s["pe"] * F.element_at(acc, -1)
+                    )
+                ),
+            ),
+        ).alias("_c")
+    )
+    joined = folded.join(carries, on=group_cols, how="inner").withColumn(
+        "_cin",
+        F.when(F.col("_seg") == 0, F.lit(0.0)).otherwise(
+            F.element_at(F.col("_c"), F.col("_seg"))
+        ),
+    )
+    out = (
+        joined.withColumn(
+            "_y",
+            F.zip_with(
+                F.col("_f.A"),
+                F.col("_f.p"),
+                lambda A, p: A + p * F.col("_cin"),
+            ),
+        )
+        .select(
+            *group_cols,
+            F.posexplode(F.arrays_zip(F.col("_blk"), F.col("_y"))).alias(
+                "_i", "_z"
+            ),
+        )
+        .select(
+            *group_cols,
+            F.col("_z._blk._t").alias(ts_col),
+            F.col("_z._blk._x").alias("x"),
+            F.col("_z._y").alias("ewma"),
+        )
+    )
+    if round_decimals is not None:
+        out = out.withColumn("ewma", F.round("ewma", round_decimals))
+    return out

@@ -4374,6 +4374,88 @@ def test_ewma_blocked_rejects_bad_block_size(spark):
                             block_size=0)
 
 
+def test_ewma_distributed_bit_identical_to_blocked(spark):
+    """The segment-partitioned plan (no whole-series collect anywhere)
+    must be BIT-identical to the blocked array plan at every block
+    size — same per-segment fold, same carry chain, same
+    reconstruction, element for element."""
+    import random
+
+    from sensomics_data_pipeline_spark.operators.analytics import (
+        ewma_smooth_blocked,
+        ewma_smooth_distributed,
+    )
+
+    random.seed(5)
+    rows = [
+        (f"u{i % 3}", i, i, random.uniform(-50, 50)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "u string, t int, eid int, v double")
+    kw = dict(ts_col="t", value_col="v", alpha=0.25,
+              tiebreak_cols=["eid"], round_decimals=None)
+    for B in (1, 16, 64, 1000):
+        blk = {
+            (r["u"], r["t"]): r["ewma"]
+            for r in ewma_smooth_blocked(df, ["u"], block_size=B, **kw)
+            .collect()
+        }
+        dst = {
+            (r["u"], r["t"]): r["ewma"]
+            for r in ewma_smooth_distributed(
+                df, ["u"], block_size=B, **kw
+            ).collect()
+        }
+        assert dst == blk, f"B={B} diverged"
+
+
+def test_ewma_distributed_no_whole_series_collect(spark):
+    """The distributed plan's collect_lists are per-SEGMENT (bounded B)
+    and per-entity segment SUMMARIES (n/B) — never the whole series.
+    Structural check: with B=4 and a 40-point entity, the widest array
+    any aggregate builds is max(B, n/B) = 10 < n."""
+    from sensomics_data_pipeline_spark.operators.analytics import (
+        ewma_smooth_distributed,
+    )
+
+    rows = [("u", i, i, float(i % 7)) for i in range(40)]
+    df = spark.createDataFrame(rows, "u string, t int, eid int, v double")
+    out = ewma_smooth_distributed(
+        df, ["u"], ts_col="t", value_col="v", tiebreak_cols=["eid"],
+        block_size=4, round_decimals=None,
+    )
+    assert out.count() == 40
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # two generators? no — one posexplode; the structural invariant we
+    # can assert cheaply: the plan groups by (u, _seg), not only u, for
+    # the element-bearing aggregate
+    assert "_seg" in plan
+
+
+def test_ewma_distributed_tied_rows_match_blocked(spark):
+    """Full ties on (ts, tiebreak): segment assignment orders by value
+    as the final key, matching the struct sort the array plans use, so
+    the two plans agree even when ties straddle a segment boundary."""
+    from sensomics_data_pipeline_spark.operators.analytics import (
+        ewma_smooth_blocked,
+        ewma_smooth_distributed,
+    )
+
+    rows = [("u", 1, 1, float(v)) for v in (5, 3, 9, 1, 7, 2, 8, 4)]
+    df = spark.createDataFrame(rows, "u string, t int, eid int, v double")
+    kw = dict(ts_col="t", value_col="v", tiebreak_cols=["eid"],
+              block_size=3, round_decimals=None)
+    blk = sorted(
+        (r["x"], r["ewma"])
+        for r in ewma_smooth_blocked(df, ["u"], **kw).collect()
+    )
+    dst = sorted(
+        (r["x"], r["ewma"])
+        for r in ewma_smooth_distributed(df, ["u"], **kw).collect()
+    )
+    assert dst == blk
+
+
+
 
 def test_pmi_collocations_hand_computed(spark):
     import math
