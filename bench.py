@@ -52,11 +52,16 @@ def _clear_module_memos() -> None:
     except Exception:
         pass
     try:
-        from sensomics_data_pipeline_spark.operators import similarity, text
+        from sensomics_data_pipeline_spark.operators import (
+            intervals,
+            similarity,
+            text,
+        )
         from sensomics_data_pipeline_spark.streaming import ingest
 
         similarity._AUTO_RERANK_MEMO.clear()
         similarity._N_VECTORS_MEMO.clear()
+        intervals._INTERVAL_STATS_MEMO.clear()
         text._EVAL_GRAM_MEMO.clear()
         ingest._STATIC_SIDE_MEMO.clear()
         ingest._SURVIVOR_MEMO.clear()

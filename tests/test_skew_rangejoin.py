@@ -550,3 +550,25 @@ def test_auto_plan_no_partition_cols(spark):
     got = iv_ops.interval_semijoin(pts, ivs, [], ts_col="ts", plan="auto")
     want = iv_ops.interval_semijoin(pts, ivs, [], ts_col="ts")
     assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_auto_plan_stats_memoized_per_plan(spark):
+    """Repeated auto calls against the same interval definition pay the
+    stats agg once: the memo holds the (total, max-per-key) pair keyed
+    by (session, plan, partition cols, input files), and different
+    partition keys do not share entries."""
+    iv_ops._INTERVAL_STATS_MEMO.clear()
+    pts, ivs = _interval_fixture(spark)
+    s1 = iv_ops._interval_side_stats(ivs, ["user_id"])
+    assert len(iv_ops._INTERVAL_STATS_MEMO) == 1
+    s2 = iv_ops._interval_side_stats(ivs, ["user_id"])
+    assert s2 == s1 and len(iv_ops._INTERVAL_STATS_MEMO) == 1
+    s3 = iv_ops._interval_side_stats(ivs, [])
+    assert s3 == (s1[0], s1[0])  # no key: total doubles as max-per-key
+    assert len(iv_ops._INTERVAL_STATS_MEMO) == 2
+    # the memoized decision feeds the dispatcher identically
+    out = iv_ops.interval_semijoin(pts, ivs, ["user_id"], ts_col="ts",
+                                   plan="auto")
+    want = iv_ops.interval_semijoin(pts, ivs, ["user_id"], ts_col="ts")
+    assert _sorted_rows(out) == _sorted_rows(want)
+    iv_ops._INTERVAL_STATS_MEMO.clear()
