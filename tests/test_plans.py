@@ -189,3 +189,27 @@ def test_session_scale_confs(spark):
     assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
     assert conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_ewma_blocked_plan_keeps_its_fences(spark):
+    """Structural pins for the two Catalyst quadratic traps the blocked
+    EWMA dodges (CATALYST_NOTES 12/13): the executed plan must carry
+    BOTH posexplode Generate fences (without them, projection collapse
+    inlines the carry fold into the per-element lambda — measured
+    O(n²)), and must not slice the series array (Catalyst Slice copies
+    the whole parent array per call — also measured O(n²))."""
+    from sensomics_data_pipeline_spark.operators.analytics import (
+        ewma_smooth_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [("u", i, i, float(i)) for i in range(10)],
+        "u string, t int, eid int, v double",
+    )
+    out = ewma_smooth_blocked(
+        df, ["u"], ts_col="t", value_col="v", tiebreak_cols=["eid"],
+        block_size=3, round_decimals=None,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") >= 2, "generator fences removed"
+    assert "slice(" not in plan, "F.slice reintroduced in blocking"
