@@ -1622,6 +1622,33 @@ def q_interval_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_ops.subtract_intervals(base, sub, ["user_id"])
 
 
+def q_interval_subtract_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 with the r13 ``plan="auto"`` dispatcher (the treatment the
+    semijoin got in r12): the same merged purchase-minus-view subtract,
+    but the broadcast-vs-shuffle choice for the clip join is made by
+    the shared memoized interval-side stats job against the SCALE_r11
+    thresholds instead of a caller flag. The sub side here is small
+    and sparse per user, so auto must keep the broadcast regime and
+    reproduce ``interval_subtract``'s rows bit-for-bit (same oracle);
+    the dense/row-limit regimes pin SHUFFLE_HASH and are plan-asserted
+    in ``tests/test_skew_rangejoin.py``. ``activity_pipeline``'s three
+    composed subtracts run this dispatcher too."""
+    ev = _t(spark, sf_dir, "events")
+    mk = lambda etype, minutes: interval_ops.merge_intervals(
+        ev.filter(F.col("event_type") == etype).select(
+            "user_id",
+            (F.col("ts") - F.expr(f"INTERVAL {minutes} MINUTES")).alias("start_time"),
+            F.col("ts").alias("end_time"),
+        ),
+        ["user_id"],
+    )
+    base = mk("purchase", 10)
+    sub = mk("view", 5)
+    return interval_ops.subtract_intervals(
+        base, sub, ["user_id"], plan="auto"
+    )
+
+
 def _sql_merged(etype: str, minutes: int) -> str:
     return f"""
   SELECT user_id, min(start_time) AS start_time, max(end_time) AS end_time
@@ -4831,6 +4858,31 @@ def q_ewma_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ewma_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified ``analytics.ewma(plan="auto")`` dispatcher on the
+    same per-user view-value series: one memoized per-entity count agg
+    (the shared ``_interval_side_stats`` job) picks among the three
+    certified plans by the measured regime boundaries
+    (``_ewma_choose``: exact ≤ 32k points/entity, blocked ≤ 2M,
+    distributed past). At every driver scale the series max out in the
+    tens of points per user, so auto must land on the EXACT fold —
+    certified here against the same sequential list_reduce oracle as
+    ``ewma_smooth``, raw doubles, full hash (a wrong dispatch to
+    blocked/distributed at a divergence-inducing block boundary, or
+    any stats-job perturbation of the fold input, breaks the hash).
+    Per-regime plan shape is pinned in ``tests/test_operators.py``."""
+    from sensomics_data_pipeline_spark.operators.analytics import ewma
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    ).select("user_id", "ts", "event_id", "value")
+    return ewma(
+        ev, ["user_id"], ts_col="ts", value_col="value",
+        alpha=0.25, tiebreak_cols=["event_id"], round_decimals=None,
+        plan="auto",
+    )
+
+
 _SQL_EWMA_BLOCKED = f"""
 WITH g AS (
   SELECT user_id,
@@ -7106,6 +7158,105 @@ def q_bpe_batched_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_batch8_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-hash certification of the batched trainer's ACTUAL scale
+    mode (``batch_k=8`` — the r12 row only certified ``batch_k=1``):
+    the batched schedule itself is not SQL-replicable (per-round
+    argmax + greedy conflict skip), so this is the invariant-twin
+    pattern (same contract as ``pack_invariants``): Spark runs the
+    batch-8 train end-to-end and emits one row of laws —
+
+    - ``n_merges_learned`` pinned at ``_BPE_N_MERGES`` (the loop must
+      top up short conflict-skipped rounds until the budget fills);
+    - ``n_rank_gaps`` = 0: merge ranks are contiguous 1..n across
+      rounds;
+    - ``n_round_conflicts`` = 0: within every sync round the selected
+      (a, b, merged) triples share NO symbol (disjointness is what
+      makes the one-fold-chain application order-independent);
+    - ``n_count_order_violations`` = 0: within a round, picked
+      ``pair_count`` values are non-increasing in rank (greedy picks
+      from a (cnt DESC, a, b)-ordered candidate list);
+    - ``n_concat_mismatch`` / ``n_empty_tok_lists`` = 0 over the FINAL
+      word table: 8 rounds of merge folds + localCheckpoint rotation
+      preserve every word's text (concat of subword tokens == word);
+
+    plus three aggregates the DuckDB oracle re-derives independently
+    from raw ``documents`` with the repo-wide whitespace
+    pretokenization (distinct words, total occurrences, total chars) —
+    pinning that the trained word table still covers the corpus
+    exactly."""
+    from collections import defaultdict
+
+    from sensomics_data_pipeline_spark.operators import tokenizer as tok_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, words = tok_ops.bpe_train_batched(
+        spark, docs, "text", n_merges=_BPE_N_MERGES, batch_k=8,
+        with_rounds=True,
+    )
+    n_learned = len(merges)
+    n_rank_gaps = sum(
+        1 for i, m in enumerate(merges) if m[0] != i + 1
+    )
+    by_round: dict = defaultdict(list)
+    for rank, a, b, m, cnt, rd in merges:
+        by_round[rd].append((rank, a, b, m, cnt))
+    n_round_conflicts = 0
+    n_count_order = 0
+    for items in by_round.values():
+        used: set = set()
+        prev_cnt = None
+        for _rank, a, b, m, cnt in sorted(items):
+            if a in used or b in used or m in used:
+                n_round_conflicts += 1
+            used.update((a, b, m))
+            if prev_cnt is not None and cnt > prev_cnt:
+                n_count_order += 1
+            prev_cnt = cnt
+    return words.agg(
+        F.sum(
+            F.when(F.concat_ws("", "toks") != F.col("word"), 1).otherwise(0)
+        ).cast("long").alias("n_concat_mismatch"),
+        F.sum(F.when(F.size("toks") < 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_empty_tok_lists"),
+        F.count(F.lit(1)).cast("long").alias("distinct_words"),
+        F.sum("n").cast("long").alias("total_word_occurrences"),
+        F.sum(F.length("word") * F.col("n"))
+        .cast("long")
+        .alias("total_word_chars"),
+    ).select(
+        F.lit(n_learned).cast("long").alias("n_merges_learned"),
+        F.lit(n_rank_gaps).cast("long").alias("n_rank_gaps"),
+        F.lit(n_round_conflicts).cast("long").alias("n_round_conflicts"),
+        F.lit(n_count_order).cast("long").alias("n_count_order_violations"),
+        "n_concat_mismatch",
+        "n_empty_tok_lists",
+        "distinct_words",
+        "total_word_occurrences",
+        "total_word_chars",
+    )
+
+
+_SQL_BPE_BATCH8_LAW = f"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> x != '')) AS word
+  FROM documents
+)
+SELECT CAST({_BPE_N_MERGES} AS BIGINT) AS n_merges_learned,
+       CAST(0 AS BIGINT) AS n_rank_gaps,
+       CAST(0 AS BIGINT) AS n_round_conflicts,
+       CAST(0 AS BIGINT) AS n_count_order_violations,
+       CAST(0 AS BIGINT) AS n_concat_mismatch,
+       CAST(0 AS BIGINT) AS n_empty_tok_lists,
+       CAST(count(DISTINCT word) AS BIGINT) AS distinct_words,
+       CAST(count(*) AS BIGINT) AS total_word_occurrences,
+       CAST(sum(length(word)) AS BIGINT) AS total_word_chars
+FROM w
+"""
+
+
 def _sql_bpe_stages(k: int) -> str:
     """The shared WITH-clause body: words + k unrolled merge stages.
 
@@ -7215,107 +7366,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver verifies the FIRST 50 entries (observed
     # in rounds 1-2: CORRECTNESS rows exist for exactly positions 1-50).
     # Rotation policy: the window rotates by STALENESS, with
-    # NEVER-CHECKED and CHANGED-THIS-ROUND taking precedence. Round-12
-    # window = the FULL 40-query r9-aged rotation queue from the r11
-    # header / docs/ROADMAP.md:3-24 (honored verbatim, leading the
-    # window), PLUS the 4 entries NEW this round
-    # (interval_semijoin_auto: the plan="auto" dispatcher choosing
-    # broadcast-range vs binned-shuffle from one bounded stats agg, by
-    # the measured SCALE_r11 crossover rule; bpe_batched_law: the
-    # batched trainer at batch_k=1 must learn the EXACT sequential
-    # merge table, certified against the same unrolled 8-stage CTE
-    # oracle as bpe_merges; ewma_blocked: the O(n) blocked EWMA whose
-    # DuckDB oracle replays the SAME blocked FP association —
-    # raw-double bit-identity, closing the r11 verdict's O(n²) fold
-    # ask; ewma_distributed: the segment-partitioned EWMA with NO
-    # per-entity collect_list anywhere, bit-identical to the blocked
-    # plan by construction and certified against the same blocked
-    # oracle), PLUS the 6 entries whose implementation changed in
-    # round 12 (filtering_pipeline: include-interval coalescing now
-    # orders by (start_time, end_time, include) in both engines so
-    # tied boundary timestamps cannot flip the island assignment;
-    # theta_sketch_ops + streaming_theta: theta clamped >= 1 in
-    # estimator and oracle so a zero k-th hash cannot divide to
-    # NULL/Inf; bpe_merges + bpe_token_stats: the trainers now
-    # unpersist the prior round's localCheckpoint blocks;
-    # embedding_near_dup: the LSH auto-sizer count memo keys on the
-    # input-file listing). interval_semijoin_binned also gained a
-    # parameter this round, but it is default-off and plan-preserving
-    # (see the tail comment at position 51) — it yields its slot so
-    # the window stays exactly 40 + 4 + 6 = 50 with every
-    # never-checked query inside it; after this round no query's
-    # latest driver row is older than r10.
+    # NEVER-CHECKED and CHANGED-THIS-ROUND taking precedence. Round-13
+    # window = the FULL 45-query r10-aged rotation queue from the r12
+    # verdict / docs/ROADMAP.md:4-27 (honored verbatim, leading the
+    # window — it also refreshes the four r10-latest invariant twins of
+    # the rows-only queries), PLUS the 3 entries NEW this round
+    # (interval_subtract_auto: subtract_intervals gained the same
+    # plan="auto" stats-dispatch its semijoin sibling got in r12, and
+    # activity_pipeline's three composed subtracts now run it;
+    # ewma_auto: the unified analytics.ewma entry point choosing
+    # exact/blocked/distributed from the shared memoized per-entity
+    # count stats by the measured regime boundaries; bpe_batch8_law:
+    # the batched trainer's ACTUAL scale mode batch_k=8 certified via
+    # the pack_invariants-style invariant twin — per-round mutual
+    # non-conflict, contiguous ranks, in-round count monotonicity, and
+    # final-word-table text conservation, with the corpus-coverage
+    # aggregates re-derived independently by the oracle), PLUS 2 fill
+    # entries on the touched surfaces (interval_subtract: its operator
+    # gained the plan parameter — default None is plan-preserving, but
+    # the fresh row certifies that claim; ewma_smooth: r11-latest AND
+    # its module gained the dispatcher). All other r12-changed surfaces
+    # are default-off parameter additions (bpe_train_batched
+    # with_rounds) already exercised through the new window rows.
     # The guard test (tests/test_oracle_queries.py) derives the
     # never-checked set from the committed CORRECTNESS_r*.json files
     # rather than a hard-coded list, so this rotation cannot silently
     # strand an unchecked query. ALL entries are still value-checked
     # bit-exact locally by tools/check_oracle.py at sf0.01 AND sf0.1
-    # (results committed per round: docs/LOCAL_ORACLE_r12*.txt).
+    # (results committed per round: docs/LOCAL_ORACLE_r13*.txt).
     return {
-        # ---- positions 1-40: the FULL 40-query r9-aged rotation queue
-        # from the r11 header / docs/ROADMAP.md:3-24, honored verbatim ----
-        "duplicate_spans": q_duplicate_spans,
-        "pack_sequences": q_pack_sequences,
-        "embedding_centroids": q_embedding_centroids,
-        "embedding_topk": q_embedding_topk,
-        "embedding_lsh": q_embedding_lsh,
-        "embedding_near_dup_exact": q_embedding_near_dup_exact,
-        "semantic_dedup": q_semantic_dedup,
-        "exact_dedup": q_exact_dedup,
-        "decontaminate": q_decontaminate,
-        "doc_fingerprint": q_doc_fingerprint,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "simhash_pairs": q_simhash_pairs,
-        "token_stats": q_token_stats,
-        "pivot_wide": q_pivot_wide,
-        "posexplode_resample": q_posexplode_resample,
-        "chain_distances": q_chain_distances,
-        "hll_distinct": q_hll_distinct,
-        "triangle_counts": q_triangle_counts,
-        "kcore_members": q_kcore_members,
-        "hll_rollup": q_hll_rollup,
-        "label_propagation": q_label_propagation,
-        "bfs_distances": q_bfs_distances,
-        "sssp_distances": q_sssp_distances,
-        "pq_invariants": q_pq_invariants,
-        "multimodal_frames": q_multimodal_frames,
-        "pricing_summary": q_pricing_summary,
-        "quantiles": q_quantiles,
-        "rollup_revenue": q_rollup_revenue,
-        "asof_join": q_asof_join,
-        "interval_semijoin": q_interval_semijoin,
-        "interval_subtract": q_interval_subtract,
-        "merge_windows": q_merge_windows,
-        "tumbling_categorize": q_tumbling_categorize,
-        "streaming_tumbling": q_streaming_tumbling,
-        "streaming_anomalies": q_streaming_anomalies,
-        "scd2_history": q_scd2_history,
-        "minhash_lsh": q_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_incremental": q_dedup_incremental,
-        "remove_dup_spans": q_remove_dup_spans,
-        # ---- NEW in r12 (never driver-checked): the interval-semijoin
-        # plan dispatcher, the batched-BPE batch_k=1 ≡ sequential law,
-        # and the O(n) blocked EWMA with its own bit-exact blocked oracle ----
-        "interval_semijoin_auto": q_interval_semijoin_auto,
-        "bpe_batched_law": q_bpe_batched_law,
-        "ewma_blocked": q_ewma_blocked,
-        "ewma_distributed": q_ewma_distributed,
-        # ---- implementation CHANGED in round 12 (see header) ----
-        "filtering_pipeline": q_filtering_pipeline,
-        "theta_sketch_ops": q_theta_sketch_ops,
-        "streaming_theta": q_streaming_theta,
-        "bpe_merges": q_bpe_merges,
-        "bpe_token_stats": q_bpe_token_stats,
-        "embedding_near_dup": q_embedding_near_dup,
-        # ---- positions 51+: interval_semijoin_binned leads the tail —
-        # its r12 diff is one ADDED default-off parameter (force_shuffle,
-        # default False preserves the r10-certified plan byte-for-byte;
-        # the new regime is plan-asserted in tests/test_skew_rangejoin.py
-        # and exercised through interval_semijoin_auto's window row), so
-        # it yields its window slot to the never-checked ewma_distributed
-        # under the NEVER-CHECKED ⊆ window guard — then the r10-checked
-        # entries (next in line for r13), then the r11-checked entries ----
+        # ---- positions 1-45: the FULL 45-query r10-aged rotation
+        # queue from the r12 verdict / docs/ROADMAP.md:4-27, verbatim ----
         "interval_semijoin_binned": q_interval_semijoin_binned,
         "hh_invariants": q_hh_invariants,
         "qsketch_invariants": q_qsketch_invariants,
@@ -7361,7 +7442,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf": q_embedding_ivf,
         "embedding_ivf_pq": q_embedding_ivf_pq,
         "ann_invariants": q_ann_invariants,
-        # ---- r11-checked tail ----
+        # ---- NEW in r13 (never driver-checked) ----
+        "interval_subtract_auto": q_interval_subtract_auto,
+        "ewma_auto": q_ewma_auto,
+        "bpe_batch8_law": q_bpe_batch8_law,
+        # ---- fill: changed-surface + stalest entries (see header) ----
+        "interval_subtract": q_interval_subtract,
+        "ewma_smooth": q_ewma_smooth,
+        # ---- positions 51+: the r14 staleness queue — r11-checked
+        # entries first (stalest after this round), then r12-checked ----
         "above_cust_avg": q_above_cust_avg,
         "char_diversity": q_char_diversity,
         "chunk_documents": q_chunk_documents,
@@ -7401,11 +7490,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "window_analytics": q_window_analytics,
         "reformat_pipeline": q_reformat_pipeline,
-        "ewma_smooth": q_ewma_smooth,
         "pmi_collocations": q_pmi_collocations,
         "skew_salted_join": q_skew_salted_join,
         "dq_report": q_dq_report,
+        # ---- r12-checked tail ----
         "zorder_curve": q_zorder_curve,
+        "duplicate_spans": q_duplicate_spans,
+        "pack_sequences": q_pack_sequences,
+        "embedding_centroids": q_embedding_centroids,
+        "embedding_topk": q_embedding_topk,
+        "embedding_lsh": q_embedding_lsh,
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,
+        "semantic_dedup": q_semantic_dedup,
+        "exact_dedup": q_exact_dedup,
+        "decontaminate": q_decontaminate,
+        "doc_fingerprint": q_doc_fingerprint,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "simhash_pairs": q_simhash_pairs,
+        "token_stats": q_token_stats,
+        "pivot_wide": q_pivot_wide,
+        "posexplode_resample": q_posexplode_resample,
+        "chain_distances": q_chain_distances,
+        "hll_distinct": q_hll_distinct,
+        "triangle_counts": q_triangle_counts,
+        "kcore_members": q_kcore_members,
+        "hll_rollup": q_hll_rollup,
+        "label_propagation": q_label_propagation,
+        "bfs_distances": q_bfs_distances,
+        "sssp_distances": q_sssp_distances,
+        "pq_invariants": q_pq_invariants,
+        "multimodal_frames": q_multimodal_frames,
+        "pricing_summary": q_pricing_summary,
+        "quantiles": q_quantiles,
+        "rollup_revenue": q_rollup_revenue,
+        "asof_join": q_asof_join,
+        "interval_semijoin": q_interval_semijoin,
+        "merge_windows": q_merge_windows,
+        "tumbling_categorize": q_tumbling_categorize,
+        "streaming_tumbling": q_streaming_tumbling,
+        "streaming_anomalies": q_streaming_anomalies,
+        "scd2_history": q_scd2_history,
+        "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_incremental": q_dedup_incremental,
+        "remove_dup_spans": q_remove_dup_spans,
+        "interval_semijoin_auto": q_interval_semijoin_auto,
+        "bpe_batched_law": q_bpe_batched_law,
+        "ewma_blocked": q_ewma_blocked,
+        "ewma_distributed": q_ewma_distributed,
+        "filtering_pipeline": q_filtering_pipeline,
+        "theta_sketch_ops": q_theta_sketch_ops,
+        "streaming_theta": q_streaming_theta,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_stats": q_bpe_token_stats,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -7449,6 +7587,12 @@ def oracle_sql() -> dict[str, str]:
         "merge_windows": _SQL_MERGE_WINDOWS,
         "interval_merge": _SQL_INTERVAL_MERGE,
         "interval_subtract": _SQL_INTERVAL_SUBTRACT,
+        # r13: the auto dispatcher must reproduce the explicit plan's
+        # rows exactly — same oracle; ewma_auto lands on the exact
+        # regime at driver scales — same sequential fold oracle
+        "interval_subtract_auto": _SQL_INTERVAL_SUBTRACT,
+        "ewma_auto": _SQL_EWMA,
+        "bpe_batch8_law": _SQL_BPE_BATCH8_LAW,
         "streaming_tumbling": _SQL_STREAMING_TUMBLING,
         "streaming_sessions": _SQL_STREAMING_SESSIONS,
         "streaming_stateful_dedup": _SQL_LAG_DEDUP,

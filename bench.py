@@ -7,6 +7,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced with a noop-format write (full plan execution, no
 driver collect overhead, no result materialization skew).
 
+``bench.py --probe <query> [query ...]`` runs only the named queries
+with the same full discipline (warm, min-of-N, both calibration pairs,
+movers summary) — the one-command drift adjudicator; its artifact is
+tagged ``"probe": [...]`` and never selected as a canonical baseline.
+
 Per-query time is the MIN over $SPARK_GRAFT_BENCH_RUNS runs (default 3):
 single-run numbers at small scale are dominated by first-execution JIT
 and GC noise (observed ±3× swings on identical plans), and min-of-N is
@@ -164,6 +169,24 @@ def _scrub_session(spark) -> None:
 
 
 def main() -> None:
+    # --probe <query> [query ...]: adjudication mode (r12 verdict ask
+    # #6) — run ONLY the named queries with the full discipline of a
+    # canonical pass (per-query warm, min-of-N + median, BOTH
+    # calibration pairs, movers-vs-canonical summary line), so a
+    # "did this row really drift?" question is one command producing
+    # one committable artifact instead of a hand-built harness. The
+    # output line carries "probe": [names] so a probe artifact can
+    # never be mistaken for (or selected as) a canonical baseline —
+    # _summary_line's canonical glob only matches BENCH_LOCAL_r<N>.json.
+    probe: list[str] = []
+    if "--probe" in sys.argv:
+        probe = [
+            a
+            for a in sys.argv[sys.argv.index("--probe") + 1 :]
+            if not a.startswith("-")
+        ]
+        if not probe:
+            sys.exit("--probe requires at least one query name")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -177,6 +200,11 @@ def main() -> None:
     spark = get_spark("bench")
 
     qs = entrymod.queries()
+    if probe:
+        unknown = [q for q in probe if q not in qs]
+        if unknown:
+            sys.exit(f"unknown probe queries: {unknown}")
+        qs = {k: qs[k] for k in probe}
     # Warm EVERY query once at the smallest SF (not counted): whole-stage
     # codegen JIT of the big hash/HOF kernels is a one-time per-JVM cost
     # that is independent of data scale (measured: ngram_jaccard pays
@@ -265,6 +293,7 @@ def main() -> None:
                 "calibration_shuffle_first": calibration_shuffle_first,
                 "calibration_shuffle_last": calibration_shuffle_last,
                 "memos_cleared": clear_memos,
+                **({"probe": probe} if probe else {}),
             },
             separators=(",", ":"),
         )
@@ -318,18 +347,38 @@ def _summary_line(
     queries present in both; absent/unreadable canonical → movers []).
     A canonical recorded at a DIFFERENT scale factor is refused
     (vs suffixed "(sf-mismatch)", movers []) — cross-SF ratios would
-    read as giant fake movers."""
+    read as giant fake movers.
+
+    Counting contract: ``n`` = queries RUN (successes + failures);
+    ``n_failed`` of those recorded -1.0 and contribute nothing to
+    ``total``, so ``total`` sums only the ``n - n_failed`` successes.
+
+    Canonical selection is strict: only ``BENCH_LOCAL_r<digits>.json``
+    qualifies (runB/probe/rerun suffixes are sidecars, not baselines),
+    and the whole selection runs inside the try so a malformed docs/
+    listing degrades to movers=[] instead of crashing a finished
+    bench run."""
     import glob
     import math
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    canonical = sorted(
-        glob.glob(os.path.join(here, "docs", "BENCH_LOCAL_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )
     movers: list = []
     vs = None
+    try:
+        pat = re.compile(r"^BENCH_LOCAL_r(\d+)\.json$")
+        canonical = sorted(
+            (
+                p
+                for p in glob.glob(
+                    os.path.join(here, "docs", "BENCH_LOCAL_r*.json")
+                )
+                if pat.match(os.path.basename(p))
+            ),
+            key=lambda p: int(pat.match(os.path.basename(p)).group(1)),
+        )
+    except Exception:
+        canonical = []
     if canonical:
         vs = os.path.basename(canonical[-1])
         try:

@@ -715,3 +715,96 @@ def ewma_smooth_distributed(
     if round_decimals is not None:
         out = out.withColumn("ewma", F.round("ewma", round_decimals))
     return out
+
+
+def _ewma_choose(
+    max_per_entity: int,
+    exact_point_limit: int,
+    blocked_point_limit: int,
+) -> str:
+    """Pure plan rule for :func:`ewma` — split out so tests can pin the
+    regime boundaries without running a stats job.
+
+    The thresholds encode the measured contracts of the three plans
+    (``docs/SCALE_r12.md`` / ``SCALE_r13.md``): the exact fold is
+    O(n²) element copies per entity (measured ~15× per 4× step —
+    usable to a few 10⁴ points), the blocked fold is linear but holds
+    a whole entity in ONE collect_list row (measured linear through
+    2.56 M points/entity; the bound is executor row budget, not
+    compute), and the distributed plan has no per-entity memory bound
+    at the price of two extra shuffles.
+    """
+    if max_per_entity <= exact_point_limit:
+        return "exact"
+    if max_per_entity <= blocked_point_limit:
+        return "blocked"
+    return "distributed"
+
+
+def ewma(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.25,
+    tiebreak_cols: list[str] | None = None,
+    block_size: int | None = None,
+    round_decimals: int | None = 6,
+    plan: str = "auto",
+    exact_point_limit: int = 32_768,
+    blocked_point_limit: int = 2_000_000,
+) -> DataFrame:
+    """One EWMA entry point over the three certified plans —
+    :func:`ewma_smooth` (exact fold), :func:`ewma_smooth_blocked`
+    (O(n) long-series twin) and :func:`ewma_smooth_distributed`
+    (no per-entity memory bound), chosen by ``plan``:
+
+    - ``"exact"`` / ``"blocked"`` / ``"distributed"``: explicit.
+    - ``"auto"`` (default): one cheap per-entity count agg over
+      ``df`` decides by :func:`_ewma_choose` — the same
+      memoized-stats contract as ``interval_semijoin(plan="auto")``
+      (the stats job is :func:`operators.intervals._interval_side_stats`,
+      shared memo and all: keyed on (session, semantic plan hash,
+      group cols, input-file fingerprint), so a loop of auto calls
+      against the same table prices the decision once and an appended
+      input invalidates it).
+
+    Numeric contract: the exact plan is bit-identical to a sequential
+    fold; blocked and distributed are bit-identical to EACH OTHER at
+    equal ``block_size`` and within ~1 ulp of exact (identical after
+    the default 6-decimal display rounding in every certified case).
+    ``block_size=None`` keeps each plan's own default (256 blocked /
+    4096 distributed — the distributed plan wants bigger segments to
+    amortize its two extra shuffles).
+    """
+    if plan not in ("auto", "exact", "blocked", "distributed"):
+        raise ValueError(f"unknown ewma plan {plan!r}")
+    if plan == "auto":
+        # shared memoized stats job (see operators.intervals) — counts
+        # only non-null values so the decision prices exactly the rows
+        # the plans fold
+        from .intervals import _interval_side_stats
+
+        _total, max_per_entity = _interval_side_stats(
+            df.filter(F.col(value_col).isNotNull()), group_cols
+        )
+        plan = _ewma_choose(
+            max_per_entity, exact_point_limit, blocked_point_limit
+        )
+    common = dict(
+        group_cols=group_cols,
+        ts_col=ts_col,
+        value_col=value_col,
+        alpha=alpha,
+        tiebreak_cols=tiebreak_cols,
+        round_decimals=round_decimals,
+    )
+    if plan == "exact":
+        return ewma_smooth(df, **common)
+    if plan == "blocked":
+        if block_size is not None:
+            common["block_size"] = block_size
+        return ewma_smooth_blocked(df, **common)
+    if block_size is not None:
+        common["block_size"] = block_size
+    return ewma_smooth_distributed(df, **common)

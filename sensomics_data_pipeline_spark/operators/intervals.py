@@ -50,6 +50,9 @@ def subtract_intervals(
     start_col: str = "start_time",
     end_col: str = "end_time",
     broadcast_sub: bool = True,
+    plan: str | None = None,
+    broadcast_row_limit: int = 2_000_000,
+    per_key_limit: int = 100,
 ) -> DataFrame:
     """J4: temporal EXCEPT — remove from each ``base`` interval every
     region covered by any ``sub`` interval (``subtract_intervals``,
@@ -71,7 +74,40 @@ def subtract_intervals(
     ``a[0] <= b[0]`` branch at ``:127,133-135``; it also emits pieces
     where start == end. We keep zero-width pieces for parity but expose
     ``drop_empty`` for the sane default).
+
+    Plan choice (same contract as :func:`interval_semijoin`):
+
+    - ``plan=None`` (default): honor the legacy ``broadcast_sub`` flag
+      unchanged — True broadcasts the merged sub side, False shuffles.
+    - ``plan="broadcast"`` / ``plan="shuffle"``: explicit.
+    - ``plan="auto"``: decide from :func:`_interval_side_stats` over
+      the RAW sub side (an upper bound on the merged side it sizes, and
+      memo-shareable with a semijoin over the same interval table) by
+      the measured SCALE_r11 crossover rule — broadcast only while the
+      sub side is small (≤ ``broadcast_row_limit`` rows) AND sparse per
+      key (≤ ``per_key_limit``); otherwise shuffle, where the
+      ``partition_cols`` equality conjuncts make the clip join a
+      co-partitioned equi-join with the range predicate as a residual.
+      With EMPTY ``partition_cols`` the shuffle regime has no equi-key
+      (it would plan a BroadcastNestedLoop — forbidden repo-wide), so
+      auto pins broadcast regardless of stats.
     """
+    if plan is not None:
+        if plan not in ("broadcast", "shuffle", "auto"):
+            raise ValueError(f"unknown subtract_intervals plan {plan!r}")
+        if plan == "auto":
+            if not partition_cols:
+                broadcast_sub = True
+            else:
+                total, max_per_key = _interval_side_stats(
+                    sub, partition_cols
+                )
+                broadcast_sub = (
+                    total <= broadcast_row_limit
+                    and max_per_key <= per_key_limit
+                )
+        else:
+            broadcast_sub = plan == "broadcast"
     # deterministic per-base-interval id: row_number over the interval
     # sort keys. monotonically_increasing_id would be re-evaluated
     # independently in the left_pieces and tail branches of the union
@@ -93,10 +129,20 @@ def subtract_intervals(
         cond = (b[c] == s[c]) & cond
     # interval lists are usually tiny relative to measurements →
     # broadcast by default. When the merged sub side outgrows a
-    # broadcast, pass broadcast_sub=False: with partition_cols the
-    # equality conjuncts make this a shuffled equi-join with the range
-    # predicate as a post-filter (co-partitioned by entity, no BNLJ).
-    s_side = F.broadcast(s) if broadcast_sub else s
+    # broadcast, pass broadcast_sub=False (or plan="shuffle"/"auto"):
+    # with partition_cols the equality conjuncts make this a shuffled
+    # equi-join with the range predicate as a post-filter
+    # (co-partitioned by entity, no BNLJ); the SHUFFLE_HASH hint pins
+    # the regime SCALE_r11 measured fastest once the build side is big
+    # (and keeps AQE from re-broadcasting it, so the plan is the one
+    # the dispatcher chose). With EMPTY partition_cols the broadcast
+    # path is necessarily a broadcast nested-loop (range-only
+    # predicate, no equi-key) — bounded by the merged sub side that
+    # auto guarantees small in that regime.
+    if broadcast_sub:
+        s_side = F.broadcast(s)
+    else:
+        s_side = s.hint("shuffle_hash") if partition_cols else s
     clipped = b.join(s_side, on=cond, how="left").select(
         *[b[c] for c in partition_cols],
         b["_bid"],

@@ -91,7 +91,20 @@ def _rotate_local_checkpoint(
     collect the Python refs. The unpersist runs strictly AFTER the new
     eager checkpoint materializes, so no live lineage still reads the
     old blocks. Only ids this rotation chain created are touched —
-    caches owned by other operators are invisible to it."""
+    caches owned by other operators are invisible to it.
+
+    SINGLE-THREADED CONTRACT: ownership is attributed by diffing
+    ``getPersistentRDDs()`` around the eager checkpoint, which is only
+    sound when no OTHER thread persists RDDs in the same
+    SparkContext during that window (a concurrently-persisted RDD
+    would land in ``mine`` and be unpersisted on the NEXT rotation —
+    unrecoverable for a localCheckpoint, whose lineage is truncated).
+    BPE training drives the session from one driver thread, so the
+    contract holds for every caller in this repo; do NOT run
+    ``bpe_train*`` concurrently with other persisting jobs on the
+    same SparkSession (run it on its own session if you must overlap
+    — sessions are cheap, SparkContexts are shared but per-session
+    training here persists nothing outside this chain)."""
     sc = df.sparkSession.sparkContext
     before = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
     out = df.localCheckpoint(eager=True)
@@ -169,6 +182,7 @@ def bpe_train_batched(
     text_col: str = "text",
     n_merges: int = 32,
     batch_k: int = 8,
+    with_rounds: bool = False,
 ) -> tuple[list[tuple], DataFrame]:
     """Batched BPE trainer: per driver-synced round, take the top
     ``batch_k`` MUTUALLY NON-CONFLICTING pairs (no shared left/right/
@@ -186,13 +200,19 @@ def bpe_train_batched(
     certified driver oracle stays on the sequential mode. Recorded
     ``pair_count`` values are as-of the round start.
 
-    Returns the same ``(merges, words)`` contract as ``bpe_train``.
+    Returns the same ``(merges, words)`` contract as ``bpe_train``;
+    ``with_rounds=True`` appends the 0-based sync-round index as a
+    6th tuple element (so certification queries can check the
+    per-round mutual-non-conflict law without re-deriving batch
+    boundaries).
     """
     words, ckpt_ids = _rotate_local_checkpoint(
         word_freq_table(df, text_col), set()
     )
     merges: list[tuple] = []
+    round_idx = -1
     while len(merges) < n_merges:
+        round_idx += 1
         room = n_merges - len(merges)
         k = min(batch_k, room)
         pairs = words.select(
@@ -236,7 +256,9 @@ def bpe_train_batched(
             )
         rank0 = len(merges)
         merges.extend(
-            (rank0 + i + 1, a, b, m, cnt)
+            (rank0 + i + 1, a, b, m, cnt, round_idx)
+            if with_rounds
+            else (rank0 + i + 1, a, b, m, cnt)
             for i, (a, b, m, cnt) in enumerate(batch)
         )
         words, ckpt_ids = _rotate_local_checkpoint(

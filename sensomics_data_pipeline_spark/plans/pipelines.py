@@ -204,7 +204,7 @@ def categorize_activity(
     )
 
     sleep_minus_step = _mat(
-        interval_ops.subtract_intervals(sleep_iv, step_iv, pc)
+        interval_ops.subtract_intervals(sleep_iv, step_iv, pc, plan="auto")
     )
 
     thresholds = activity_ops.sleep_acc_thresholds(
@@ -219,12 +219,12 @@ def categorize_activity(
         *pc, "start_time", "end_time"
     )
     sleep_final = _mat(
-        interval_ops.subtract_intervals(sleep_minus_step, active, pc)
+        interval_ops.subtract_intervals(sleep_minus_step, active, pc, plan="auto")
     )
     rest = categorized_acc.filter(F.col("category") == "rest").select(
         *pc, "start_time", "end_time"
     )
-    wake_rest = interval_ops.subtract_intervals(rest, sleep_final, pc)
+    wake_rest = interval_ops.subtract_intervals(rest, sleep_final, pc, plan="auto")
 
     final = (
         categorized_acc.filter(F.col("category") != "rest")

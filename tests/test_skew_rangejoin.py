@@ -572,3 +572,100 @@ def test_auto_plan_stats_memoized_per_plan(spark):
     want = iv_ops.interval_semijoin(pts, ivs, ["user_id"], ts_col="ts")
     assert _sorted_rows(out) == _sorted_rows(want)
     iv_ops._INTERVAL_STATS_MEMO.clear()
+
+
+# ---------------------------------------------------------------------------
+# subtract_intervals plan="auto" dispatcher
+# ---------------------------------------------------------------------------
+
+def _subtract_fixture(spark):
+    t0 = datetime(2024, 1, 1)
+    base = spark.createDataFrame(
+        [
+            ("u1", t0, t0 + timedelta(hours=8)),
+            ("u1", t0 + timedelta(hours=10), t0 + timedelta(hours=12)),
+            ("u2", t0 + timedelta(hours=1), t0 + timedelta(hours=5)),
+        ],
+        "user_id string, start_time timestamp, end_time timestamp",
+    )
+    sub = spark.createDataFrame(
+        [
+            ("u1", t0 + timedelta(hours=2), t0 + timedelta(hours=3)),
+            ("u1", t0 + timedelta(hours=6), t0 + timedelta(hours=7)),
+            ("u2", t0 + timedelta(hours=2), t0 + timedelta(hours=9)),
+        ],
+        "user_id string, start_time timestamp, end_time timestamp",
+    )
+    return base, sub
+
+
+def test_subtract_auto_sparse_regime_broadcasts(spark):
+    """Small sparse sub side: auto keeps the broadcast clip join and
+    matches the legacy default byte-for-byte in values."""
+    base, sub = _subtract_fixture(spark)
+    out = iv_ops.subtract_intervals(base, sub, ["user_id"], plan="auto")
+    plan = _executed_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    want = iv_ops.subtract_intervals(base, sub, ["user_id"])
+    assert _sorted_rows(out) == _sorted_rows(want)
+
+
+def test_subtract_auto_dense_regime_shuffles(spark):
+    """Per-key multiplicity past the crossover: auto drops the
+    broadcast hint — the clip join becomes a shuffled equi-join on the
+    partition key (SortMergeJoin/ShuffledHashJoin, never BNLJ) with
+    identical values."""
+    base, sub = _subtract_fixture(spark)
+    out = iv_ops.subtract_intervals(
+        base, sub, ["user_id"], plan="auto", per_key_limit=1
+    )
+    plan = _executed_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    want = iv_ops.subtract_intervals(base, sub, ["user_id"])
+    assert _sorted_rows(out) == _sorted_rows(want)
+
+
+def test_subtract_auto_row_limit_regime_shuffles(spark):
+    base, sub = _subtract_fixture(spark)
+    out = iv_ops.subtract_intervals(
+        base, sub, ["user_id"], plan="auto", broadcast_row_limit=1
+    )
+    plan = _executed_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    want = iv_ops.subtract_intervals(base, sub, ["user_id"])
+    assert _sorted_rows(out) == _sorted_rows(want)
+
+
+def test_subtract_auto_no_partition_cols_pins_broadcast(spark):
+    """Empty partition_cols: a range-only clip predicate has no
+    equi-key, so the ONLY sound shape is the broadcast nested-loop
+    with the (merged, tiny) sub side as build — auto must pin it
+    regardless of stats (even with limits forced to zero), never an
+    unhinted/shuffled NLJ."""
+    base, sub = _subtract_fixture(spark)
+    b2, s2 = base.drop("user_id"), sub.drop("user_id")
+    out = iv_ops.subtract_intervals(
+        b2, s2, [], plan="auto", broadcast_row_limit=0, per_key_limit=0
+    )
+    plan = _executed_plan(out)
+    assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan
+    want = iv_ops.subtract_intervals(b2, s2, [])
+    assert _sorted_rows(out) == _sorted_rows(want)
+
+
+def test_subtract_explicit_plans_and_rejects_unknown(spark):
+    base, sub = _subtract_fixture(spark)
+    want = _sorted_rows(iv_ops.subtract_intervals(base, sub, ["user_id"]))
+    got_b = iv_ops.subtract_intervals(
+        base, sub, ["user_id"], plan="broadcast"
+    )
+    got_s = iv_ops.subtract_intervals(base, sub, ["user_id"], plan="shuffle")
+    assert _sorted_rows(got_b) == want
+    assert _sorted_rows(got_s) == want
+    assert "BroadcastHashJoin" in _executed_plan(got_b)
+    assert "ShuffledHashJoin" in _executed_plan(got_s)
+    with pytest.raises(ValueError, match="unknown subtract_intervals plan"):
+        iv_ops.subtract_intervals(base, sub, ["user_id"], plan="nope")

@@ -376,3 +376,36 @@ def test_bpe_checkpoint_rotation_releases_blocks(spark):
     assert len(merges_b) == 5
     words_b.count()
     assert n_persistent() - before <= 1
+
+
+def test_bpe_batched_with_rounds_records_schedule(spark):
+    """with_rounds=True appends the 0-based sync-round index: rounds
+    are non-decreasing, each holds at most batch_k merges, merges
+    within a round share no symbol (the disjointness law), and the
+    5-tuple prefix is byte-identical to the with_rounds=False run."""
+    from sensomics_data_pipeline_spark.operators.tokenizer import (
+        bpe_train_batched,
+    )
+
+    df = spark.createDataFrame(
+        [("low lower lowest newer newest low low wide widest",)],
+        "text string",
+    )
+    plain, _ = bpe_train_batched(spark, df, n_merges=6, batch_k=2)
+    tagged, _ = bpe_train_batched(
+        spark, df, n_merges=6, batch_k=2, with_rounds=True
+    )
+    assert [m[:5] for m in tagged] == plain
+    rounds = [m[5] for m in tagged]
+    assert rounds == sorted(rounds) and rounds[0] == 0
+    from collections import defaultdict
+
+    by_round = defaultdict(list)
+    for _rank, a, b, m, _cnt, rd in tagged:
+        by_round[rd].append((a, b, m))
+    for items in by_round.values():
+        assert len(items) <= 2
+        used: set = set()
+        for a, b, m in items:
+            assert not ({a, b, m} & used)
+            used.update((a, b, m))
