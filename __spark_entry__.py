@@ -7381,12 +7381,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the pack_invariants-style invariant twin — per-round mutual
     # non-conflict, contiguous ranks, in-round count monotonicity, and
     # final-word-table text conservation, with the corpus-coverage
-    # aggregates re-derived independently by the oracle), PLUS 2 fill
-    # entries on the touched surfaces (interval_subtract: its operator
-    # gained the plan parameter — default None is plan-preserving, but
-    # the fresh row certifies that claim; ewma_smooth: r11-latest AND
-    # its module gained the dispatcher). All other r12-changed surfaces
-    # are default-off parameter additions (bpe_train_batched
+    # aggregates re-derived independently by the oracle), PLUS 2
+    # changed-surface entries (interval_subtract: its operator gained
+    # the plan parameter — default None is plan-preserving, but the
+    # fresh row certifies that claim; ewma_distributed: the carry join
+    # was restructured in r13 — carries now EXPLODE to one scalar per
+    # segment row instead of attaching the whole per-entity carry
+    # array, fixing the measured O((n/B)²)-bytes join blow-up past
+    # ~10⁶ points/entity (docs/SCALE_r13.md) — values bit-identical,
+    # plan changed, so it re-earns its row). All other r12-changed
+    # surfaces are default-off parameter additions (bpe_train_batched
     # with_rounds) already exercised through the new window rows.
     # The guard test (tests/test_oracle_queries.py) derives the
     # never-checked set from the committed CORRECTNESS_r*.json files
@@ -7446,9 +7450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_subtract_auto": q_interval_subtract_auto,
         "ewma_auto": q_ewma_auto,
         "bpe_batch8_law": q_bpe_batch8_law,
-        # ---- fill: changed-surface + stalest entries (see header) ----
+        # ---- fill: changed-surface entries (see header) ----
         "interval_subtract": q_interval_subtract,
-        "ewma_smooth": q_ewma_smooth,
+        "ewma_distributed": q_ewma_distributed,
         # ---- positions 51+: the r14 staleness queue — r11-checked
         # entries first (stalest after this round), then r12-checked ----
         "above_cust_avg": q_above_cust_avg,
@@ -7490,6 +7494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "window_analytics": q_window_analytics,
         "reformat_pipeline": q_reformat_pipeline,
+        "ewma_smooth": q_ewma_smooth,
         "pmi_collocations": q_pmi_collocations,
         "skew_salted_join": q_skew_salted_join,
         "dq_report": q_dq_report,
@@ -7537,7 +7542,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_semijoin_auto": q_interval_semijoin_auto,
         "bpe_batched_law": q_bpe_batched_law,
         "ewma_blocked": q_ewma_blocked,
-        "ewma_distributed": q_ewma_distributed,
         "filtering_pipeline": q_filtering_pipeline,
         "theta_sketch_ops": q_theta_sketch_ops,
         "streaming_theta": q_streaming_theta,

@@ -430,6 +430,16 @@ def ewma_smooth_blocked(
     contract as the exact fold (an entity's series is collected to one
     row); what this lifts is the quadratic COMPUTE, not the row
     budget.
+
+    Crossover (measured, ``docs/SCALE_r13.md``): this is the fastest
+    EWMA plan while series fit comfortably in an executor row — linear
+    through 2.56 M points/entity (52 s) — so prefer it below ~2×10⁶
+    points/entity; past that (or when series length is
+    unbounded/unknown, or the collect_list row would crowd executor
+    memory) switch to :func:`ewma_smooth_distributed`, which beat this
+    plan outright in the wide-key 64×640k cell (278 vs 319 s) and has
+    no per-entity row bound at all. :func:`ewma` with ``plan="auto"``
+    applies exactly these boundaries.
     """
     tb = tiebreak_cols or []
     struct_fields = [F.col(ts_col).alias("_t")] + [
@@ -606,6 +616,23 @@ def ewma_smooth_distributed(
     per-entity memory bound — this is the plan to run at 100 TB when
     single entities are huge; prefer :func:`ewma_smooth_blocked` when
     series fit comfortably in an executor row.
+
+    Measured profile (``docs/SCALE_r13.md``): ≈2× blocked's wall at
+    equal ``block_size`` in a narrow 4-entity ladder (the shuffle
+    constant), inverting to 0.87× in the wide-key 64-entity × 640k
+    cell; 10.24 M points/entity in 15 min at B=256. Per entity the
+    copy cost is ``n·B`` (segment folds) + ``(n/B)²`` (carry chain —
+    single-task per entity), so no fixed B is linear forever: the
+    minimizer is ``B* = (2n)^(1/3)`` (:func:`_ewma_dist_block_size`,
+    which ``ewma(plan="auto")`` applies automatically). The 4096
+    default serves the 10⁹+-points regime where the carry width
+    ``n/B`` must stay small; pass ~256 (or use auto) below ~10⁷.
+    Two structural traps this plan had to dodge are pinned in
+    ``docs/CATALYST_NOTES.md`` (Note 13: generator fence; Note 14,
+    found by the r13 slope rehearsal: the carry join must explode the
+    carry array to scalars first — joining the array itself
+    materializes O((n/B)²) bytes per entity through the exchange,
+    measured as a 29.8× step at 2.56 M).
     """
     tb = tiebreak_cols or []
     a, b = float(alpha), 1.0 - float(alpha)
@@ -684,12 +711,25 @@ def ewma_smooth_distributed(
             ),
         ).alias("_c")
     )
-    joined = folded.join(carries, on=group_cols, how="inner").withColumn(
-        "_cin",
-        F.when(F.col("_seg") == 0, F.lit(0.0)).otherwise(
-            F.element_at(F.col("_c"), F.col("_seg"))
-        ),
-    )
+    # one carry SCALAR per segment row, never the whole carry array:
+    # joining `carries` on the entity key alone would attach the full
+    # n/B-wide array to every one of the n/B segment rows — O((n/B)²)
+    # doubles per entity materialized through the join, measured as a
+    # 30× per-4×-step blow-up past ~10⁶ points/entity (the r13 slope
+    # rehearsal, docs/SCALE_r13.md). Exploding first makes the join a
+    # co-partitioned (entity, seg) equi-join carrying one double per
+    # row. posexplode is 0-based and _c[i] is the carry OUT of segment
+    # i, so segment s reads the row exploded at i = s-1; segment 0 has
+    # no such row and coalesces to carry-in 0. The exploded carry value
+    # is numerically the SAME element element_at picked before — the
+    # FP association (and the bit-identity law vs the blocked plan) is
+    # untouched.
+    carry_rows = carries.select(
+        *group_cols, F.posexplode("_c").alias("_ci", "_cv")
+    ).select(*group_cols, (F.col("_ci") + 1).alias("_seg"), "_cv")
+    joined = folded.join(
+        carry_rows, on=[*group_cols, "_seg"], how="left"
+    ).withColumn("_cin", F.coalesce(F.col("_cv"), F.lit(0.0)))
     out = (
         joined.withColumn(
             "_y",
@@ -741,6 +781,20 @@ def _ewma_choose(
     return "distributed"
 
 
+def _ewma_dist_block_size(max_per_entity: int) -> int:
+    """Stats-driven segment size for the distributed plan: per entity
+    the plan costs ~``n·B`` element copies in the segment folds plus
+    ~``(n/B)²`` in the carry chain (both are concat-append
+    ``F.aggregate`` folds — Catalyst HOFs have no O(1) append), so the
+    copy-count minimizer is ``B* = (2n)^(1/3)``. Clamped to [256,
+    4096]: below 256 the per-segment fixed costs (struct sort, group
+    overhead) dominate; above 4096 the fold's quadratic-in-B term
+    already costs more than the shuffles it saves (measured in
+    ``docs/SCALE_r13.md`` — B=4096 ran ~14× slower than B=256 at
+    160k-640k points/entity)."""
+    return int(min(4096, max(256, round((2 * max(1, max_per_entity)) ** (1.0 / 3.0)))))
+
+
 def ewma(
     df: DataFrame,
     group_cols: list[str],
@@ -773,9 +827,11 @@ def ewma(
     fold; blocked and distributed are bit-identical to EACH OTHER at
     equal ``block_size`` and within ~1 ulp of exact (identical after
     the default 6-decimal display rounding in every certified case).
-    ``block_size=None`` keeps each plan's own default (256 blocked /
-    4096 distributed — the distributed plan wants bigger segments to
-    amortize its two extra shuffles).
+    ``block_size=None`` keeps each plan's own default — except when
+    AUTO dispatches the distributed plan, where the stats it already
+    paid for size the segments via :func:`_ewma_dist_block_size`
+    (``B* = (2n)^(1/3)``, the copy-count minimizer of the segment
+    folds' n·B plus the carry chain's (n/B)²).
     """
     if plan not in ("auto", "exact", "blocked", "distributed"):
         raise ValueError(f"unknown ewma plan {plan!r}")
@@ -791,6 +847,10 @@ def ewma(
         plan = _ewma_choose(
             max_per_entity, exact_point_limit, blocked_point_limit
         )
+        if plan == "distributed" and block_size is None:
+            # auto knows the series length — size the segments by the
+            # copy-count minimizer instead of the static plan default
+            block_size = _ewma_dist_block_size(max_per_entity)
     common = dict(
         group_cols=group_cols,
         ts_col=ts_col,

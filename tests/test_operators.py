@@ -4685,3 +4685,41 @@ def test_ewma_auto_null_values_not_counted_in_stats(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "_seg" not in plan
     assert out.count() == 5
+
+
+def test_ewma_dist_block_size_rule():
+    """B* = cbrt(2n) clamped to [256, 4096]: the copy-count minimizer
+    of n·B (segment folds) + (n/B)² (carry chain)."""
+    from sensomics_data_pipeline_spark.operators.analytics import (
+        _ewma_dist_block_size,
+    )
+
+    assert _ewma_dist_block_size(0) == 256
+    assert _ewma_dist_block_size(2_000_001) == 256   # cbrt(4M) ≈ 159
+    assert _ewma_dist_block_size(100_000_000) == 585
+    assert _ewma_dist_block_size(10**9) == 1260
+    assert _ewma_dist_block_size(10**12) == 4096     # clamped high
+
+
+def test_ewma_distributed_carry_join_carries_scalars(spark):
+    """The carry join must be an (entity, seg) equi-join carrying one
+    SCALAR per segment row — never the whole per-entity carry array
+    (O((n/B)²) bytes through the exchange, CATALYST_NOTES Note 14).
+    Structural pin: the optimized plan joins on _seg and projects the
+    exploded carry value _cv; no element_at over the carry array _c
+    survives below the join."""
+    from sensomics_data_pipeline_spark.operators.analytics import (
+        ewma_smooth_distributed,
+    )
+
+    rows = [("u", i, float(i % 7)) for i in range(40)]
+    df = spark.createDataFrame(rows, "u string, t int, v double")
+    out = ewma_smooth_distributed(
+        df, ["u"], ts_col="t", value_col="v", block_size=4,
+        round_decimals=None,
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_cv" in plan
+    assert "element_at(_c" not in plan
+    # join condition includes the segment key, not just the entity
+    assert plan.count("_seg") >= 2

@@ -24,6 +24,7 @@ Writes a markdown table to stdout; the round doc wraps it.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -81,9 +82,11 @@ def main() -> None:
         return ewma_smooth_blocked(df, ["u"], ts_col="t", value_col="v",
                                    block_size=256, round_decimals=None)
 
+    dist_b = int(os.environ.get("SCALE_EWMA_DIST_B", "256"))
+
     def dist(df):
         return ewma_smooth_distributed(df, ["u"], ts_col="t",
-                                       value_col="v", block_size=4096,
+                                       value_col="v", block_size=dist_b,
                                        round_decimals=None)
 
     # JIT warm all kernels once, unmeasured
@@ -112,7 +115,7 @@ def main() -> None:
               file=sys.stderr)
 
     print("| points per entity | exact fold (s) | blocked B=256 (s) |"
-          " distributed B=4096 (s) |")
+          f" distributed B={dist_b} (s) |")
     print("|---|---|---|---|")
     fmt = lambda x: "—" if x is None else f"{x:.2f}"
     for n, te, tb, td in rows:
