@@ -249,10 +249,23 @@ def bpe_train_batched(
                 continue
             batch.append((a, b, m, int(cnt)))
             used.update((a, b, m))
-        col = F.col("toks")
+        # one withColumn per merge, NOT one nested expression: each
+        # fold's input must be an attribute reference to the previous
+        # Project's output. Nesting the when(size<2, ..)/aggregate
+        # expressions directly references the prior level's tree 3×
+        # per level — a 3^batch_k expression blow-up that overflows
+        # codegen into interpreted eval (no subexpression elimination
+        # there), measured 12.7 s for ONE batch-8 round at sf0.1 vs
+        # ~0.4 s/round sequential. Catalyst keeps the chained Projects
+        # separate (CollapseProject refuses to duplicate non-cheap
+        # expressions, SPARK-36718), so each fold evaluates once.
+        folded = words
         for a, b, m, _cnt in batch:
-            col = F.when(F.size(col) < 2, col).otherwise(
-                _merge_fold_on(col, a, b, m)
+            folded = folded.withColumn(
+                "toks",
+                F.when(F.size("toks") < 2, F.col("toks")).otherwise(
+                    _merge_fold(a, b, m)
+                ),
             )
         rank0 = len(merges)
         merges.extend(
@@ -261,9 +274,7 @@ def bpe_train_batched(
             else (rank0 + i + 1, a, b, m, cnt)
             for i, (a, b, m, cnt) in enumerate(batch)
         )
-        words, ckpt_ids = _rotate_local_checkpoint(
-            words.withColumn("toks", col), ckpt_ids
-        )
+        words, ckpt_ids = _rotate_local_checkpoint(folded, ckpt_ids)
     return merges, words
 
 

@@ -1,18 +1,22 @@
 #!/usr/bin/env python3
-"""Dump ``explain("formatted")`` for declared queries to plans/r13/.
+"""Dump ``explain("formatted")`` for declared queries to plans/<round>/.
 
 Usage: python tools/dump_plans.py <suffix> [query ...]
 
-Writes plans/r13/<query>_<suffix>.txt for each named query (default:
-all of ``__spark_entry__.queries()``). Building a query's DataFrame can
+Writes plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<suffix>.txt (round dir
+defaults to r14) for each named query (default: all of
+``__spark_entry__.queries()``). Building a query's DataFrame can
 itself run Spark jobs (streaming run_bounded, BPE training, k-means
 fits) — that is the declared surface, so those queries' "plan" files
 capture the FINAL returned DataFrame's plan plus a header noting the
-eager construction. Failures are recorded, not fatal.
+eager construction. Failures are recorded, not fatal; unknown query
+names are reported and skipped up front (they cannot be dumped).
 """
 
 from __future__ import annotations
 
+import contextlib
+import io
 import os
 import sys
 import time
@@ -24,6 +28,7 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    round_dir = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14")
 
     import __spark_entry__ as entrymod
     from sensomics_data_pipeline_spark.session import get_spark
@@ -31,11 +36,14 @@ def main() -> None:
     spark = get_spark("dump_plans")
     qs = entrymod.queries()
     if names:
-        qs = {k: qs[k] for k in names}
+        unknown = sorted(set(names) - qs.keys())
+        if unknown:
+            print(f"skipping unknown queries: {unknown}", file=sys.stderr)
+        qs = {k: qs[k] for k in names if k in qs}
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        round_dir,
     )
     os.makedirs(outdir, exist_ok=True)
     for name, fn in qs.items():
@@ -43,9 +51,12 @@ def main() -> None:
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
         try:
             df = fn(spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            # public API: explain() prints to stdout — capture it
+            # (df._jdf/PythonSQLUtils are classic-session-only internals)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
             hdr = (
                 f"# query: {name}  sf_dir: {sf_dir}\n"
                 f"# construction wall: {time.time() - t0:.2f}s "
