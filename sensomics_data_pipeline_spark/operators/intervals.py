@@ -53,6 +53,7 @@ def subtract_intervals(
     plan: str | None = None,
     broadcast_row_limit: int = 2_000_000,
     per_key_limit: int = 100,
+    stats_key: tuple | None = None,
 ) -> DataFrame:
     """J4: temporal EXCEPT — remove from each ``base`` interval every
     region covered by any ``sub`` interval (``subtract_intervals``,
@@ -91,6 +92,11 @@ def subtract_intervals(
       With EMPTY ``partition_cols`` the shuffle regime has no equi-key
       (it would plan a BroadcastNestedLoop — forbidden repo-wide), so
       auto pins broadcast regardless of stats.
+
+    ``stats_key`` (only meaningful with ``plan="auto"``): stable memo
+    key for the stats job when ``sub`` is a checkpointed side whose
+    plan hash changes per DAG construction — see
+    :func:`_interval_side_stats`.
     """
     if plan is not None:
         if plan not in ("broadcast", "shuffle", "auto"):
@@ -100,7 +106,7 @@ def subtract_intervals(
                 broadcast_sub = True
             else:
                 total, max_per_key = _interval_side_stats(
-                    sub, partition_cols
+                    sub, partition_cols, key_override=stats_key
                 )
                 broadcast_sub = (
                     total <= broadcast_row_limit
@@ -297,19 +303,46 @@ _INTERVAL_STATS_MEMO_MAX = 8
 
 
 def _interval_side_stats(
-    intervals: DataFrame, partition_cols: list[str]
+    intervals: DataFrame,
+    partition_cols: list[str],
+    key_override: tuple | None = None,
 ) -> tuple[int, int]:
     """Cheap stats the auto dispatcher decides on: (total interval
     rows, max intervals per partition key). One bounded agg job over
     the interval side only — never touches the probe table; memoized
     per (session, plan, files) so a loop of auto calls prices the
-    decision once."""
-    try:
-        plan_key = intervals.semanticHash()
-    except Exception:
-        plan_key = None
+    decision once.
+
+    ``key_override``: caller-supplied stable memo-key tail for interval
+    sides whose OWN plan hash is construction-unstable — a lazily
+    ``localCheckpoint``-ed side embeds a fresh RDD id in its LogicalRDD
+    every time the caller rebuilds the DAG, so ``semanticHash`` misses
+    the memo on every rebuild and the stats agg re-runs (measured: the
+    activity pipeline re-paid 2 stats jobs per bench run). The caller
+    keys on its PURE upstream identity instead (plan hashes + input
+    files + knobs of the inputs the side derives from); a stale/
+    colliding override can only mis-pick the JOIN STRATEGY, never
+    change results — both subtract plans are row-identical by the
+    certified contract."""
     key = None
-    if plan_key is not None:
+    if key_override is not None:
+        key = (
+            intervals.sparkSession.sparkContext.applicationId,
+            tuple(partition_cols),
+            key_override,
+        )
+        hit = _INTERVAL_STATS_MEMO.get(key)
+        if hit is not None:
+            _INTERVAL_STATS_MEMO.pop(key)
+            _INTERVAL_STATS_MEMO[key] = hit
+            return hit
+    plan_key = None
+    if key is None:
+        try:
+            plan_key = intervals.semanticHash()
+        except Exception:
+            plan_key = None
+    if key is None and plan_key is not None:
         try:
             files_key = hash(tuple(sorted(intervals.inputFiles())))
         except Exception:

@@ -163,6 +163,29 @@ def categorize_activity(
         else (lambda df: df)
     )
 
+    # Stable stats-memo key tail for the auto-subtract dispatcher: the
+    # checkpointed sub sides (active, sleep_final) embed fresh RDD ids
+    # per DAG construction, so their own plan hashes can never memo-hit
+    # across rebuilds (measured: 2 re-paid stats jobs per bench run).
+    # Key on the PURE pipeline identity instead: input plan hashes +
+    # input files + every knob that shapes the sub sides. Collisions
+    # can only mis-pick a join strategy, never change rows.
+    def _stats_key(tag: str) -> tuple | None:
+        try:
+            return (
+                "categorize_activity",
+                tag,
+                measurements.semanticHash(),
+                acc.semanticHash(),
+                hash(tuple(sorted(measurements.inputFiles()))),
+                hash(tuple(sorted(acc.inputFiles()))),
+                step_lookback_min,
+                reset_gap_hours,
+                threshold_round_decimals,
+            )
+        except Exception:
+            return None
+
     # sleep intervals: W1 dedup → W2 delta w/ reset → W3 interval → W7 merge
     sleep = window_ops.dedup_consecutive(
         measurements.filter(
@@ -204,7 +227,10 @@ def categorize_activity(
     )
 
     sleep_minus_step = _mat(
-        interval_ops.subtract_intervals(sleep_iv, step_iv, pc, plan="auto")
+        interval_ops.subtract_intervals(
+            sleep_iv, step_iv, pc, plan="auto",
+            stats_key=_stats_key("step_iv"),
+        )
     )
 
     thresholds = activity_ops.sleep_acc_thresholds(
@@ -219,12 +245,18 @@ def categorize_activity(
         *pc, "start_time", "end_time"
     )
     sleep_final = _mat(
-        interval_ops.subtract_intervals(sleep_minus_step, active, pc, plan="auto")
+        interval_ops.subtract_intervals(
+            sleep_minus_step, active, pc, plan="auto",
+            stats_key=_stats_key("active"),
+        )
     )
     rest = categorized_acc.filter(F.col("category") == "rest").select(
         *pc, "start_time", "end_time"
     )
-    wake_rest = interval_ops.subtract_intervals(rest, sleep_final, pc, plan="auto")
+    wake_rest = interval_ops.subtract_intervals(
+        rest, sleep_final, pc, plan="auto",
+        stats_key=_stats_key("sleep_final"),
+    )
 
     final = (
         categorized_acc.filter(F.col("category") != "rest")

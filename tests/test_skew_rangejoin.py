@@ -574,6 +574,34 @@ def test_auto_plan_stats_memoized_per_plan(spark):
     iv_ops._INTERVAL_STATS_MEMO.clear()
 
 
+def test_auto_plan_stats_key_override(spark):
+    """``key_override`` memo-hits where the plan hash cannot: a lazily
+    localCheckpoint-ed interval side embeds a fresh RDD id per DAG
+    construction, so two rebuilds of the SAME pipeline miss the
+    plan-hash memo — the override keyed on the pure upstream identity
+    hits, and the subtract rows are identical either way (r14: the
+    activity pipeline re-paid two stats jobs per run without this)."""
+    base, sub = _subtract_fixture(spark)
+    iv_ops._INTERVAL_STATS_MEMO.clear()
+    key = ("test_override", 42)
+    # two independent checkpoint constructions of the same sub side:
+    # plan-hash keying would create two entries; the override shares one
+    s1 = iv_ops._interval_side_stats(
+        sub.localCheckpoint(eager=False), ["user_id"], key_override=key
+    )
+    s2 = iv_ops._interval_side_stats(
+        sub.localCheckpoint(eager=False), ["user_id"], key_override=key
+    )
+    assert s1 == s2 and len(iv_ops._INTERVAL_STATS_MEMO) == 1
+    got = iv_ops.subtract_intervals(
+        base, sub.localCheckpoint(eager=False), ["user_id"],
+        plan="auto", stats_key=key,
+    )
+    want = iv_ops.subtract_intervals(base, sub, ["user_id"], plan="auto")
+    assert _sorted_rows(got) == _sorted_rows(want)
+    iv_ops._INTERVAL_STATS_MEMO.clear()
+
+
 # ---------------------------------------------------------------------------
 # subtract_intervals plan="auto" dispatcher
 # ---------------------------------------------------------------------------
